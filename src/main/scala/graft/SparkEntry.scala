@@ -1,13 +1,58 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kg.Udfs
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` where the operator
+  * is ANSI-SQL-expressible (regex-UDF kernels are golden-tested in
+  * ScalaTest instead; see GoldenSpec). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: byte-identity clean over the documents table. */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = tbl(spark, "/root/testdata/sf0.001", "documents")
+    docs.select(col("doc_id"), Udfs.cleanText(col("text")).as("clean_text"))
+  }
+
+  /** DuckDB-side equivalent of the live clean_text pattern chain
+    * (/root/reference/src/config.py:39-50 — only 4 of 10 patterns can
+    * match lowercased text, SURVEY §2.3). Parity with the Scala kernel
+    * verified row-by-row against the executed reference at sf0.01. */
+  private val cleanSql: String =
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "lower(text), '\\b[\\w.-]+?@\\w+?\\.\\w+?\\b', '', 'g'), " +
+      "'\\[[^\\]]*\\]', '', 'g'), " +
+      "'[^\\x00-\\x7F]+', '', 'g'), " +
+      "'<[^>]+>', '', 'g'), " +
+      "'\\s+', ' ', 'g'))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C1 — the byte-identity kernel (SURVEY §2.3)
+    "c1_clean_text" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), Udfs.cleanText(col("text")).as("clean_text"))),
+
+    // A? — classic partial+final hash aggregation (scan→agg pushdown demo)
+    "q1_agg" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_revenue"),
+          count(lit(1)).as("n_rows")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "c1_clean_text" ->
+      s"SELECT doc_id, $cleanSql AS clean_text FROM documents",
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue, " +
+        "count(*) AS n_rows FROM lineitem GROUP BY 1, 2")
+  )
 }
