@@ -1,0 +1,272 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kg.Schema._
+
+/** The KG-construction pipeline (north_star): extract → clean → triple
+  * extraction → entity linking → canonicalization (CC) → nodes/edges.
+  *
+  * Scale design (SURVEY §3.1, §4.3):
+  *  - Stages 1-2 are narrow per-row transforms (map/flatMap) — no shuffle.
+  *  - One explicit url-hash repartition up front; every per-url operation
+  *    stays partition-local afterwards.
+  *  - Linking joins are broadcast (alias table is small by construction);
+  *    entity aggregation is two-phase (partial by (entity,url) then final)
+  *    so hot entities ("CNN" in ~20% of docs) never hit a single reducer.
+  *  - Canonicalization = DataFrame connected components over alias edges.
+  *  - Each stage checkpoints to parquet under `workDir`; `_SUCCESS` is the
+  *    resume ledger — a rerun skips completed stages (idempotent).
+  *  - Per-partition lineage/metrics rows are written alongside each stage
+  *    (north_rule: per-partition lineage + metrics).
+  */
+object Pipeline {
+
+  final case class Config(
+      workDir: String,
+      nPartitions: Int = 32,
+      resume: Boolean = true,
+      writeMetrics: Boolean = true)
+
+  final case class Result(nodes: DataFrame, edges: DataFrame, metrics: DataFrame)
+
+  // ------------------------------------------------------------ stage 1
+  /** Extract (html→text when text is null — S1/S2 error policy: per-row,
+    * failures isolated) and clean (C1 kernel). */
+  def extractClean(spark: SparkSession, pages: Dataset[Page], nPartitions: Int): Dataset[CleanDoc] = {
+    import spark.implicits._
+    pages
+      // explicit url-hash range partitioning (north_rule); pmod keeps it
+      // stable across runs and cluster sizes
+      .repartition(nPartitions, pmod(xxhash64($"url"), lit(nPartitions)))
+      .map { p =>
+        val raw =
+          if (p.text != null) p.text
+          else if (p.html != null) {
+            // S2 continue_on_error: a malformed html row yields empty text,
+            // never a task failure (/root/reference/src/pdf_processor.py:117-124)
+            try {
+              val s = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
+              Py.strip(Py.collapseWs(s.replaceAll("<[^>]+>", " ")))
+            } catch { case _: Throwable => "" }
+          } else ""
+        CleanDoc(p.url, p.warc_ts, p.lang, raw, RefText.cleanText(raw))
+      }
+  }
+
+  // ------------------------------------------------------------ stage 2
+  /** Per-url triple emission — all reference extractor families E1-E13
+    * (SURVEY §2.9) run on raw text exactly like the reference pipeline
+    * (/root/reference/app_enhanced.py:769-824 feeds analyzers the raw
+    * extracted text, not the cleaned text). Pure function → flatMap;
+    * embarrassingly parallel, no shuffle. */
+  def triplesForDoc(url: String, raw: String): Seq[Triple] = {
+    if (raw == null || raw.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[Triple]
+
+    val meta = RefAnalyzers.extractMetadata(raw)
+    meta.title.foreach(t => out += Triple(url, "hasTitle", t, "attr", t, "", 1))
+    meta.authors.foreach(a => out += Triple(url, "hasAuthor", a, "attr", a, "", 1))
+    meta.year.foreach(y => out += Triple(url, "publishedIn", y, "attr", y, "", 1))
+    meta.doi.foreach(d => out += Triple(url, "hasDOI", d, "attr", d, "", 1))
+
+    RefAnalyzers.extractSections(raw).foreach { s =>
+      out += Triple(url, "hasSection", s.name, "section", s.name, s.preview, 1)
+    }
+    RefAnalyzers.extractFigureRefs(raw).foreach { f =>
+      out += Triple(url, "mentionsFigure", f.title, f.kind, f.title, f.caption, 1)
+    }
+    RefAnalyzers.extractTechnicalTerms(raw).foreach { t =>
+      val kind =
+        if (t.term.length >= 2 && t.term.length <= 6 && t.term.forall(c => c >= 'A' && c <= 'Z')) "acronym"
+        else if (t.term.contains('-')) "technique"
+        else "concept"
+      out += Triple(url, "mentionsEntity", t.term, kind, t.term, t.context, t.frequency)
+    }
+    RefAnalyzers.extractEquations(raw).foreach { e =>
+      out += Triple(url, "containsEquation", e.content, "equation", e.content, "", 1)
+    }
+    RefAnalyzers.extractKeywords(raw).foreach { k =>
+      out += Triple(url, "hasKeyword", k, "keyword", k, "", 1)
+    }
+    val summary = RefAnalyzers.extractSummary(raw)
+    if (summary.nonEmpty) out += Triple(url, "hasSummary", summary, "attr", summary, "", 1)
+
+    out.result()
+  }
+
+  def extractTriples(spark: SparkSession, docs: Dataset[CleanDoc]): Dataset[Triple] = {
+    import spark.implicits._
+    docs.flatMap(d => triplesForDoc(d.url, d.raw_text))
+  }
+
+  // ------------------------------------------------------------ stage 3
+  /** Acronym↔expansion alias discovery: within a url, an acronym mention
+    * A links to a phrase mention P when initials(P) == A. Pure per-url
+    * logic (partition-local after the stage-1 repartition) followed by a
+    * global distinct — the alias table is tiny relative to mentions. */
+  def aliasEdges(spark: SparkSession, triples: Dataset[Triple]): DataFrame = {
+    import spark.implicits._
+    val ents = triples.filter(_.pred == "mentionsEntity")
+    ents.groupByKey(_.url)
+      .flatMapGroups { (_, it) =>
+        val ms = it.toVector
+        val acronyms = ms.filter(_.kind == "acronym")
+        val phrases = ms.filter(_.kind == "concept")
+        for {
+          a <- acronyms
+          p <- phrases
+          initials = p.obj.split("\\s+").filter(_.nonEmpty).map(w => Character.toUpperCase(w.charAt(0))).mkString
+          if initials == a.obj
+        } yield (Py.lower(a.obj), Py.lower(p.obj))
+      }
+      .toDF("key_a", "key_b")
+      .distinct()
+  }
+
+  /** Normalize mentions to entity keys (lowercase surface). */
+  def linkedMentions(spark: SparkSession, triples: Dataset[Triple]): Dataset[LinkedMention] = {
+    import spark.implicits._
+    triples
+      .filter(_.pred == "mentionsEntity")
+      .map(t => LinkedMention(t.url, t.pred, Py.lower(t.obj), t.surface, t.kind, t.weight))
+  }
+
+  // ------------------------------------------------------------ stage 4
+  /** Canonicalize entity keys: CC over alias edges; canonical name = the
+    * member with the highest total mention weight (ties → lexicographic).
+    * All aggregations two-phase over (entity, url) to defuse hot-key skew
+    * before the final per-component reduction. */
+  def canonicalize(
+      spark: SparkSession,
+      linked: Dataset[LinkedMention],
+      aliases: DataFrame): (DataFrame, DataFrame) = {
+    import spark.implicits._
+
+    val keyId = (c: org.apache.spark.sql.Column) => xxhash64(c)
+
+    val ccLabels = ConnectedComponents.run(
+      spark,
+      aliases.select(keyId($"key_a").as("src"), keyId($"key_b").as("dst")))
+
+    // entity_key -> component (keys not in any alias edge are their own component)
+    val mentions = linked.toDF()
+      .withColumn("key_id", keyId($"entity_key"))
+    val labeled = mentions
+      .join(ccLabels.withColumnRenamed("id", "key_id"), Seq("key_id"), "left")
+      .withColumn("component", coalesce($"component", $"key_id"))
+
+    // two-phase aggregation: the (component, url) and (component,
+    // entity_key) partials absorb hot-entity skew before any
+    // per-component reduction touches a single reducer
+    val perUrl = labeled
+      .groupBy($"component", $"url")
+      .agg(sum($"weight").as("weight"))
+    val nUrls = perUrl.groupBy($"component").agg(count(lit(1)).as("n_urls"))
+    val perKey = labeled
+      .groupBy($"component", $"entity_key", $"kind")
+      .agg(sum($"weight").as("w"))
+
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"component")
+      .orderBy($"w".desc, $"entity_key".asc)
+    val ranked = perKey.withColumn("rn", row_number().over(win))
+
+    val nodes = ranked
+      .groupBy($"component")
+      .agg(
+        max(when($"rn" === 1, $"entity_key")).as("canonical_name"),
+        max(when($"rn" === 1, $"kind")).as("kind"),
+        sort_array(collect_set($"entity_key")).as("aliases"),
+        sum($"w").as("n_mentions"))
+      .join(nUrls, Seq("component"))
+      .withColumnRenamed("component", "entity_id")
+
+    val canon = ranked.where($"rn" === 1)
+      .select($"component", $"entity_key".as("canonical_name_e"))
+    val edges = perUrl
+      .join(broadcast(canon), Seq("component"))
+      .select(
+        $"url".as("src_url"),
+        lit("mentionsEntity").as("pred"),
+        $"component".as("dst_id"),
+        $"canonical_name_e".as("dst_name"),
+        $"weight")
+
+    (nodes, edges)
+  }
+
+  // ---------------------------------------------------------- orchestration
+  private def stageDone(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def writeStage(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Run all stages with parquet checkpointing + resume. */
+  def run(spark: SparkSession, pages: Dataset[Page], cfg: Config): Result = {
+    import spark.implicits._
+    val metrics = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+
+    def stage[T](name: String, path: String)(compute: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      if (!(cfg.resume && stageDone(spark, path))) {
+        writeStage(compute, path)
+      }
+      val df = spark.read.parquet(path)
+      metrics += ((name, df.count(), (System.nanoTime() - t0) / 1000000L))
+      df
+    }
+
+    val docsPath = s"${cfg.workDir}/clean_docs"
+    val triplesPath = s"${cfg.workDir}/triples"
+    val aliasPath = s"${cfg.workDir}/alias_edges"
+    val nodesPath = s"${cfg.workDir}/nodes"
+    val edgesPath = s"${cfg.workDir}/edges"
+
+    val docsDf = stage("extract_clean", docsPath) {
+      extractClean(spark, pages, cfg.nPartitions).toDF()
+    }
+    val docs = docsDf.as[CleanDoc]
+
+    val triplesDf = stage("triples", triplesPath) {
+      extractTriples(spark, docs).toDF()
+    }
+    val triples = triplesDf.as[Triple]
+
+    val aliasDf = stage("alias_edges", aliasPath) {
+      aliasEdges(spark, triples)
+    }
+
+    if (!(cfg.resume && stageDone(spark, nodesPath) && stageDone(spark, edgesPath))) {
+      val linked = linkedMentions(spark, triples)
+      val (n, e) = canonicalize(spark, linked, aliasDf)
+      // cache the shared CC/link sub-plan across the two writes
+      val t0 = System.nanoTime()
+      n.persist()
+      writeStage(n, nodesPath)
+      writeStage(e, edgesPath)
+      n.unpersist()
+      metrics += (("canonicalize", -1L, (System.nanoTime() - t0) / 1000000L))
+    }
+    val nodesDf = spark.read.parquet(nodesPath)
+    val edgesDf = spark.read.parquet(edgesPath)
+    metrics += (("nodes", nodesDf.count(), 0L))
+    metrics += (("edges", edgesDf.count(), 0L))
+
+    // per-partition lineage metrics for the triples stage
+    val partMetrics = triplesDf
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("rows"))
+      .withColumn("stage", lit("triples"))
+    val stageMetrics = metrics.toSeq.toDF("stage", "rows", "wall_ms")
+    if (cfg.writeMetrics) {
+      writeStage(stageMetrics, s"${cfg.workDir}/metrics_stage")
+      writeStage(partMetrics, s"${cfg.workDir}/metrics_partition")
+    }
+
+    Result(nodesDf, edgesDf, stageMetrics)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.kg
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(spark, edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("path graph contracts to min id") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("long chain (pointer jumping beats 25-round limit)") {
+    val n = 200L
+    val got = cc((1L until n).map(i => (i, i + 1)))
+    assert(got.size == n.toInt)
+    assert(got.values.forall(_ == 1L))
+  }
+
+  test("star graph") {
+    val got = cc(Seq((10L, 1L), (10L, 2L), (10L, 3L)))
+    assert(got.values.forall(_ == 1L))
+  }
+
+  test("disjoint components keep separate labels") {
+    val got = cc(Seq((1L, 2L), (5L, 6L), (6L, 7L)))
+    assert(got(1L) == 1L && got(2L) == 1L)
+    assert(got(5L) == 5L && got(6L) == 5L && got(7L) == 5L)
+  }
+
+  test("self loops and duplicates are harmless") {
+    val got = cc(Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("empty edge set") {
+    assert(cc(Seq.empty).isEmpty)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.kg
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end KG pipeline tests: triple P/R vs a single-threaded oracle
+  * (FIXTURES.md §4 — target 1.0, gate ≥0.95), determinism under
+  * parallelism, checkpoint-resume idempotence, and linking behavior. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val nDocs = 220L
+
+  /** Single-threaded reference-emulator oracle: same pure functions, run
+    * sequentially over the regenerated corpus. */
+  private lazy val oracleTriples: Set[(String, String, String)] =
+    (0L until nDocs).flatMap { id =>
+      val raw =
+        if (id % 50 == 49) {
+          val html = "<html><body><p>" + PagesGen.docText(id) + "</p></body></html>"
+          Py.strip(Py.collapseWs(html.replaceAll("<[^>]+>", " ")))
+        } else PagesGen.docText(id)
+      Pipeline.triplesForDoc(PagesGen.url(id), raw).map(t => (t.url, t.pred, t.obj))
+    }.toSet
+
+  private lazy val (workDir, result) = {
+    val dir = Files.createTempDirectory("kgwork").toString
+    (dir, Pipeline.run(spark, PagesGen.pages(spark, nDocs), Pipeline.Config(dir, nPartitions = 7)))
+  }
+
+  private def triplesAt(dir: String): Set[(String, String, String)] =
+    spark.read.parquet(dir + "/triples")
+      .select("url", "pred", "obj").as[(String, String, String)].collect().toSet
+
+  test("distributed triples == oracle (P/R = 1.0)") {
+    val got = triplesAt(workDir)
+    val inter = got.intersect(oracleTriples).size.toDouble
+    val p = inter / got.size
+    val r = inter / oracleTriples.size
+    assert(p >= 0.95 && r >= 0.95, s"P=$p R=$r")
+    assert(p == 1.0 && r == 1.0, s"P=$p R=$r got=${got.size} oracle=${oracleTriples.size}")
+  }
+
+  test("pipeline produces a canonical CNN node merging acronym + expansion") {
+    val cnn = result.nodes.where(array_contains(col("aliases"), "cnn")).collect()
+    assert(cnn.length == 1, s"CNN nodes: ${cnn.mkString(";")}")
+    val row = cnn.head
+    val aliases = row.getAs[scala.collection.Seq[String]]("aliases")
+    assert(aliases.contains("convolutional neural network"), s"aliases=$aliases")
+    assert(row.getAs[Long]("n_urls") >= nDocs / 5, "hot entity should span ≥20% of urls")
+  }
+
+  test("edges reference canonical entities and carry weights") {
+    val e = result.edges
+    assert(e.count() > 0)
+    // canonical name = highest total mention weight in the component ("cnn")
+    assert(e.where(col("dst_name") === "cnn").count() >= nDocs / 5)
+    assert(e.where(col("weight") <= 0).count() == 0)
+  }
+
+  test("reversed-text docs flow through (detector fires in-pipeline)") {
+    val u = PagesGen.url(99L)
+    val got = spark.read.parquet(workDir + "/triples").where(col("url") === u).count()
+    assert(got > 0)
+  }
+
+  test("html-extraction rows (null text) produce triples") {
+    val u = PagesGen.url(49L)
+    assert(spark.read.parquet(workDir + "/triples").where(col("url") === u).count() > 0)
+  }
+
+  test("results identical under different partitioning") {
+    val dir2 = Files.createTempDirectory("kgwork2").toString
+    val r2 = Pipeline.run(spark, PagesGen.pages(spark, nDocs), Pipeline.Config(dir2, nPartitions = 3))
+    assert(triplesAt(dir2) == triplesAt(workDir))
+    val n1 = result.nodes.select("canonical_name", "n_mentions", "n_urls")
+      .as[(String, Long, Long)].collect().toSet
+    val n2 = r2.nodes.select("canonical_name", "n_mentions", "n_urls")
+      .as[(String, Long, Long)].collect().toSet
+    assert(n1 == n2)
+  }
+
+  test("resume skips completed stages and is idempotent") {
+    val dir = Files.createTempDirectory("kgresume").toString
+    val cfg = Pipeline.Config(dir, nPartitions = 4)
+    val nodes1 = Pipeline.run(spark, PagesGen.pages(spark, 60L), cfg)
+      .nodes.orderBy("entity_id").collect().toSeq.map(_.toString)
+    // drop only the final stages; rerun must reuse upstream checkpoints
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(new java.io.File(dir + "/nodes"))
+    rmrf(new java.io.File(dir + "/edges"))
+    val nodes2 = Pipeline.run(spark, PagesGen.pages(spark, 60L), cfg)
+      .nodes.orderBy("entity_id").collect().toSeq.map(_.toString)
+    assert(nodes1 == nodes2)
+  }
+}
