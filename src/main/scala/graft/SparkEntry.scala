@@ -41,7 +41,9 @@ object SparkEntry {
       (work, Pipeline.run(s, PagesGen.pages(s, nDocs), Pipeline.Config(work, nPartitions = 16)))
     })
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = base ++ graft.queries.Relational.queries
+
+  private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C1 — the byte-identity kernel (SURVEY §2.3)
     "c1_clean_text" -> ((s, dir) =>
       tbl(s, dir, "documents")
@@ -77,5 +79,5 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
         "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue, " +
         "count(*) AS n_rows FROM lineitem GROUP BY 1, 2")
-  )
+  ) ++ graft.queries.Relational.oracles
 }

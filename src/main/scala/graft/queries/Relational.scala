@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** General relational operator coverage (SURVEY §2.5-§2.7, §2.10): hash
+  * aggregation, broadcast joins, semi/anti joins, windows, top-k,
+  * rollup, substring search with lag/lead context, event-time windowed
+  * aggregation and sessionization. Every query here has a DuckDB oracle.
+  *
+  * Determinism rules: every float aggregate is rounded; every window /
+  * top-k has a total tie-break order.
+  */
+object Relational {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // broadcast-joined star aggregation: fact ⨝ small dims
+    "q2_join_broadcast" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // per-group top-k via window + row_number (T2 idiom)
+    "q3_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("rn"))
+    }),
+
+    // left-semi + left-anti (EXISTS / NOT EXISTS)
+    "q4_semi_anti" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("has_orders").as("status"))
+      val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("no_orders").as("status"))
+      withOrders.union(withoutOrders)
+    }),
+
+    // rollup with grouping-set markers
+    "q5_rollup" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n"))),
+
+    // global top-k (TakeOrderedAndProject) with total order
+    "q6_global_topk" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))),
+
+    // scalar-subquery / join-on-aggregate: parts above their type's avg price
+    "q7_above_avg" -> ((s, dir) => {
+      val p = tbl(s, dir, "part")
+      val avgByType = p.groupBy(col("p_type")).agg(avg(col("p_retailprice")).as("avg_price"))
+      p.join(avgByType, Seq("p_type"))
+        .where(col("p_retailprice") > col("avg_price"))
+        .select(col("p_partkey"), col("p_type"),
+          round(col("p_retailprice"), 2).as("p_retailprice"))
+    }),
+
+    // R1 — exact substring search over documents with ±1-token context via
+    // lag/lead windows (/root/reference/app_enhanced.py:1393-1441 analog;
+    // cleaned docs have no newlines so the "line" unit is the word)
+    "q8_search_context" -> ((s, dir) => {
+      val words = tbl(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      words
+        .withColumn("prev", lag(col("word"), 1).over(w))
+        .withColumn("next", lead(col("word"), 1).over(w))
+        .where(col("word") === "spark")
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", col("prev"), col("word"), col("next")).as("context"))
+    }),
+
+    // event-time tumbling-window aggregation (streaming-shaped, batch run)
+    "q9_events_hourly" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))),
+
+    // sessionization: 30-min-gap sessions per user (lag + running flag sum)
+    "q10_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      tbl(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            // floor-of-epoch-seconds diff (events carry µs precision)
+            floor(col("ts").cast("timestamp").cast("double")) -
+              floor(col("prev_ts").cast("timestamp").cast("double")) > 1800d, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+    }),
+
+    // distinct + set-op coverage: union of two projections, deduped
+    "q11_union_distinct" -> ((s, dir) => {
+      val hi = tbl(s, dir, "orders").where(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("custkey"))
+      val prio = tbl(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      hi.union(prio).distinct()
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q2_join_broadcast" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""".stripMargin,
+    "q3_window_topk" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q4_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' AS status FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS status FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q5_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q6_global_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q7_above_avg" ->
+      """SELECT p_partkey, p_type, round(p_retailprice, 2) AS p_retailprice
+        |FROM part JOIN (SELECT p_type, avg(p_retailprice) AS avg_price FROM part GROUP BY 1) USING (p_type)
+        |WHERE p_retailprice > avg_price""".stripMargin,
+    "q8_search_context" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        |  FROM documents)
+        |SELECT doc_id, pos,
+        |       concat_ws(' ',
+        |         lag(word) OVER (PARTITION BY doc_id ORDER BY pos),
+        |         word,
+        |         lead(word) OVER (PARTITION BY doc_id ORDER BY pos)) AS context
+        |FROM words QUALIFY word = 'spark'""".stripMargin,
+    "q9_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q10_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |         (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end
+        |FROM sessions GROUP BY 1, 2""".stripMargin,
+    "q11_union_distinct" ->
+      """SELECT DISTINCT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+        |  UNION ALL
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin)
+}
