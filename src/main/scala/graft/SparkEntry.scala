@@ -41,7 +41,8 @@ object SparkEntry {
       (work, Pipeline.run(s, PagesGen.pages(s, nDocs), Pipeline.Config(work, nPartitions = 16)))
     })
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = base ++ graft.queries.Relational.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    base ++ graft.queries.Relational.queries ++ graft.queries.DataOps.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C1 — the byte-identity kernel (SURVEY §2.3)
@@ -79,5 +80,5 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
         "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue, " +
         "count(*) AS n_rows FROM lineitem GROUP BY 1, 2")
-  ) ++ graft.queries.Relational.oracles
+  ) ++ graft.queries.Relational.oracles ++ graft.queries.DataOps.oracles
 }

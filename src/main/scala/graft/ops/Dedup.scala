@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash groupBy), MinHash+LSH (shingle→minhash→band→bucket join),
+  * SimHash (bit-majority fingerprints + banded hamming join), and n-gram
+  * Jaccard verification.
+  *
+  * All hash primitives are md5-hex based so results are reproducible in
+  * any engine (the DuckDB oracle recomputes them exactly). Everything is
+  * built from codegen'd `functions._` — no UDFs — so whole-stage codegen
+  * spans the full plan and Catalyst can push/prune freely.
+  *
+  * Scale notes: the only shuffles are the per-doc token dedup (narrow
+  * after a doc-id repartition), the band-bucket self-join (bounded: bucket
+  * sizes are tiny under uniform hashing; AQE skew-join covers adversarial
+  * buckets), and the candidate-pair verification join (candidates only —
+  * never all-pairs). At 100 TB the all-pairs blocked variant
+  * (`ngramJaccardPairs`) is for small blocks only; LSH is the scale path.
+  */
+object Dedup {
+
+  /** Distinct (id, token) pairs from a space-tokenized text column. */
+  def docTokens(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), explode(split(col(text), " ")).as("token"))
+      .where(col("token") =!= "")
+      .distinct()
+
+  /** Exact-duplicate groups: md5 over raw text, keep groups of ≥2.
+    * Output: (text_md5, n_docs, min_id) — min_id is the canonical
+    * representative (first by id). */
+  def exactGroups(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(md5(col(text)).as("text_md5"), col(id))
+      .groupBy(col("text_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(col(id)).as("min_id"))
+      .where(col("n_docs") >= 2)
+
+  /** MinHash signatures: for seed s, minhash_s = min over distinct tokens
+    * of md5('<s>:'||token) (hex-string min — total order, engine-portable).
+    * Output: (id, seed, minhash). */
+  def minhashSignatures(df: DataFrame, id: String, text: String, nHashes: Int = 16): DataFrame = {
+    val seeds = array((0 until nHashes).map(lit): _*)
+    docTokens(df, id, text)
+      .select(col(id), explode(seeds).as("seed"), col("token"))
+      .groupBy(col(id), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("token")))).as("minhash"))
+  }
+
+  /** LSH band keys: rows-per-band of `rowsPerBand` consecutive minhashes,
+    * band bucket = md5 of their concatenation in seed order. */
+  def minhashBands(sigs: DataFrame, id: String, rowsPerBand: Int = 4): DataFrame =
+    sigs
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy(col(id), col("band"))
+      .agg(md5(concat_ws("",
+        transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
+          x => x.getField("minhash")))).as("bucket"))
+
+  /** Candidate pairs: ids sharing any band bucket (id1 < id2). */
+  def candidatePairs(bands: DataFrame, id: String): DataFrame = {
+    val l = bands.select(col("band"), col("bucket"), col(id).as("id1"))
+    val r = bands.select(col("band"), col("bucket"), col(id).as("id2"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+  }
+
+  /** Exact token-set Jaccard for given candidate pairs (verification
+    * step of MinHash-LSH dedup). Output: (id1, id2, jaccard). */
+  def jaccardVerify(pairs: DataFrame, tokens: DataFrame, id: String): DataFrame = {
+    val sizes = tokens.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val t1 = tokens.select(col(id).as("id1"), col("token"))
+    val t2 = tokens.select(col(id).as("id2"), col("token"))
+    val inter = pairs
+      .join(t1, Seq("id1"))
+      .join(t2, Seq("id2", "token"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(id, "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
+      .join(sizes.withColumnRenamed(id, "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 4).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → bands → candidate
+    * pairs → exact-Jaccard verify ≥ threshold. */
+  def minhashNearDups(df: DataFrame, id: String, text: String,
+      nHashes: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val sigs = minhashSignatures(df, id, text, nHashes)
+    val pairs = candidatePairs(minhashBands(sigs, id, rowsPerBand), id)
+    jaccardVerify(pairs, docTokens(df, id, text), id)
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** SimHash-64 as a 64-char '0'/'1' string: per bit k, the sign of the
+    * count-weighted sum of (2*bit_k(md5(token)) - 1). Engine-portable:
+    * nibble k/4 of the md5 hex, bit (3 - k%4) of the nibble. */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    val tokCnt = df
+      .select(col(id), explode(split(col(text), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col(id), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5(col("token")))
+    val bits = tokCnt
+      .select(col(id), col("cnt"), col("h"),
+        explode(array((0 until 64).map(lit): _*)).as("k"))
+      .withColumn("nibble",
+        expr("instr('0123456789abcdef', substring(h, cast(k / 4 as int) + 1, 1)) - 1"))
+      .withColumn("bit", expr("(nibble >> (3 - k % 4)) & 1"))
+      .groupBy(col(id), col("k"))
+      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("score"))
+      .withColumn("b", when(col("score") > 0, lit("1")).otherwise(lit("0")))
+    bits.groupBy(col(id))
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(struct(col("k"), col("b")))),
+          x => x.getField("b"))).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming, using 4-chunk
+    * pigeonhole banding (hamming ≤ 3 ⇒ some 16-bit chunk is equal) so the
+    * join is on chunk equality, never all-pairs. */
+  def simhashPairs(sim: DataFrame, id: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole supports hamming <= 3")
+    val chunks = sim.select(col(id), col("simhash"),
+      explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+        substring(col("simhash"), c * 16 + 1, 16).as("chunk"))): _*)).as("x"))
+      .select(col(id), col("simhash"), col("x.c").as("c"), col("x.chunk").as("chunk"))
+    val l = chunks.select(col("c"), col("chunk"), col(id).as("id1"), col("simhash").as("s1"))
+    val r = chunks.select(col("c"), col("chunk"), col(id).as("id2"), col("simhash").as("s2"))
+    val hamming = (a: Column, b: Column) =>
+      aggregate(zip_with(split(a, ""), split(b, ""), (x, y) => when(x === y, 0).otherwise(1)),
+        lit(0), (acc, v) => acc + v)
+    l.join(r, Seq("c", "chunk"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), hamming(col("s1"), col("s2")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Character n-gram shingles (positional substrings) per doc. */
+  def charShingles(df: DataFrame, id: String, text: String, n: Int = 8): DataFrame =
+    df.select(col(id), col(text))
+      .select(col(id), explode(expr(
+        s"transform(sequence(1, greatest(0, length($text) - ${n - 1})), i -> substring($text, i, $n))"))
+        .as("shingle"))
+      .distinct()
+
+  /** Blocked all-pairs n-gram (token) Jaccard — for small blocks; LSH is
+    * the scale path. Block key = any low-cardinality column. */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String,
+      blockCols: Seq[String], threshold: Double): DataFrame = {
+    val toks = df
+      .select((col(id) +: blockCols.map(col)) :+
+        explode(split(col(text), " ")).as("token"): _*)
+      .where(col("token") =!= "").distinct()
+    val l = toks.select(blockCols.map(col) :+ col(id).as("id1") :+ col("token"): _*)
+    val r = toks.select(blockCols.map(col) :+ col(id).as("id2") :+ col("token"): _*)
+    val sizes = toks.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val inter = l.join(r, blockCols :+ "token")
+      .where(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(id, "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
+      .join(sizes.withColumnRenamed(id, "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video travel as opaque
+  * `binary` columns with typed metadata. The decode step is STUBBED with
+  * a deterministic fake (the real codec libraries are not in this
+  * container — clearly marked below); everything Spark-side — schema,
+  * batching, partition-local iteration, output shape — is real and
+  * tested. At scale this is the `mapPartitions`-with-batched-decoder
+  * pattern (the Scala analog of Python's mapInPandas batches).
+  */
+object Multimodal {
+
+  /** Typed feature row a real image decoder would emit. */
+  final case class MediaFeatures(
+      id: Long,
+      n_bytes: Int,
+      format: String,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      embedding: Seq[Float])
+
+  /** ==== STUB ==== deterministic fake decoder: derives pseudo
+    * width/height/frames/embedding from the bytes. A production build
+    * replaces ONLY this function with a real codec call; the operator
+    * around it is unchanged. */
+  def stubDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val n = if (bytes == null) 0 else bytes.length
+    def at(i: Int): Int = if (n == 0) 0 else bytes(((i % n) + n) % n) & 0xff
+    val fmt = if (n == 0) "empty" else if (at(0) == '<') "html" else "bin"
+    val emb = (0 until 8).map(i => (at(i * 7) - 128) / 128.0f)
+    MediaFeatures(id, n, fmt, 16 + at(1) % 64, 16 + at(2) % 64, 1 + at(3) % 8, emb)
+  }
+
+  /** Batched partition-local decode: one decoder instance per partition,
+    * rows streamed through it (no per-row setup cost; the real pattern
+    * for codec handles / model sessions). */
+  def decodeFeatures(spark: SparkSession, df: DataFrame, id: String, bin: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(bin))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder setup would go here (STUB: none needed)
+        rows.map { case (i, b) => stubDecode(i, b) }
+      }
+  }
+
+  /** Byte-level "frame sampling": every strideBytes-th byte, first
+    * nFrames — the slicing/batching skeleton of video frame extraction,
+    * expressed as pure column ops (engine-portable, oracle-checkable). */
+  def frameSample(df: DataFrame, id: String, text: String,
+      nFrames: Int = 5, strideBytes: Int = 100): DataFrame = {
+    val samples = (0 until nFrames).map { f =>
+      substring(col(text), f * strideBytes + 1, 1)
+    }
+    df.select(col(id),
+      octet_length(col(text)).as("n_bytes"),
+      ascii(substring(col(text), 1, 1)).as("head_byte"),
+      md5(col(text)).as("content_md5"),
+      concat_ws("", samples: _*).as("frame_sample"))
+  }
+}

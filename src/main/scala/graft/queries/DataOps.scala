@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators as driver-contract queries with
+  * DuckDB oracles: deduplication (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard), similarity search (brute-force cosine top-k,
+  * hyperplane-LSH buckets + ANN), text analysis (lang-ID, quality,
+  * token counts, fingerprints), and multimodal binary plumbing.
+  *
+  * The documents table has no duplicates, so `ddInput` deterministically
+  * plants exact copies (doc_id+1000000, every 25th) and near-duplicates
+  * (doc_id+2000000, every 20th, with an appended tail) — the same
+  * derivation is inlined in each oracle's CTE. */
+object DataOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private val nearDupTail = " additional tail content for near duplicate testing"
+
+  /** documents ∪ planted exact dups ∪ planted near dups. */
+  private def ddInput(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"))
+    val exact = base.where(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val near = base.where(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(nearDupTail)).as("text"))
+    base.union(exact).union(near)
+  }
+
+  private val ddInputSql: String =
+    s"""dd_input AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, text || '$nearDupTail' AS text
+       |  FROM documents WHERE doc_id % 20 = 0)""".stripMargin
+
+  /** Char-8-gram shingles CTE (token sets are useless here: 31-word
+    * vocab ⇒ near-total token overlap across docs). */
+  private val shinglesSql: String =
+    """shingles AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(generate_series(1, greatest(1, strlen(text) - 7)),
+      |                               i -> substr(text, i::int, 8))) AS shingle
+      |  FROM dd_input)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup ----
+    "dd_exact" -> ((s, dir) =>
+      Dedup.exactGroups(ddInput(s, dir), "doc_id", "text")),
+
+    "dd_minhash_sig" -> ((s, dir) => {
+      val sh = Dedup.charShingles(ddInput(s, dir), "doc_id", "text", 8)
+        .withColumnRenamed("shingle", "text_unit")
+      // minhash over shingles: reuse signature machinery on the unit column
+      val seeds = array((0 until 8).map(lit): _*)
+      sh.select(col("doc_id"), explode(seeds).as("seed"), col("text_unit"))
+        .groupBy(col("doc_id"), col("seed"))
+        .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("text_unit")))).as("minhash"))
+    }),
+
+    "dd_minhash_pairs" -> ((s, dir) => {
+      val input = ddInput(s, dir)
+      val sh = Dedup.charShingles(input, "doc_id", "text", 8)
+        .withColumnRenamed("shingle", "token")
+      val seeds = array((0 until 8).map(lit): _*)
+      val sigs = sh.select(col("doc_id"), explode(seeds).as("seed"), col("token"))
+        .groupBy(col("doc_id"), col("seed"))
+        .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("token")))).as("minhash"))
+      val pairs = Dedup.candidatePairs(Dedup.minhashBands(sigs, "doc_id", 4), "doc_id")
+      Dedup.jaccardVerify(pairs, sh, "doc_id").where(col("jaccard") >= 0.5)
+    }),
+
+    "dd_simhash" -> ((s, dir) =>
+      Dedup.simhash(ddInput(s, dir), "doc_id", "text")),
+
+    "dd_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Dedup.simhash(ddInput(s, dir), "doc_id", "text"), "doc_id", 3)),
+
+    "dd_ngram_jaccard" -> ((s, dir) => {
+      // blocked all-pairs over char shingles: block = none needed at this
+      // scale; demonstrate with jaccard >= 0.5 over planted dups
+      val input = ddInput(s, dir)
+      val sh = Dedup.charShingles(input, "doc_id", "text", 8)
+        .withColumnRenamed("shingle", "token")
+      val l = sh.select(col("doc_id").as("id1"), col("token"))
+      val r = sh.select(col("doc_id").as("id2"), col("token"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      l.join(r, Seq("token")).where(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
+        .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
+        .select(col("id1"), col("id2"),
+          round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 4).as("jaccard"))
+        .where(col("jaccard") >= 0.5)
+    }),
+
+    // ---- similarity ----
+    "sim_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.cosineTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", 10)
+    }),
+
+    "sim_lsh_buckets" -> ((s, dir) =>
+      Similarity.lshBuckets(emb(s, dir), "vec_id", "embedding", 8)),
+
+    "sim_ann_topk" -> ((s, dir) =>
+      Similarity.annTopK(emb(s, dir), "vec_id", "embedding", 5, 8)),
+
+    // max pairwise cosine in the synthetic embeddings is ~0.51 → 0.35
+    // keeps the near-dup path exercised with a non-empty result
+    "sim_cosine_neardups" -> ((s, dir) =>
+      Similarity.cosineNearDups(emb(s, dir), "vec_id", "embedding", 0.35, 4)),
+
+    // ---- text analysis ----
+    "ta_langid" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
+    "ta_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text").drop("toks")),
+    "ta_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
+    "ta_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")),
+
+    // ---- multimodal plumbing ----
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(docs(s, dir), "doc_id", "text", 5, 100)),
+    "mm_decode_stub" -> ((s, dir) => {
+      // binary column from text bytes; mapPartitions stub decoder
+      val bin = docs(s, dir).select(col("doc_id"), encode(col("text"), "utf-8").as("media"))
+      Multimodal.decodeFeatures(s, bin, "doc_id", "media").toDF()
+        .select(col("id"), col("n_bytes"), col("format"), col("width"),
+          col("height"), col("n_frames"), concat_ws(",", col("embedding")).as("embedding_csv"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      s"""WITH $ddInputSql
+         |SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS min_id
+         |FROM dd_input GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "dd_minhash_sig" ->
+      s"""WITH $ddInputSql, $shinglesSql
+         |SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS minhash
+         |FROM shingles, generate_series(0, 7) AS t(seed)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "dd_minhash_pairs" ->
+      s"""WITH $ddInputSql, $shinglesSql,
+         |sigs AS (
+         |  SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS minhash
+         |  FROM shingles, generate_series(0, 7) AS t(seed) GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, (seed // 4)::INT AS band,
+         |         md5(string_agg(minhash, '' ORDER BY seed)) AS bucket
+         |  FROM sigs GROUP BY 1, 2),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bands a JOIN bands b USING (band, bucket)
+         |  WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT c.id1, c.id2, count(*) AS i
+         |  FROM cands c
+         |  JOIN shingles s1 ON s1.doc_id = c.id1
+         |  JOIN shingles s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, round(i * 1.0 / (z1.sz + z2.sz - i), 4) AS jaccard
+         |FROM inter JOIN sizes z1 ON z1.doc_id = id1 JOIN sizes z2 ON z2.doc_id = id2
+         |WHERE round(i * 1.0 / (z1.sz + z2.sz - i), 4) >= 0.5""".stripMargin,
+
+    "dd_simhash" ->
+      s"""WITH $ddInputSql,
+         |tok AS (
+         |  SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM dd_input)
+         |  WHERE tok <> '' GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT doc_id, k,
+         |         CASE WHEN sum(cnt * (((strpos('0123456789abcdef', substr(h, (k // 4)::INT + 1, 1)) - 1)
+         |                               >> (3 - k % 4) & 1) * 2 - 1)) > 0
+         |              THEN '1' ELSE '0' END AS b
+         |  FROM tok, generate_series(0, 63) AS t(k) GROUP BY 1, 2)
+         |SELECT doc_id, string_agg(b, '' ORDER BY k) AS simhash FROM bits GROUP BY 1""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      s"""WITH $ddInputSql, $shinglesSql,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         |  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, round(i * 1.0 / (z1.sz + z2.sz - i), 4) AS jaccard
+         |FROM inter JOIN sizes z1 ON z1.doc_id = id1 JOIN sizes z2 ON z2.doc_id = id2
+         |WHERE round(i * 1.0 / (z1.sz + z2.sz - i), 4) >= 0.5""".stripMargin,
+
+    "sim_cosine_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |         round(list_dot_product(p.e, c.e) /
+        |               (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))), 4) AS cos_sim
+        |  FROM v p, v c WHERE p.vec_id < 10 AND p.vec_id <> c.vec_id)
+        |SELECT probe_id, neighbor_id, cos_sim, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    "sim_lsh_buckets" ->
+      """WITH dims AS (
+        |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+        |         generate_subscripts(embedding, 1) - 1 AS i
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |         sum(x * (strpos('0123456789abcdef',
+        |                         substr(md5(p::VARCHAR || ':' || i::VARCHAR), (i % 32)::INT + 1, 1)) - 1 - 7.5)) AS dot
+        |  FROM dims, generate_series(0, 7) AS t(p) GROUP BY 1, 2)
+        |SELECT vec_id, string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+        |FROM dots GROUP BY 1""".stripMargin,
+
+    "ta_langid" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         |         len(list_filter(string_split(text, ' '),
+         |             x -> x IN (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS en_hits
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, en_hits,
+         |       round(CASE WHEN n_tokens > 0 THEN en_hits * 1.0 / n_tokens ELSE 0 END, 4) AS en_ratio,
+         |       CASE WHEN round(CASE WHEN n_tokens > 0 THEN en_hits * 1.0 / n_tokens ELSE 0 END, 4) >= 0.05
+         |            THEN 'en' ELSE 'und' END AS lang_pred
+         |FROM t""".stripMargin,
+
+    "ta_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, strlen(text) AS n_chars,
+         |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, n_chars, len(toks) AS n_words,
+         |         len(list_filter(toks, x -> x IN (${TextAnalysis.EnStopwords.map(w => s"'$w'").mkString(",")}))) AS stop_hits,
+         |         list_sum(list_transform(toks, x -> strlen(x))) AS tok_chars
+         |  FROM t)
+         |SELECT doc_id, n_chars, n_words, stop_hits,
+         |       round(CASE WHEN n_words > 0 THEN tok_chars * 1.0 / n_words ELSE 0 END, 4) AS mean_word_len,
+         |       round(CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words ELSE 0 END, 4) AS stop_ratio,
+         |       round(least(n_words / 200.0, 1.0) * 0.5 +
+         |             least(CASE WHEN n_words > 0 THEN stop_hits * 5.0 / n_words ELSE 0 END, 1.0) * 0.3 +
+         |             CASE WHEN round(CASE WHEN n_words > 0 THEN tok_chars * 1.0 / n_words ELSE 0 END, 4)
+         |                  BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END, 4) AS quality
+         |FROM u""".stripMargin,
+
+    "ta_tokens" ->
+      """SELECT doc_id,
+        |       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS n_bpe_tokens,
+        |       strlen(text) AS n_chars
+        |FROM documents""".stripMargin,
+
+    "ta_fingerprint" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+        |         generate_subscripts(string_split(text, ' '), 1) - 1 AS i
+        |  FROM documents)
+        |SELECT doc_id,
+        |       (sum(('0x' || substr(md5(token), 1, 8))::BIGINT * ((i % 997) + 1)) % 1000000007)::BIGINT AS fingerprint
+        |FROM tok WHERE token <> '' GROUP BY 1""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id, strlen(text) AS n_bytes, ascii(substr(text, 1, 1)) AS head_byte,
+        |       md5(text) AS content_md5,
+        |       concat_ws('', substr(text, 1, 1), substr(text, 101, 1), substr(text, 201, 1),
+        |                 substr(text, 301, 1), substr(text, 401, 1)) AS frame_sample
+        |FROM documents""".stripMargin)
+    // dd_minhash_pairs included above; dd_simhash_pairs, sim_ann_topk,
+    // sim_cosine_neardups, mm_decode_stub are rows-only (LSH candidate
+    // joins / mapPartitions are not single-statement-SQL shapes worth
+    // maintaining twice — their components are oracle-checked separately)
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.kg.TestSpark
+
+/** Behavioral invariants of the training-data ops (exact values are
+  * pinned engine-cross by the DuckDB oracles; these test semantics). */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("exactGroups finds planted duplicates and nothing else") {
+    val base = docs.select($"doc_id", $"text")
+    val withDup = base.union(base.where($"doc_id" === 7)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+    val groups = Dedup.exactGroups(withDup, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n_docs") == 2)
+    assert(groups.head.getAs[Long]("min_id") == 7)
+    assert(Dedup.exactGroups(base, "doc_id", "text").count() == 0)
+  }
+
+  test("minhash LSH finds a planted near-duplicate with high jaccard") {
+    val base = docs.select($"doc_id", $"text").where($"doc_id" < 50)
+    val near = base.where($"doc_id" === 3)
+      .select(($"doc_id" + 100000).as("doc_id"), concat($"text", lit(" tiny tail")).as("text"))
+    val input = base.union(near)
+    val sh = Dedup.charShingles(input, "doc_id", "text", 8).withColumnRenamed("shingle", "token")
+    val seeds = array((0 until 8).map(lit): _*)
+    val sigs = sh.select($"doc_id", explode(seeds).as("seed"), $"token")
+      .groupBy($"doc_id", $"seed")
+      .agg(min(md5(concat($"seed".cast("string"), lit(":"), $"token"))).as("minhash"))
+    val pairs = Dedup.candidatePairs(Dedup.minhashBands(sigs, "doc_id", 4), "doc_id")
+    val verified = Dedup.jaccardVerify(pairs, sh, "doc_id")
+      .where($"jaccard" >= 0.5).collect()
+    assert(verified.exists(r => r.getAs[Long]("id1") == 3 && r.getAs[Long]("id2") == 100003
+      && r.getAs[Double]("jaccard") > 0.8), verified.mkString(";"))
+  }
+
+  test("simhash is deterministic and near-dups have small hamming distance") {
+    val base = docs.select($"doc_id", $"text").where($"doc_id" < 30)
+    val near = base.where($"doc_id" === 5)
+      .select(($"doc_id" + 100000).as("doc_id"), concat($"text", lit(" x")).as("text"))
+    val sim = Dedup.simhash(base.union(near), "doc_id", "text")
+    val s1 = sim.where($"doc_id" === 5).head().getString(1)
+    val s2 = sim.where($"doc_id" === 100005).head().getString(1)
+    assert(s1.length == 64 && s1.forall(c => c == '0' || c == '1'))
+    val hamming = s1.zip(s2).count { case (a, b) => a != b }
+    assert(hamming <= 3, s"hamming=$hamming")
+    val pairs = Dedup.simhashPairs(sim, "doc_id", 3).collect()
+    assert(pairs.exists(r => r.getAs[Long]("id1") == 5 && r.getAs[Long]("id2") == 100005))
+  }
+
+  test("brute-force cosine top-k is ranked and complete") {
+    val top = Similarity.cosineTopK(emb, emb.where($"vec_id" < 3), "vec_id", "embedding", 5)
+      .collect()
+    assert(top.length == 15) // 3 probes × 5
+    val byProbe = top.groupBy(_.getAs[Long]("probe_id"))
+    for ((_, rows) <- byProbe) {
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "ranks must be score-sorted")
+    }
+  }
+
+  test("ANN bucket candidates agree with brute force inside the bucket") {
+    val buckets = Similarity.lshBuckets(emb, "vec_id", "embedding", 4)
+    assert(buckets.count() == emb.count())
+    assert(buckets.select("bucket").distinct().count() > 1, "hyperplanes must split the space")
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", 3, 4)
+    // every ANN neighbor must share the probe's bucket (definition check)
+    val b = buckets.withColumnRenamed("vec_id", "probe_id").withColumnRenamed("bucket", "pb")
+    val b2 = buckets.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("bucket", "nb")
+    val joined = ann.join(b, Seq("probe_id")).join(b2, Seq("neighbor_id"))
+    assert(joined.where($"pb" =!= $"nb").count() == 0)
+  }
+
+  test("langId flags the synthetic corpus as en and is total") {
+    val out = TextAnalysis.langId(docs, "doc_id", "text")
+    assert(out.count() == docs.count())
+    assert(out.where($"lang_pred" === "en").count() > 0)
+  }
+
+  test("fingerprint is order-sensitive") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(fps(0)._2 != fps(1)._2, "permuted docs must fingerprint differently")
+  }
+
+  test("multimodal stub decode: schema, determinism, partition independence") {
+    val bin = docs.select($"doc_id", encode($"text", "utf-8").as("media"))
+    val a = Multimodal.decodeFeatures(spark, bin.repartition(1), "doc_id", "media")
+      .collect().sortBy(_.id)
+    val b = Multimodal.decodeFeatures(spark, bin.repartition(7), "doc_id", "media")
+      .collect().sortBy(_.id)
+    assert(a.length == docs.count())
+    assert(a.toSeq == b.toSeq, "decode must not depend on partitioning")
+    assert(a.head.embedding.size == 8)
+    assert(a.forall(_.n_bytes > 0))
+  }
+}
