@@ -42,7 +42,8 @@ object SparkEntry {
     })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    base ++ graft.queries.Relational.queries ++ graft.queries.DataOps.queries
+    base ++ graft.queries.Relational.queries ++ graft.queries.DataOps.queries ++
+      graft.queries.Extractors.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C1 — the byte-identity kernel (SURVEY §2.3)
@@ -80,5 +81,6 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
         "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue, " +
         "count(*) AS n_rows FROM lineitem GROUP BY 1, 2")
-  ) ++ graft.queries.Relational.oracles ++ graft.queries.DataOps.oracles
+  ) ++ graft.queries.Relational.oracles ++ graft.queries.DataOps.oracles ++
+    graft.queries.Extractors.oracles
 }

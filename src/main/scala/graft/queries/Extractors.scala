@@ -1,0 +1,319 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kg.{RefAnalyzers, Udfs}
+
+/** Oracle-checked coverage of the reference extractor families (SURVEY
+  * §2.9 E1-E11, §2.5 A1-A4) — driven through the REAL Scala extractors
+  * (Udfs.*), with DuckDB oracles that recompute the same regex programs.
+  *
+  * The raw documents table is lowercase ASCII prose with no structure, so
+  * extractors would see no signal; each query therefore runs on an
+  * `enriched` text assembled identically in Spark and DuckDB (title line,
+  * author line with middle initials — the reference's author regex
+  * requires them (/root/reference/app_enhanced.py:231, golden-pinned) —
+  * year/DOI line, section headers, entity sentences, figure/table lines,
+  * an equation, and an email/brackets/html/non-ASCII line for the
+  * cleaning kernel). */
+object Extractors {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val entityLine =
+    "The Convolutional Neural Network (CNN) uses self-attention. " +
+      "The Convolutional Neural Network and CNN with self-attention and pre-training win, and pre-training helps."
+  private val authorLine = "Jane B. Smith, John C. Doe, Mary D. Chen"
+  private val eqLine = "Loss(x) = softmax(Wx + b)"
+  private val closing = "We conclude that scalable pipelines matter."
+
+  /** Spark-side enriched text (must concat byte-identically to `enrSql`). */
+  private def enriched: Column = concat_ws("\n",
+    concat(lit("A Study of Scalable Methods for Topic "), pmod(col("doc_id"), lit(7))),
+    lit(authorLine),
+    concat(lit("20"), lpad(pmod(col("doc_id"), lit(30)).cast("string"), 2, "0"),
+      lit(" doi: 10.1234/graft."), col("doc_id")),
+    lit("Abstract"),
+    col("text"),
+    lit(entityLine),
+    concat(lit("Figure "), (pmod(col("doc_id"), lit(4)) + 1).cast("string"),
+      lit(": accuracy over epochs for run "), pmod(col("doc_id"), lit(100))),
+    concat(lit("Table "), (pmod(col("doc_id"), lit(3)) + 1).cast("string"),
+      lit(": dataset statistics summary")),
+    lit(eqLine),
+    concat(lit("Contact author"), col("doc_id"),
+      lit("@example.com with [bracketed citation] and <b>bold</b> naïve text.")),
+    lit(""),
+    lit("Introduction"),
+    lit(closing))
+
+  /** DuckDB-side identical enrichment, as a CTE named `enr(doc_id, t)`. */
+  private val enrSql: String =
+    s"""enr AS (SELECT doc_id,
+       |  'A Study of Scalable Methods for Topic ' || (doc_id % 7) || chr(10) ||
+       |  '$authorLine' || chr(10) ||
+       |  '20' || lpad((doc_id % 30)::VARCHAR, 2, '0') || ' doi: 10.1234/graft.' || doc_id || chr(10) ||
+       |  'Abstract' || chr(10) ||
+       |  text || chr(10) ||
+       |  '$entityLine' || chr(10) ||
+       |  'Figure ' || (doc_id % 4 + 1) || ': accuracy over epochs for run ' || (doc_id % 100) || chr(10) ||
+       |  'Table ' || (doc_id % 3 + 1) || ': dataset statistics summary' || chr(10) ||
+       |  '$eqLine' || chr(10) ||
+       |  'Contact author' || doc_id || '@example.com with [bracketed citation] and <b>bold</b> naïve text.' || chr(10) ||
+       |  '' || chr(10) ||
+       |  'Introduction' || chr(10) ||
+       |  '$closing' AS t
+       |FROM documents)""".stripMargin
+
+  private def enrDf(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), enriched.as("t"))
+
+  private val stopwordList: String =
+    RefAnalyzers.Stopwords.toSeq.sorted.map(w => s"'$w'").mkString(",")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C1 over live-pattern-rich input (email, brackets, html, non-ASCII)
+    "en_clean" -> ((s, dir) =>
+      enrDf(s, dir).select(col("doc_id"), Udfs.cleanText(col("t")).as("clean_text"))),
+
+    // E1-E4 metadata through the real extractor
+    "en_metadata" -> ((s, dir) =>
+      enrDf(s, dir)
+        .select(col("doc_id"), Udfs.metadata(col("t")).as("m"))
+        .select(col("doc_id"), col("m._1").as("title"),
+          concat_ws("|", col("m._2")).as("authors"),
+          col("m._3").as("year"), col("m._4").as("doi"))),
+
+    // E5 section structure (names; previews/pages are golden-tested)
+    "en_sections" -> ((s, dir) =>
+      enrDf(s, dir)
+        .select(col("doc_id"), explode(Udfs.sections(col("t"))).as("s"))
+        .select(col("doc_id"), col("s.name").as("name"))),
+
+    // E6 figure/table references
+    "en_figures" -> ((s, dir) =>
+      enrDf(s, dir)
+        .select(col("doc_id"), explode(Udfs.figureRefs(col("t"))).as("f"))
+        .select(col("doc_id"), col("f.kind").as("kind"),
+          col("f.title").as("title"), col("f.caption").as("caption"))),
+
+    // E7-E9/A5 technical terms (term + frequency; context golden-tested)
+    "en_terms" -> ((s, dir) =>
+      enrDf(s, dir)
+        .select(col("doc_id"), explode(Udfs.technicalTerms(col("t"))).as("x"))
+        .select(col("doc_id"), col("x.term").as("term"),
+          col("x.frequency").as("frequency"))),
+
+    // E10 equations (content; ids/pages golden-tested)
+    "en_equations" -> ((s, dir) =>
+      enrDf(s, dir)
+        .select(col("doc_id"), explode(Udfs.equations(col("t"))).as("e"))
+        .select(col("doc_id"), col("e.content").as("content"))),
+
+    // A1 document stats
+    "en_stats" -> ((s, dir) =>
+      enrDf(s, dir)
+        .select(col("doc_id"), Udfs.docStats(col("t")).as("d"))
+        .select(col("doc_id"), col("d._1").as("words"), col("d._3").as("sentences"),
+          col("d._4").as("paragraphs"), col("d._5").as("characters"))),
+
+    // A2 unigram term frequency (shared tokenizer, stopword-filtered)
+    "a2_unigram_tf" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(Udfs.keywordTokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // A3 bigram term frequency over adjacent filtered tokens
+    "a3_bigram_tf" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), posexplode(Udfs.keywordTokens(col("text"))).as(Seq("i", "token")))
+      val next = toks.select(col("doc_id"), (col("i") - 1).as("i"), col("token").as("token2"))
+      toks.join(next, Seq("doc_id", "i"))
+        .where(col("token") =!= col("token2"))
+        .select(col("doc_id"), concat(col("token"), lit(" "), col("token2")).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // A4 full keyword merge (ordered output through the real extractor)
+    "a4_keywords" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), posexplode(Udfs.keywords(col("text"))).as(Seq("pos", "keyword")))
+        .select(col("doc_id"), (col("pos") + 1).as("position"), col("keyword"))))
+
+  val oracles: Map[String, String] = Map(
+    "en_clean" ->
+      s"""WITH $enrSql
+         |SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |  lower(t), '\\b[\\w.-]+?@\\w+?\\.\\w+?\\b', '', 'g'),
+         |  '\\[[^\\]]*\\]', '', 'g'),
+         |  '[^\\x00-\\x7F]+', '', 'g'),
+         |  '<[^>]+>', '', 'g'),
+         |  '\\s+', ' ', 'g')) AS clean_text
+         |FROM enr""".stripMargin,
+
+    "en_metadata" ->
+      s"""WITH $enrSql,
+         |lines AS (
+         |  SELECT doc_id, trim(unnest(string_split(t, chr(10)))) AS line,
+         |         generate_subscripts(string_split(t, chr(10)), 1) AS idx
+         |  FROM enr),
+         |cand AS (
+         |  SELECT doc_id, line, row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS lineno
+         |  FROM lines WHERE line <> ''),
+         |title AS (
+         |  SELECT doc_id, line AS title,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY strlen(line) DESC, lineno ASC) AS rn
+         |  FROM cand
+         |  WHERE lineno <= 8 AND strlen(line) > 10 AND strlen(line) < 250
+         |    AND NOT regexp_matches(line, '^\\d+$$')
+         |    AND NOT regexp_matches(line, '^(?i)(abstract|introduction|page)')),
+         |meta AS (
+         |  SELECT doc_id, t,
+         |         substr(t, 1, strpos(lower(t), 'abstract') - 1) AS pre
+         |  FROM enr)
+         |SELECT m.doc_id,
+         |       (SELECT title FROM title WHERE title.doc_id = m.doc_id AND rn = 1) AS title,
+         |       array_to_string(list_filter(
+         |         regexp_split_to_array(
+         |           regexp_extract(pre, '(?:^|\\n)\\s*([A-Z][a-z]+(?:\\s+[A-Z]\\.?\\s*)?[A-Z][a-z]+(?:\\s*,\\s*[A-Z][a-z]+(?:\\s+[A-Z]\\.?\\s*)?[A-Z][a-z]+)+)', 1),
+         |           ',\\s*(?:and\\s+)?'),
+         |         x -> trim(x) <> ''), '|') AS authors,
+         |       regexp_extract(substr(t, 1, 3000), '\\b(19|20)\\d{2}\\b', 0) AS year,
+         |       rtrim(regexp_extract(substr(t, 1, 5000), '(10\\.\\d{4,}/[^\\s]+)', 1), '.') AS doi
+         |FROM meta m""".stripMargin,
+
+    "en_sections" ->
+      s"""WITH $enrSql
+         |SELECT doc_id, trim(unnest(regexp_extract_all(t,
+         |  '(?im)(?:^|\\n)\\s*(\\d+\\.?\\s+)?(Abstract|Introduction|Related\\s+Work|Background|Method(?:ology|s)?|Approach|Framework|Experiment(?:s|al)?(?:\\s+(?:Setup|Results))?|Results?(?:\\s+and\\s+Discussion)?|Discussion|Analysis|Evaluation|Conclusion(?:s)?(?:\\s+and\\s+Future\\s+Work)?|Future\\s+Work|Limitations|Acknowledgment(?:s)?|References|Appendix)\\s*(?:\\n|$$)',
+         |  2))) AS name
+         |FROM enr""".stripMargin,
+
+    "en_figures" ->
+      s"""WITH $enrSql,
+         |f AS (
+         |  SELECT doc_id,
+         |         regexp_extract(t, '(?i)(Figure|Fig\\.?)\\s+(\\d+)[.:]?\\s*([^\\n]{0,200})', ['a','b','c']) AS g
+         |  FROM enr),
+         |tb AS (
+         |  SELECT doc_id,
+         |         regexp_extract(t, '(?i)(Table)\\s+(\\d+)[.:]?\\s*([^\\n]{0,200})', ['a','b','c']) AS g
+         |  FROM enr)
+         |SELECT doc_id, 'figure' AS kind, g.a || ' ' || g.b AS title,
+         |       trim(regexp_replace(g.c, '\\s+', ' ', 'g')) AS caption FROM f
+         |UNION ALL
+         |SELECT doc_id, 'table' AS kind, g.a || ' ' || g.b AS title,
+         |       trim(regexp_replace(g.c, '\\s+', ' ', 'g')) AS caption FROM tb""".stripMargin,
+
+    "en_terms" ->
+      s"""WITH $enrSql,
+         |acr AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(t, '\\b([A-Z]{2,6})\\b', 1)) AS term FROM enr),
+         |acr_f AS (
+         |  SELECT doc_id, term, count(*) AS frequency FROM acr
+         |  WHERE term NOT IN ('THE','AND','FOR','NOT','BUT','ARE','WAS','HAS','HAD','CAN','MAY','ALL','ANY','ITS')
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |phr AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(t, '\\b([A-Z][a-z]+(?:\\s+[A-Z][a-z]+)+)\\b', 1)) AS term FROM enr),
+         |phr_f AS (
+         |  SELECT doc_id, term, count(*) AS frequency FROM phr
+         |  WHERE strlen(term) >= 5 AND strlen(term) <= 60
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |hyp AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(t, '\\b([a-z]+-[a-z]+(?:-[a-z]+)*)\\b', 1)) AS term FROM enr),
+         |hyp_f AS (
+         |  SELECT doc_id, term, count(*) AS frequency FROM hyp
+         |  WHERE strlen(term) >= 5 GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT * FROM acr_f UNION ALL SELECT * FROM phr_f UNION ALL SELECT * FROM hyp_f""".stripMargin,
+
+    "en_equations" ->
+      s"""WITH $enrSql
+         |SELECT doc_id,
+         |       trim(regexp_extract(t, '(?im)([A-Z][a-z]*\\([^)]+\\))\\s*=\\s*([^,.\\n]+)', 0)) AS content
+         |FROM enr
+         |WHERE strlen(trim(regexp_extract(t, '(?im)([A-Z][a-z]*\\([^)]+\\))\\s*=\\s*([^,.\\n]+)', 0))) > 10""".stripMargin,
+
+    "en_stats" ->
+      s"""WITH $enrSql
+         |SELECT doc_id,
+         |       len(list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> '')) AS words,
+         |       len(list_filter(regexp_split_to_array(t, '[.!?]+'),
+         |           x -> trim(x, ' ' || chr(10) || chr(9)) <> '')) AS sentences,
+         |       len(list_filter(string_split(t, chr(10) || chr(10)),
+         |           x -> trim(x, ' ' || chr(10) || chr(9)) <> '')) AS paragraphs,
+         |       length(t) AS characters
+         |FROM enr""".stripMargin,
+
+    "a2_unigram_tf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\b[a-zA-Z]{3,}\\b')) AS token
+         |  FROM documents)
+         |SELECT doc_id, token, count(*) AS cnt FROM toks
+         |WHERE token NOT IN ($stopwordList) AND strlen(token) <= 25
+         |GROUP BY 1, 2""".stripMargin,
+
+    "a3_bigram_tf" ->
+      s"""WITH toklist AS (
+         |  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '\\b[a-zA-Z]{3,}\\b'),
+         |           x -> x NOT IN ($stopwordList) AND strlen(x) <= 25) AS toks
+         |  FROM documents),
+         |bi AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+         |      i -> CASE WHEN toks[i] <> toks[i + 1] THEN toks[i] || ' ' || toks[i + 1] END),
+         |    x -> x IS NOT NULL)) AS bigram
+         |  FROM toklist)
+         |SELECT doc_id, bigram, count(*) AS cnt FROM bi GROUP BY 1, 2""".stripMargin,
+
+    "a4_keywords" ->
+      s"""WITH toklist AS (
+         |  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '\\b[a-zA-Z]{3,}\\b'),
+         |           x -> x NOT IN ($stopwordList) AND strlen(x) <= 25) AS toks
+         |  FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS i FROM toklist),
+         |uni AS (
+         |  SELECT doc_id, token, count(*) AS c, min(i) AS fi FROM tok GROUP BY 1, 2),
+         |uni_r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, fi ASC) AS rn FROM uni),
+         |top_uni AS (
+         |  SELECT doc_id, token, c, fi,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY rn) AS urank
+         |  FROM uni_r WHERE rn <= 40 AND c >= 2),
+         |bi0 AS (
+         |  SELECT doc_id, unnest(bgs) AS bg, generate_subscripts(bgs, 1) AS i
+         |  FROM (SELECT doc_id,
+         |          list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+         |            i -> CASE WHEN toks[i] <> toks[i + 1] THEN toks[i] || ' ' || toks[i + 1] END) AS bgs
+         |        FROM toklist)),
+         |bi AS (
+         |  SELECT doc_id, bg, min(i) AS fi, count(*) AS c
+         |  FROM bi0 WHERE bg IS NOT NULL GROUP BY 1, 2),
+         |bi_r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, fi ASC) AS rn FROM bi),
+         |bi8 AS (
+         |  SELECT doc_id, bg,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY rn) AS brank
+         |  FROM bi_r WHERE rn <= 15 AND c >= 3
+         |  QUALIFY brank <= 8),
+         |nbig AS (SELECT doc_id, count(*) AS nb FROM bi8 GROUP BY 1),
+         |seen AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(bg, ' ')) AS w FROM bi8),
+         |uni_elig AS (
+         |  SELECT u.doc_id, u.token, u.urank
+         |  FROM top_uni u
+         |  LEFT JOIN seen s ON s.doc_id = u.doc_id AND s.w = u.token
+         |  WHERE s.w IS NULL AND regexp_matches(u.token, '[aeiou]')),
+         |uni_pick AS (
+         |  SELECT e.doc_id, e.token,
+         |         row_number() OVER (PARTITION BY e.doc_id ORDER BY e.urank) AS prank,
+         |         coalesce(n.nb, 0) AS nb
+         |  FROM uni_elig e LEFT JOIN nbig n ON n.doc_id = e.doc_id)
+         |SELECT doc_id, brank::BIGINT AS position, bg AS keyword FROM bi8
+         |UNION ALL
+         |SELECT doc_id, (nb + prank)::BIGINT AS position, token AS keyword
+         |FROM uni_pick WHERE nb + prank <= 20""".stripMargin)
+}
