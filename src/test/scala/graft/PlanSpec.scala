@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import graft.kg.TestSpark
+
+/** Physical-plan quality gates (the 100-TB checklist): filters and
+  * projections must reach the parquet scan, small dims must broadcast,
+  * non-UDF paths must stay inside whole-stage codegen, and per-url stages
+  * must not introduce extra shuffles. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val qe = df.queryExecution
+    org.apache.spark.sql.execution.ExplainMode.fromString("formatted") match {
+      case m => qe.explainString(m)
+    }
+  }
+
+  test("filter and column pruning reach the parquet scan") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .where($"l_quantity" > 30)
+      .select($"l_orderkey", $"l_quantity")
+    val f = formatted(df)
+    assert(f.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), f)
+    assert(f.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), f)
+  }
+
+  test("star-join aggregation uses broadcast hash joins, not shuffle joins") {
+    val p = plan(SparkEntry.queries("q2_join_broadcast")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "small dims must not sort-merge:\n" + p)
+  }
+
+  test("aggregation is partial+final (map-side combine present)") {
+    val p = plan(SparkEntry.queries("q1_agg")(spark, dir))
+    assert(p.contains("HashAggregate"), p)
+    // partial agg appears below the exchange: two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(SparkEntry.queries("q6_global_topk")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("non-UDF aggregation pipelines run inside whole-stage codegen") {
+    // AQE only materializes WholeStageCodegen nodes in the final plan
+    val df = SparkEntry.queries("q1_agg")(spark, dir)
+    df.collect() // count() would wrap a new plan; collect executes THIS one
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("Final Plan"), p)
+    // formatted mode marks whole-stage-codegen stages with `[codegen id : n]`
+    assert(p.contains("[codegen id :"), p)
+    assert(p.contains("* HashAggregate"), p)
+  }
+
+  test("dedup exact-groups plan has a single shuffle") {
+    val df = graft.ops.Dedup.exactGroups(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    val exchanges = "Exchange".r.findAllIn(plan(df)).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n${plan(df)}")
+  }
+
+  test("per-url triple extraction plans no shuffle beyond the explicit repartition") {
+    val pages = graft.kg.PagesGen.pages(spark, 10L)
+    val triples = graft.kg.Pipeline.extractTriples(spark,
+      graft.kg.Pipeline.extractClean(spark, pages, 4))
+    val exchanges = "Exchange".r.findAllIn(plan(triples.toDF())).size
+    assert(exchanges == 1, s"narrow stages must keep the single url-hash exchange:\n${plan(triples.toDF())}")
+  }
+}
