@@ -19,8 +19,42 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  def run(spark: SparkSession, edges: DataFrame, maxIterations: Int = 25): DataFrame = {
+  /** Below this edge count the graph is collected and solved with
+    * driver-side union-find — one job instead of ~3 per CC round. Alias
+    * graphs are entity-vocabulary-sized (≪ corpus size), so even 100 TB
+    * corpora usually stay under it; the distributed loop is the fallback,
+    * not the common path. Same labels either way (min-id per component). */
+  val DriverSolveMaxEdges: Long = 2000000L
+
+  def run(spark: SparkSession, edges: DataFrame, maxIterations: Int = 25,
+      driverSolveThreshold: Long = DriverSolveMaxEdges): DataFrame = {
     import spark.implicits._
+
+    val cnt = edges.count()
+    if (cnt <= driverSolveThreshold) {
+      val es = edges.select($"src", $"dst").as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      for ((a, b) <- es) {
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // min-id labels (union by min keeps roots minimal, but path state may
+      // lag — normalize via a final find + min over members)
+      val ids = parent.keys.toArray
+      val comp = ids.map(i => i -> find(i)).toMap
+      val minOf = comp.groupMapReduce(_._2)(_._1)(math.min)
+      return spark.createDataset(ids.toSeq.map(i => (i, minOf(comp(i)))))
+        .toDF("id", "component")
+    }
 
     val sym = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))

@@ -31,27 +31,38 @@ object Pipeline {
   final case class Result(nodes: DataFrame, edges: DataFrame, metrics: DataFrame)
 
   // ------------------------------------------------------------ stage 1
-  /** Extract (html→text when text is null — S1/S2 error policy: per-row,
-    * failures isolated) and clean (C1 kernel). */
+  /** Raw text per page: html→text when text is null (S1), with per-row
+    * failure isolation (S2 continue_on_error,
+    * /root/reference/src/pdf_processor.py:117-124). */
+  def rawText(p: Page): String =
+    if (p.text != null) p.text
+    else if (p.html != null) {
+      try {
+        val s = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
+        Py.strip(Py.collapseWs(s.replaceAll("<[^>]+>", " ")))
+      } catch { case _: Throwable => "" }
+    } else ""
+
+  /** Stable url-hash partitioning (north_rule): every per-url operation
+    * downstream is partition-local and run-count independent. */
+  def partitionByUrl(pages: Dataset[Page], nPartitions: Int): Dataset[Page] =
+    pages.repartition(nPartitions, pmod(xxhash64(pages("url")), lit(nPartitions)))
+
+  /** Extract + clean (C1 kernel). A purely narrow pass: no repartition —
+    * shuffling the fat (html-carrying) page rows costs a full
+    * spill-to-disk cycle of the corpus and plain parquet retains no
+    * bucketing metadata to pay it back. On a real cluster the url-hash
+    * layout (north_rule) is the TABLE's job: write with an Iceberg
+    * `bucket(N, url)` partition spec via `partitionByUrl`, so narrow
+    * passes stay narrow and per-url joins co-locate. The checkpoint holds
+    * only derived clean text — raw stays in the source table (at 100 TB,
+    * writing raw twice is the bill, not the regex). */
   def extractClean(spark: SparkSession, pages: Dataset[Page], nPartitions: Int): Dataset[CleanDoc] = {
     import spark.implicits._
-    pages
-      // explicit url-hash range partitioning (north_rule); pmod keeps it
-      // stable across runs and cluster sizes
-      .repartition(nPartitions, pmod(xxhash64($"url"), lit(nPartitions)))
-      .map { p =>
-        val raw =
-          if (p.text != null) p.text
-          else if (p.html != null) {
-            // S2 continue_on_error: a malformed html row yields empty text,
-            // never a task failure (/root/reference/src/pdf_processor.py:117-124)
-            try {
-              val s = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
-              Py.strip(Py.collapseWs(s.replaceAll("<[^>]+>", " ")))
-            } catch { case _: Throwable => "" }
-          } else ""
-        CleanDoc(p.url, p.warc_ts, p.lang, raw, RefText.cleanText(raw))
-      }
+    pages.map { p =>
+      val raw = rawText(p)
+      CleanDoc(p.url, p.warc_ts, p.lang, raw, RefText.cleanText(raw))
+    }
   }
 
   // ------------------------------------------------------------ stage 2
@@ -86,10 +97,13 @@ object Pipeline {
     RefAnalyzers.extractEquations(raw).foreach { e =>
       out += Triple(url, "containsEquation", e.content, "equation", e.content, "", 1)
     }
-    RefAnalyzers.extractKeywords(raw).foreach { k =>
+    // keywords and summary share one reversed-fix pass (both reference
+    // methods apply the same deterministic fix independently)
+    val fixed = RefAnalyzers.analyzerFixReversed(raw)
+    RefAnalyzers.keywordsOfFixed(fixed).foreach { k =>
       out += Triple(url, "hasKeyword", k, "keyword", k, "", 1)
     }
-    val summary = RefAnalyzers.extractSummary(raw)
+    val summary = RefAnalyzers.summaryOfFixed(fixed)
     if (summary.nonEmpty) out += Triple(url, "hasSummary", summary, "attr", summary, "", 1)
 
     out.result()
@@ -100,6 +114,16 @@ object Pipeline {
     docs.flatMap(d => triplesForDoc(d.url, d.raw_text))
   }
 
+  /** Triples straight from the source table — a purely narrow pass (NO
+    * repartition: triple emission is per-row; plain parquet carries no
+    * bucketing metadata, so a shuffle here buys nothing downstream —
+    * every per-url aggregation shuffles on its own key anyway, and on
+    * far lighter projected rows). */
+  def triplesFromPages(spark: SparkSession, pages: Dataset[Page], nPartitions: Int): Dataset[Triple] = {
+    import spark.implicits._
+    pages.flatMap(p => triplesForDoc(p.url, rawText(p)))
+  }
+
   // ------------------------------------------------------------ stage 3
   /** Acronym↔expansion alias discovery: within a url, an acronym mention
     * A links to a phrase mention P when initials(P) == A. Pure per-url
@@ -107,18 +131,22 @@ object Pipeline {
     * global distinct — the alias table is tiny relative to mentions. */
   def aliasEdges(spark: SparkSession, triples: Dataset[Triple]): DataFrame = {
     import spark.implicits._
-    val ents = triples.filter(_.pred == "mentionsEntity")
-    ents.groupByKey(_.url)
+    // project to (url, obj, kind) BEFORE the shuffle — context/surface
+    // columns are the bulk of a mention row and irrelevant here
+    val ents = triples.filter(t => t.pred == "mentionsEntity" &&
+        (t.kind == "acronym" || t.kind == "concept"))
+      .map(t => (t.url, t.obj, t.kind))
+    ents.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val ms = it.toVector
-        val acronyms = ms.filter(_.kind == "acronym")
-        val phrases = ms.filter(_.kind == "concept")
+        val acronyms = ms.filter(_._3 == "acronym")
+        val phrases = ms.filter(_._3 == "concept")
         for {
           a <- acronyms
           p <- phrases
-          initials = p.obj.split("\\s+").filter(_.nonEmpty).map(w => Character.toUpperCase(w.charAt(0))).mkString
-          if initials == a.obj
-        } yield (Py.lower(a.obj), Py.lower(p.obj))
+          initials = p._2.split("\\s+").filter(_.nonEmpty).map(w => Character.toUpperCase(w.charAt(0))).mkString
+          if initials == a._2
+        } yield (Py.lower(a._2), Py.lower(p._2))
       }
       .toDF("key_a", "key_b")
       .distinct()
@@ -149,12 +177,15 @@ object Pipeline {
       spark,
       aliases.select(keyId($"key_a").as("src"), keyId($"key_b").as("dst")))
 
-    // entity_key -> component (keys not in any alias edge are their own component)
+    // entity_key -> component (keys not in any alias edge are their own
+    // component). Persisted: nodes AND edges both derive from it, and the
+    // two stage writes would otherwise recompute the CC join twice.
     val mentions = linked.toDF()
       .withColumn("key_id", keyId($"entity_key"))
     val labeled = mentions
       .join(ccLabels.withColumnRenamed("id", "key_id"), Seq("key_id"), "left")
       .withColumn("component", coalesce($"component", $"key_id"))
+      .persist()
 
     // two-phase aggregation: the (component, url) and (component,
     // entity_key) partials absorb hot-entity skew before any
@@ -216,7 +247,9 @@ object Pipeline {
         writeStage(compute, path)
       }
       val df = spark.read.parquet(path)
-      metrics += ((name, df.count(), (System.nanoTime() - t0) / 1000000L))
+      // row counts only when metrics are on (each count is an extra job)
+      val rows = if (cfg.writeMetrics) df.count() else -1L
+      metrics += ((name, rows, (System.nanoTime() - t0) / 1000000L))
       df
     }
 
@@ -227,12 +260,12 @@ object Pipeline {
     val edgesPath = s"${cfg.workDir}/edges"
 
     val docsDf = stage("extract_clean", docsPath) {
-      extractClean(spark, pages, cfg.nPartitions).toDF()
+      // raw_text is NOT persisted — the checkpoint carries derived bytes only
+      extractClean(spark, pages, cfg.nPartitions).toDF().drop("raw_text")
     }
-    val docs = docsDf.as[CleanDoc]
 
     val triplesDf = stage("triples", triplesPath) {
-      extractTriples(spark, docs).toDF()
+      triplesFromPages(spark, pages, cfg.nPartitions).toDF()
     }
     val triples = triplesDf.as[Triple]
 
@@ -242,27 +275,27 @@ object Pipeline {
 
     if (!(cfg.resume && stageDone(spark, nodesPath) && stageDone(spark, edgesPath))) {
       val linked = linkedMentions(spark, triples)
-      val (n, e) = canonicalize(spark, linked, aliasDf)
-      // cache the shared CC/link sub-plan across the two writes
       val t0 = System.nanoTime()
-      n.persist()
+      val (n, e) = canonicalize(spark, linked, aliasDf)
       writeStage(n, nodesPath)
       writeStage(e, edgesPath)
-      n.unpersist()
+      spark.catalog.clearCache() // drop canonicalize's internal persist
       metrics += (("canonicalize", -1L, (System.nanoTime() - t0) / 1000000L))
     }
     val nodesDf = spark.read.parquet(nodesPath)
     val edgesDf = spark.read.parquet(edgesPath)
-    metrics += (("nodes", nodesDf.count(), 0L))
-    metrics += (("edges", edgesDf.count(), 0L))
+    if (cfg.writeMetrics) {
+      metrics += (("nodes", nodesDf.count(), 0L))
+      metrics += (("edges", edgesDf.count(), 0L))
+    }
 
-    // per-partition lineage metrics for the triples stage
-    val partMetrics = triplesDf
-      .groupBy(spark_partition_id().as("partition_id"))
-      .agg(count(lit(1)).as("rows"))
-      .withColumn("stage", lit("triples"))
     val stageMetrics = metrics.toSeq.toDF("stage", "rows", "wall_ms")
     if (cfg.writeMetrics) {
+      // per-partition lineage metrics for the triples stage
+      val partMetrics = triplesDf
+        .groupBy(spark_partition_id().as("partition_id"))
+        .agg(count(lit(1)).as("rows"))
+        .withColumn("stage", lit("triples"))
       writeStage(stageMetrics, s"${cfg.workDir}/metrics_stage")
       writeStage(partMetrics, s"${cfg.workDir}/metrics_partition")
     }

@@ -47,19 +47,8 @@ object RefAnalyzers {
     "then", "them", "these", "some", "would", "make", "like",
     "model", "data", "input", "output", "method", "paper")
 
-  def analyzerFixReversed(text: String): String = {
-    val words = Py.split(text)
-    if (words.length < 10) return text
-    val sample = words.take(math.min(80, words.length))
-    var normal = 0
-    var rev = 0
-    for (w <- sample) {
-      if (analyzerCommonWords.contains(Py.lower(w))) normal += 1
-      if (analyzerCommonWords.contains(Py.lower(Py.reversed(w)))) rev += 1
-    }
-    if (rev > normal * 2 && rev > 3) words.map(Py.reversed).mkString(" ")
-    else text
-  }
+  def analyzerFixReversed(text: String): String =
+    RefText.fixReversedGeneric(text, analyzerCommonWords, minWords = 10, sampleN = 80, minHits = 3)
 
   // --------------------------------------------------------------- E13
   private val abstractPatterns: Array[Pattern] = Array(
@@ -69,8 +58,13 @@ object RefAnalyzers {
   private val sentenceSplit = Py.pat(ws("(?<=[.!?])\\s+"))
 
   /** Extractive summary (/root/reference/src/document_analyzer.py:140-169). */
-  def extractSummary(text0: String, maxSentences: Int = 5): String = {
-    val text = analyzerFixReversed(text0)
+  def extractSummary(text0: String, maxSentences: Int = 5): String =
+    summaryOfFixed(analyzerFixReversed(text0), maxSentences)
+
+  /** Same, with the reversed-fix already applied (the fix is one-shot in
+    * the reference too — callers that share the fixed text across
+    * analyzers avoid recomputing it). */
+  def summaryOfFixed(text: String, maxSentences: Int = 5): String = {
     for (p <- abstractPatterns) {
       val m = p.matcher(text)
       if (m.find()) {
@@ -143,8 +137,10 @@ object RefAnalyzers {
 
   /** Top-20 keyword extraction with the bigram-preferring merge
     * (/root/reference/src/document_analyzer.py:171-222). */
-  def extractKeywords(text0: String, topN: Int = 20): Vector[String] = {
-    val text = analyzerFixReversed(text0)
+  def extractKeywords(text0: String, topN: Int = 20): Vector[String] =
+    keywordsOfFixed(analyzerFixReversed(text0), topN)
+
+  def keywordsOfFixed(text: String, topN: Int = 20): Vector[String] = {
     val filtered = keywordTokens(text)
     val counter = mostCommon(filtered)
     val bigrams = ArrayBuffer.empty[String]
@@ -380,9 +376,14 @@ object RefAnalyzers {
     Py.pat(ws("(\\([0-9]+\\))\\s*$.*?([A-Za-z].*?=.*?)(?:\\n|$)"), Py.MULTI | Py.CASE_I),
     Py.pat(ws("([A-Z][a-z]*\\([^)]+\\))\\s*=\\s*([^,.\\n]+)"), Py.MULTI | Py.CASE_I),
     Py.pat(ws("((?:Attention|Loss|Softmax|ReLU|BLEU)\\s*\\([^)]*\\))\\s*=\\s*([^\\n]+)"), Py.MULTI | Py.CASE_I))
+  /** Math patterns 1-2 get a `(?<![A-Za-z])` start guard: a match can
+    * never begin directly after a letter (any suffix of a failed
+    * `[A-Za-z]+` run fails on the identical following context), so the
+    * guard is semantics-preserving (fuzz-verified) and turns the
+    * quadratic per-word retry into a linear scan. */
   private val mathPatterns: Array[Pattern] = Array(
-    Py.pat(ws("[A-Za-z]+\\s*=\\s*(?:softmax|sigmoid|tanh|exp|log|sum|max|min)\\s*\\([^)]+\\)")),
-    Py.pat(ws("[A-Za-z]+\\s*=\\s*\\d+\\s*[×*/+-]\\s*[A-Za-z0-9]+")),
+    Py.pat(ws("(?<![A-Za-z])[A-Za-z]+\\s*=\\s*(?:softmax|sigmoid|tanh|exp|log|sum|max|min)\\s*\\([^)]+\\)")),
+    Py.pat(ws("(?<![A-Za-z])[A-Za-z]+\\s*=\\s*\\d+\\s*[×*/+-]\\s*[A-Za-z0-9]+")),
     Py.pat("∑|∏|∫|√|∂|∇|α|β|γ|θ|λ|σ|μ"))
 
   /** Equation extraction with exact-content dedup, first-wins ids, cap 20
@@ -391,7 +392,12 @@ object RefAnalyzers {
     val out = ArrayBuffer.empty[Equation]
     val seen = mutable.Set.empty[String]
     var id = 1
-    for (p <- eqPatterns) {
+    // patterns 2-4 and math 1-2 all require a literal '=' somewhere in the
+    // match; most real web pages have none — one indexOf gates five scans
+    val hasEq = text.indexOf('=') >= 0
+    val activeEq = if (hasEq) eqPatterns else eqPatterns.take(1)
+    val activeMath = if (hasEq) mathPatterns else Array(mathPatterns(2))
+    for (p <- activeEq) {
       val m = p.matcher(text)
       while (m.find()) {
         val content = Py.strip(m.group(0))
@@ -402,7 +408,7 @@ object RefAnalyzers {
         }
       }
     }
-    for (p <- mathPatterns) {
+    for (p <- activeMath) {
       val m = p.matcher(text)
       while (m.find()) {
         val content = Py.strip(m.group(0))

@@ -35,35 +35,68 @@ object RefText {
     * (/root/reference/src/text_processor.py:74-114). When triggered the
     * rejoin uses single spaces, destroying original whitespace — that is
     * part of the contract. */
-  def fixReversedText(text: String): String = {
-    val words = Py.split(text)
-    if (words.length < 20) return text
-    val sample = words.take(math.min(100, words.length))
+  def fixReversedText(text: String): String =
+    fixReversedGeneric(text, CommonWords, minWords = 20, sampleN = 100, minHits = 5)
+
+  /** Shared reversed-text detector. Semantics identical to the reference
+    * loops (word list = Python `str.split()`, sample = first
+    * min(sampleN, len), trigger = rev > 2·normal && rev > minHits), but
+    * allocation-light: words are scanned in place and the full
+    * split+reverse+join only happens on trigger (rare) — the hot path
+    * allocates only the ≤sampleN sampled tokens. */
+  private[kg] def fixReversedGeneric(text: String, common: Set[String],
+      minWords: Int, sampleN: Int, minHits: Int): String = {
+    var i = 0
+    val n = text.length
+    var count = 0
     var normal = 0
     var rev = 0
-    for (w <- sample) {
-      if (CommonWords.contains(Py.lower(w))) normal += 1
-      if (CommonWords.contains(Py.lower(Py.reversed(w)))) rev += 1
+    while (i < n && count < sampleN) {
+      // skip whitespace (Python str.split semantics)
+      while (i < n && Py.isPyWs(text.codePointAt(i))) i += Character.charCount(text.codePointAt(i))
+      if (i < n) {
+        val start = i
+        while (i < n && !Py.isPyWs(text.codePointAt(i))) i += Character.charCount(text.codePointAt(i))
+        val w = text.substring(start, i)
+        if (common.contains(Py.lower(w))) normal += 1
+        if (common.contains(Py.lower(Py.reversed(w)))) rev += 1
+        count += 1
+      }
     }
-    if (rev > normal * 2 && rev > 5) words.map(Py.reversed).mkString(" ")
+    if (count < sampleN) {
+      // fewer than sampleN words total: the sample was everything; the
+      // minWords gate needs the true total (== count here)
+      if (count < minWords) return text
+    } else {
+      // sample full; still need to know the total reaches minWords
+      if (sampleN < minWords) {
+        var extra = count
+        while (i < n && extra < minWords) {
+          while (i < n && Py.isPyWs(text.codePointAt(i))) i += Character.charCount(text.codePointAt(i))
+          if (i < n) {
+            while (i < n && !Py.isPyWs(text.codePointAt(i))) i += Character.charCount(text.codePointAt(i))
+            extra += 1
+          }
+        }
+        if (extra < minWords) return text
+      }
+    }
+    if (rev > normal * 2 && rev > minHits) Py.split(text).map(Py.reversed).mkString(" ")
     else text
   }
 
-  /** The ten cleaning patterns in declaration order
-    * (/root/reference/src/config.py:39-50), compiled with MULTILINE like
-    * the reference (/root/reference/src/text_processor.py:59-64). The six
-    * capitalized patterns are dead code on lowercased input (SURVEY §2.3)
-    * but are applied anyway for exactness. */
+  /** The cleaning patterns (/root/reference/src/config.py:39-50) are
+    * applied in declaration order to LOWERCASED text; six of the ten
+    * require an uppercase ASCII letter (`Figure`, `Table`, `^Source:`,
+    * `See Figure`, `Eq\.`, `(Table|Fig)\.`) which `str.lower()` can never
+    * leave in place, so their substitutions are provably identity
+    * (SURVEY §2.3, verified against the executed reference by the golden
+    * and 250-doc fuzz suites). Only the four live patterns are applied —
+    * same bytes out, 6 fewer full-text regex scans per document. */
   private val cleaningPatterns: Array[Pattern] = Array(
     Py.pat("\\b[\\w.-]+?@\\w+?\\.\\w+?\\b", Py.MULTI), // emails
     Py.pat("\\[[^\\]]*\\]", Py.MULTI),                 // square brackets
-    Py.pat("Figure \\d+: [^\\n]+", Py.MULTI),          // dead (case)
-    Py.pat("Table \\d+: [^\\n]+", Py.MULTI),           // dead (case)
-    Py.pat("^Source:.*$", Py.MULTI),                   // dead (case)
     Py.pat("[^\\x00-\\x7F]+", Py.MULTI),               // non-ASCII
-    Py.pat("\\bSee Figure \\d+\\b", Py.MULTI),         // dead (case)
-    Py.pat("\\bEq\\.\\s*\\d+\\b".replace("\\s", Py.WS_CLASS), Py.MULTI), // dead
-    Py.pat("\\b(Table|Fig)\\.\\s*\\d+\\b".replace("\\s", Py.WS_CLASS), Py.MULTI), // dead
     Py.pat("<[^>]+>", Py.MULTI))                       // HTML tags
 
   /** Byte-identity kernel — the reference `clean_text`

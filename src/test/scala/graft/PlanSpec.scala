@@ -70,11 +70,11 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n${plan(df)}")
   }
 
-  test("per-url triple extraction plans no shuffle beyond the explicit repartition") {
+  test("per-url triple extraction is a purely narrow pass (zero shuffles)") {
     val pages = graft.kg.PagesGen.pages(spark, 10L)
     val triples = graft.kg.Pipeline.extractTriples(spark,
       graft.kg.Pipeline.extractClean(spark, pages, 4))
     val exchanges = "Exchange".r.findAllIn(plan(triples.toDF())).size
-    assert(exchanges == 1, s"narrow stages must keep the single url-hash exchange:\n${plan(triples.toDF())}")
+    assert(exchanges == 0, s"extraction must not shuffle:\n${plan(triples.toDF())}")
   }
 }

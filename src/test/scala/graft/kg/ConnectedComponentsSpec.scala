@@ -6,9 +6,16 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.run(spark, edges.toDF("src", "dst"))
+  /** Both execution paths must agree: driver union-find (small-graph fast
+    * path) and the distributed label-propagation loop. */
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("src", "dst")
+    val driver = ConnectedComponents.run(spark, df).as[(Long, Long)].collect().toMap
+    val dist = ConnectedComponents.run(spark, df, driverSolveThreshold = -1L)
       .as[(Long, Long)].collect().toMap
+    assert(driver == dist, s"driver=$driver dist=$dist")
+    driver
+  }
 
   test("path graph contracts to min id") {
     val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))

@@ -118,3 +118,28 @@ goldens["equations"] = {k: app.extract_equations_from_text(v) for k, v in da_inp
 with open('/root/repo/src/test/resources/goldens.json', 'w') as f:
     json.dump(goldens, f, ensure_ascii=False, indent=1)
 print("cases:", {k: len(v) for k, v in goldens.items()})
+
+# ---------- fuzz corpus: random adversarial docs, reference-computed ----------
+import random
+rnd = random.Random(20260816)
+frag = ["Loss(x)", "= softmax(Wx + b)", "x = 2 * y", "a=b", "Eq. 3", "Equation (4): z = q",
+        "(5)", "word", "The Model", "CNN", "α", "∑", "naïve", "a@b.c", "[12]", "<b>x</b>",
+        "Figure 7: cap", "=", "==", "f(x)=g(y)", "A(b)=c,d.", "self-attention", "Abstract",
+        "\n", "\t", "  ", ".", "!?", "softmax", "Wx", "(", ")", "x1=2+y", "K = min(a)",
+        "İ", "ẞ", "你", "\x0b", "e=exp(k)", "ReLU(z) = max(0,z)", "10.1234/x.1"]
+fuzz = {}
+for i in range(250):
+    n = rnd.randint(1, 60)
+    doc = ' '.join(rnd.choice(frag) for _ in range(n))
+    fuzz[f"f{i}"] = {
+        "input": doc,
+        "clean": r.tp.clean_text(doc),
+        "equations": app.extract_equations_from_text(doc),
+        "terms": [(t.term, t.frequency) for t in r.pa._extract_technical_terms(doc)],
+        "keywords": r.da._extract_keywords(doc),
+        "chunks": r.tp.process(doc),
+    }
+goldens["fuzz"] = fuzz
+with open('/root/repo/src/test/resources/goldens.json', 'w') as f:
+    json.dump(goldens, f, ensure_ascii=False, indent=1)
+print("fuzz cases:", len(fuzz))
