@@ -71,7 +71,17 @@ object SparkEntry {
       kgRun(s, dir)._2.edges),
     "kg_triples" -> ((s, dir) =>
       s.read.parquet(kgRun(s, dir)._1 + "/triples")
-        .select("url", "pred", "obj", "kind", "weight"))
+        .select("url", "pred", "obj", "kind", "weight")),
+
+    // K1/K2 — reference chunker over cleaned docs (greedy 1500-char word
+    // packing, section=None on newline-free input — SURVEY §2.4 quirk);
+    // golden-tested, rows-only here (word-streaming flush isn't SQL)
+    "kg_chunks" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), posexplode(Udfs.chunkText(Udfs.cleanText(col("text"))))
+          .as(Seq("chunk_id", "c")))
+        .select(col("doc_id"), col("chunk_id"), col("c.content").as("content"),
+          col("c.section").as("section")))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -52,12 +52,20 @@ object PagesGen {
   private def pick[T](v: Vector[T], seed: Long, salt: Long): T =
     v((math.abs(mix(seed * 1315423911L + salt)) % v.size).toInt)
 
+  /** The ambiguous expansion: shares initials with topics(0) — "CNN" must
+    * be context-disambiguated (convolutional vs cable), never globally
+    * merged. Docs with id % 10 == 3 (disjoint from the id % 5 == 0 hot
+    * set) are "media" pages. */
+  val mediaTopic: (String, String, String) =
+    ("Cable News Network", "CNN", "television media coverage")
+
   /** Build one document's raw text. Public so tests and the P/R oracle
     * can regenerate the identical corpus single-threaded. */
   def docText(id: Long): String = {
     // hot entity: CNN in ~20% of all docs (skew stress, FIXTURES.md)
     val hot = id % 5 == 0
-    val t0 = if (hot) topics(0) else pick(topics, id, 1)
+    val media = id % 10 == 3
+    val t0 = if (media) mediaTopic else if (hot) topics(0) else pick(topics, id, 1)
     val t1 = pick(topics, id, 2)
     val hy0 = pick(hyphens, id, 3)
     val hy1 = pick(hyphens, id, 4)

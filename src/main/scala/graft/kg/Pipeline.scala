@@ -203,13 +203,24 @@ object Pipeline {
       .orderBy($"w".desc, $"entity_key".asc)
     val ranked = perKey.withColumn("rn", row_number().over(win))
 
+    // aliases include resolved surface forms (an ambiguous acronym like
+    // "cnn" appears as an alias on EVERY component it resolves into,
+    // while the components themselves stay separate)
+    val surfaceAliases = labeled
+      .groupBy($"component")
+      .agg(collect_set(lower($"surface")).as("surf_keys"))
+
     val nodes = ranked
       .groupBy($"component")
       .agg(
         max(when($"rn" === 1, $"entity_key")).as("canonical_name"),
         max(when($"rn" === 1, $"kind")).as("kind"),
-        sort_array(collect_set($"entity_key")).as("aliases"),
+        collect_set($"entity_key").as("key_aliases"),
         sum($"w").as("n_mentions"))
+      .join(surfaceAliases, Seq("component"))
+      .withColumn("aliases",
+        sort_array(array_distinct(concat($"key_aliases", $"surf_keys"))))
+      .drop("key_aliases", "surf_keys")
       .join(nUrls, Seq("component"))
       .withColumnRenamed("component", "entity_id")
 
@@ -269,12 +280,23 @@ object Pipeline {
     }
     val triples = triplesDf.as[Triple]
 
-    val aliasDf = stage("alias_edges", aliasPath) {
-      aliasEdges(spark, triples)
-    }
+    // entity linking: alias discovery + ambiguity split + context-
+    // similarity resolution (EntityLinking); both outputs checkpointed
+    val linkedPath = s"${cfg.workDir}/linked_mentions"
+    val (aliasDf, linkedDf) =
+      if (cfg.resume && stageDone(spark, aliasPath) && stageDone(spark, linkedPath)) {
+        (spark.read.parquet(aliasPath), spark.read.parquet(linkedPath))
+      } else {
+        val t0 = System.nanoTime()
+        val (edges, linked) = EntityLinking.resolve(spark, triples)
+        writeStage(edges, aliasPath)
+        writeStage(linked.toDF(), linkedPath)
+        metrics += (("entity_linking", -1L, (System.nanoTime() - t0) / 1000000L))
+        (spark.read.parquet(aliasPath), spark.read.parquet(linkedPath))
+      }
 
     if (!(cfg.resume && stageDone(spark, nodesPath) && stageDone(spark, edgesPath))) {
-      val linked = linkedMentions(spark, triples)
+      val linked = linkedDf.as[Schema.LinkedMention]
       val t0 = System.nanoTime()
       val (n, e) = canonicalize(spark, linked, aliasDf)
       writeStage(n, nodesPath)

@@ -1,0 +1,63 @@
+package graft.kg.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pluggable table I/O (SURVEY §7.0): the north rule targets Iceberg
+  * tables, but no Iceberg runtime jar ships in this sandbox (offline
+  * coursier), so the engine codes against this trait. Local tests/benches
+  * use [[ParquetTableIO]]; a cluster deployment registers
+  * [[IcebergTableIO]] (thin mapping to `writeTo`/`readTable` — compiles
+  * only with the iceberg-spark-runtime jar on the classpath, so it is
+  * expressed here as documentation + format strings, not dead imports).
+  */
+trait TableIO {
+  def read(spark: SparkSession, table: String): DataFrame
+  def write(df: DataFrame, table: String, mode: SaveMode = SaveMode.Overwrite): Unit
+  def exists(spark: SparkSession, table: String): Boolean
+}
+
+/** Parquet-directory tables under a root path. Layout implements the
+  * north rule's explicit url-hash partitioning as a `bucket=` directory
+  * column when `bucketExpr` is provided — the same spec an Iceberg table
+  * would carry as `bucket(N, url)` partition transform metadata. */
+final class ParquetTableIO(root: String, buckets: Int = 0, bucketCol: String = "url") extends TableIO {
+
+  private def path(table: String) = s"$root/$table"
+
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val df = spark.read.parquet(path(table))
+    if (buckets > 0 && df.columns.contains("bucket")) df.drop("bucket") else df
+  }
+
+  def write(df: DataFrame, table: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    if (buckets > 0 && df.columns.contains(bucketCol)) {
+      df.withColumn("bucket", pmod(xxhash64(col(bucketCol)), lit(buckets)))
+        .write.mode(mode).partitionBy("bucket").parquet(path(table))
+    } else {
+      df.write.mode(mode).parquet(path(table))
+    }
+  }
+
+  def exists(spark: SparkSession, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(table), "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}
+
+/** Iceberg deployment notes (cluster-only; jar absent here):
+  *
+  * {{{
+  * // spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<v> \
+  * //   --conf spark.sql.catalog.cat=org.apache.iceberg.spark.SparkCatalog \
+  * //   --conf spark.sql.catalog.cat.type=hive
+  * // CREATE TABLE cat.kg.pages (url string, warc_ts timestamp, html binary,
+  * //   text string, lang string) PARTITIONED BY (bucket(1024, url), days(warc_ts))
+  * // read:  spark.read.format("iceberg").load("cat.kg.pages")
+  * // write: df.writeTo("cat.kg.nodes").createOrReplace()
+  * // resume ledger = Iceberg snapshot ids instead of _SUCCESS markers.
+  * }}}
+  */
+object IcebergTableIO {
+  val readFormat = "iceberg"
+}

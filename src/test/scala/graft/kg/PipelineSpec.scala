@@ -43,21 +43,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(p == 1.0 && r == 1.0, s"P=$p R=$r got=${got.size} oracle=${oracleTriples.size}")
   }
 
-  test("pipeline produces a canonical CNN node merging acronym + expansion") {
-    val cnn = result.nodes.where(array_contains(col("aliases"), "cnn")).collect()
-    assert(cnn.length == 1, s"CNN nodes: ${cnn.mkString(";")}")
-    val row = cnn.head
-    val aliases = row.getAs[scala.collection.Seq[String]]("aliases")
-    assert(aliases.contains("convolutional neural network"), s"aliases=$aliases")
-    assert(row.getAs[Long]("n_urls") >= nDocs / 5, "hot entity should span ≥20% of urls")
+  test("ambiguous CNN stays TWO entities, both aliased 'cnn'") {
+    val cnn = result.nodes.where(array_contains(col("aliases"), "cnn"))
+      .collect().sortBy(_.getAs[String]("canonical_name"))
+    assert(cnn.length == 2, s"CNN nodes: ${cnn.mkString(";")}")
+    assert(cnn(0).getAs[String]("canonical_name") == "cable news network")
+    assert(cnn(1).getAs[String]("canonical_name") == "convolutional neural network")
+    assert(cnn(1).getAs[Long]("n_urls") >= nDocs / 5, "hot entity spans ≥20% of urls")
+    assert(cnn(0).getAs[Long]("n_urls") >= nDocs / 10 - 1, "media docs present")
   }
 
-  test("edges reference canonical entities and carry weights") {
+  test("context-similarity linking resolves CNN mentions per url") {
     val e = result.edges
     assert(e.count() > 0)
-    // canonical name = highest total mention weight in the component ("cnn")
-    assert(e.where(col("dst_name") === "cnn").count() >= nDocs / 5)
     assert(e.where(col("weight") <= 0).count() == 0)
+    // media docs without any convolutional mention must link cnn → cable
+    val mediaUrls = (0L until nDocs).filter(_ % 10 == 3)
+      .filterNot(id => PagesGen.docText(id).contains("Convolutional"))
+      .map(PagesGen.url)
+    assert(mediaUrls.nonEmpty)
+    val mediaEdges = e.where(col("src_url").isin(mediaUrls: _*))
+      .where(col("dst_name") === "cable news network").count()
+    assert(mediaEdges == mediaUrls.size, s"$mediaEdges of ${mediaUrls.size}")
+    // hot ML docs without cable mentions link cnn → convolutional
+    val mlUrls = (0L until nDocs).filter(_ % 5 == 0)
+      .filterNot(id => PagesGen.docText(id).contains("Cable"))
+      .map(PagesGen.url)
+    val mlEdges = e.where(col("src_url").isin(mlUrls: _*))
+      .where(col("dst_name") === "convolutional neural network").count()
+    assert(mlEdges == mlUrls.size, s"$mlEdges of ${mlUrls.size}")
   }
 
   test("reversed-text docs flow through (detector fires in-pipeline)") {
