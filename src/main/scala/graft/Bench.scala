@@ -64,7 +64,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "5000").toLong
+    // big enough that per-doc compute dominates stage-fixed overhead
+    val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "20000").toLong
     val spark = newSession(cpus)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

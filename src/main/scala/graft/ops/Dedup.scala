@@ -40,12 +40,25 @@ object Dedup {
   /** MinHash signatures: for seed s, minhash_s = min over distinct tokens
     * of md5('<s>:'||token) (hex-string min — total order, engine-portable).
     * Output: (id, seed, minhash). */
-  def minhashSignatures(df: DataFrame, id: String, text: String, nHashes: Int = 16): DataFrame = {
-    val seeds = array((0 until nHashes).map(lit): _*)
-    docTokens(df, id, text)
-      .select(col(id), explode(seeds).as("seed"), col("token"))
-      .groupBy(col(id), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("token")))).as("minhash"))
+  def minhashSignatures(df: DataFrame, id: String, text: String, nHashes: Int = 16): DataFrame =
+    minhashOver(docTokens(df, id, text), id, "token", nHashes)
+
+  /** MinHash over any (id, unit) row set. All nHashes hashes are computed
+    * per unit into ONE array row and reduced with an elementwise-min
+    * array aggregate — the shuffle carries one array row per unit, not
+    * nHashes rows (8-16× fewer). Output is still (id, seed, minhash). */
+  def minhashOver(units: DataFrame, id: String, unit: String, nHashes: Int): DataFrame = {
+    val hashes = transform(sequence(lit(0), lit(nHashes - 1)),
+      s => md5(concat(s.cast("string"), lit(":"), col(unit))))
+    val maxHex = lit("g") // '>' every md5 hex char; identity for min
+    units
+      .select(col(id), hashes.as("hs"))
+      .groupBy(col(id))
+      .agg(aggregate(
+        collect_list(col("hs")),
+        array_repeat(maxHex, nHashes),
+        (acc, x) => zip_with(acc, x, (a, b) => least(a, b))).as("sig"))
+      .select(col(id), posexplode(col("sig")).as(Seq("seed", "minhash")))
   }
 
   /** LSH band keys: rows-per-band of `rowsPerBand` consecutive minhashes,
@@ -106,19 +119,21 @@ object Dedup {
       .groupBy(col(id), col("token"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("h", md5(col("token")))
-    val bits = tokCnt
-      .select(col(id), col("cnt"), col("h"),
-        explode(array((0 until 64).map(lit): _*)).as("k"))
-      .withColumn("nibble",
-        expr("instr('0123456789abcdef', substring(h, cast(k / 4 as int) + 1, 1)) - 1"))
-      .withColumn("bit", expr("(nibble >> (3 - k % 4)) & 1"))
-      .groupBy(col(id), col("k"))
-      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("score"))
-      .withColumn("b", when(col("score") > 0, lit("1")).otherwise(lit("0")))
-    bits.groupBy(col(id))
-      .agg(concat_ws("",
-        transform(array_sort(collect_list(struct(col("k"), col("b")))),
-          x => x.getField("b"))).as("simhash"))
+    // all 64 bit-contributions as ONE array per token (64× fewer shuffle
+    // rows than a k-explode), reduced with an elementwise-sum aggregate
+    val contribArr = expr(
+      "transform(sequence(0, 63), k -> cnt * " +
+        "(((instr('0123456789abcdef', substring(h, cast(k / 4 as int) + 1, 1)) - 1 " +
+        "  >> (3 - k % 4)) & 1) * 2 - 1))")
+    tokCnt
+      .select(col(id), contribArr.as("c"))
+      .groupBy(col(id))
+      .agg(aggregate(
+        collect_list(col("c")),
+        array_repeat(lit(0L), 64),
+        (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("scores"))
+      .select(col(id), concat_ws("",
+        transform(col("scores"), s => when(s > 0, "1").otherwise("0"))).as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming, using 4-chunk

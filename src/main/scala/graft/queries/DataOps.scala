@@ -57,24 +57,16 @@ object DataOps {
     "dd_exact" -> ((s, dir) =>
       Dedup.exactGroups(ddInput(s, dir), "doc_id", "text")),
 
-    "dd_minhash_sig" -> ((s, dir) => {
-      val sh = Dedup.charShingles(ddInput(s, dir), "doc_id", "text", 8)
-        .withColumnRenamed("shingle", "text_unit")
-      // minhash over shingles: reuse signature machinery on the unit column
-      val seeds = array((0 until 8).map(lit): _*)
-      sh.select(col("doc_id"), explode(seeds).as("seed"), col("text_unit"))
-        .groupBy(col("doc_id"), col("seed"))
-        .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("text_unit")))).as("minhash"))
-    }),
+    "dd_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashOver(
+        Dedup.charShingles(ddInput(s, dir), "doc_id", "text", 8)
+          .withColumnRenamed("shingle", "unit"), "doc_id", "unit", 8)),
 
     "dd_minhash_pairs" -> ((s, dir) => {
       val input = ddInput(s, dir)
       val sh = Dedup.charShingles(input, "doc_id", "text", 8)
         .withColumnRenamed("shingle", "token")
-      val seeds = array((0 until 8).map(lit): _*)
-      val sigs = sh.select(col("doc_id"), explode(seeds).as("seed"), col("token"))
-        .groupBy(col("doc_id"), col("seed"))
-        .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("token")))).as("minhash"))
+      val sigs = Dedup.minhashOver(sh.withColumnRenamed("token", "unit"), "doc_id", "unit", 8)
       val pairs = Dedup.candidatePairs(Dedup.minhashBands(sigs, "doc_id", 4), "doc_id")
       Dedup.jaccardVerify(pairs, sh, "doc_id").where(col("jaccard") >= 0.5)
     }),
@@ -86,9 +78,10 @@ object DataOps {
       Dedup.simhashPairs(Dedup.simhash(ddInput(s, dir), "doc_id", "text"), "doc_id", 3)),
 
     "dd_ngram_jaccard" -> ((s, dir) => {
-      // blocked all-pairs over char shingles: block = none needed at this
-      // scale; demonstrate with jaccard >= 0.5 over planted dups
-      val input = ddInput(s, dir)
+      // all-pairs verification on a doc_id % 4 == 0 subset — the exact
+      // quadratic check is the SMALL-BLOCK tool; LSH (dd_minhash_pairs)
+      // is the scale path. Planted near-dups (% 20) stay in the subset.
+      val input = ddInput(s, dir).where(col("doc_id") % 4 === 0)
       val sh = Dedup.charShingles(input, "doc_id", "text", 8)
         .withColumnRenamed("shingle", "token")
       val l = sh.select(col("doc_id").as("id1"), col("token"))
@@ -192,7 +185,15 @@ object DataOps {
          |SELECT doc_id, string_agg(b, '' ORDER BY k) AS simhash FROM bits GROUP BY 1""".stripMargin,
 
     "dd_ngram_jaccard" ->
-      s"""WITH $ddInputSql, $shinglesSql,
+      s"""WITH dd_input0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, text || '$nearDupTail' AS text
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |dd_input AS (SELECT * FROM dd_input0 WHERE doc_id % 4 = 0),
+         |$shinglesSql,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
          |inter AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
