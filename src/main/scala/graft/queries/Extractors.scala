@@ -141,7 +141,19 @@ object Extractors {
     "a4_keywords" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), posexplode(Udfs.keywords(col("text"))).as(Seq("pos", "keyword")))
-        .select(col("doc_id"), (col("pos") + 1).as("position"), col("keyword"))))
+        .select(col("doc_id"), (col("pos") + 1).as("position"), col("keyword"))),
+
+    // E13 extractive summary (golden-tested; sentence split needs
+    // lookbehind — not RE2-expressible, rows-only here)
+    "en_summary" -> ((s, dir) =>
+      enrDf(s, dir).select(col("doc_id"), Udfs.summary(col("t")).as("summary"))),
+
+    // E12 suggested questions (golden-tested; rows-only)
+    "en_questions" -> ((s, dir) =>
+      enrDf(s, dir)
+        .select(col("doc_id"),
+          posexplode(Udfs.suggestedQuestions(col("t"))).as(Seq("pos", "question")))
+        .select(col("doc_id"), (col("pos") + 1).as("position"), col("question"))))
 
   val oracles: Map[String, String] = Map(
     "en_clean" ->
