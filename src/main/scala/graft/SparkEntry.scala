@@ -13,11 +13,15 @@ object SparkEntry {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Flagship: byte-identity clean over the documents table. */
-  def entry(spark: SparkSession): DataFrame = {
-    val docs = tbl(spark, "/root/testdata/sf0.001", "documents")
-    docs.select(col("doc_id"), Udfs.cleanText(col("text")).as("clean_text"))
-  }
+  /** Flagship (SURVEY §7.2): build the KG on the synthetic corpus and
+    * answer "which canonical entities appear in ≥2 distinct urls?" —
+    * exercises extraction, linking, canonicalization, and the nodes
+    * table in one query. */
+  def entry(spark: SparkSession): DataFrame =
+    kgRun(spark, "/root/testdata/sf0.001")._2.nodes
+      .where(col("n_urls") >= 2)
+      .select(col("canonical_name"), col("kind"), col("n_urls"), col("n_mentions"))
+      .orderBy(col("n_urls").desc, col("canonical_name").asc)
 
   /** DuckDB-side equivalent of the live clean_text pattern chain
     * (/root/reference/src/config.py:39-50 — only 4 of 10 patterns can
@@ -72,6 +76,13 @@ object SparkEntry {
     "kg_triples" -> ((s, dir) =>
       s.read.parquet(kgRun(s, dir)._1 + "/triples")
         .select("url", "pred", "obj", "kind", "weight")),
+
+    // per-partition lineage + stage metrics (north_rule artifact)
+    "kg_metrics" -> ((s, dir) => {
+      val work = kgRun(s, dir)._1
+      s.read.parquet(s"$work/metrics_partition")
+        .select(col("stage"), col("partition_id"), col("rows"))
+    }),
 
     // K1/K2 — reference chunker over cleaned docs (greedy 1500-char word
     // packing, section=None on newline-free input — SURVEY §2.4 quirk);
