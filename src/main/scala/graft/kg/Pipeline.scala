@@ -8,9 +8,10 @@ import graft.kg.Schema._
   * extraction → entity linking → canonicalization (CC) → nodes/edges.
   *
   * Scale design (SURVEY §3.1, §4.3):
-  *  - Stages 1-2 are narrow per-row transforms (map/flatMap) — no shuffle.
-  *  - One explicit url-hash repartition up front; every per-url operation
-  *    stays partition-local afterwards.
+  *  - Stages 1-2 are purely narrow per-row transforms (map/flatMap) —
+  *    zero shuffles (PlanSpec-gated); on a real cluster the url-hash
+  *    layout lives in the table's Iceberg bucket spec (kg.io.TableIO),
+  *    not in a runtime repartition.
   *  - Linking joins are broadcast (alias table is small by construction);
   *    entity aggregation is two-phase (partial by (entity,url) then final)
   *    so hot entities ("CNN" in ~20% of docs) never hit a single reducer.
@@ -119,7 +120,7 @@ object Pipeline {
     * bucketing metadata, so a shuffle here buys nothing downstream —
     * every per-url aggregation shuffles on its own key anyway, and on
     * far lighter projected rows). */
-  def triplesFromPages(spark: SparkSession, pages: Dataset[Page], nPartitions: Int): Dataset[Triple] = {
+  def triplesFromPages(spark: SparkSession, pages: Dataset[Page]): Dataset[Triple] = {
     import spark.implicits._
     pages.flatMap(p => triplesForDoc(p.url, rawText(p)))
   }
@@ -276,7 +277,7 @@ object Pipeline {
     }
 
     val triplesDf = stage("triples", triplesPath) {
-      triplesFromPages(spark, pages, cfg.nPartitions).toDF()
+      triplesFromPages(spark, pages).toDF()
     }
     val triples = triplesDf.as[Triple]
 

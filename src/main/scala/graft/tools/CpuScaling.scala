@@ -10,9 +10,9 @@ object CpuScaling {
       val spark = graft.Bench.newSession(cpus)
       import spark.implicits._
       // warmup
-      Pipeline.triplesFromPages(spark, PagesGen.pages(spark, 2000L), cpus * 2).count()
+      Pipeline.triplesFromPages(spark, PagesGen.pages(spark, 2000L)).count()
       val t0 = System.nanoTime()
-      val n = Pipeline.triplesFromPages(spark, PagesGen.pages(spark, nDocs), cpus * 2).count()
+      val n = Pipeline.triplesFromPages(spark, PagesGen.pages(spark, nDocs)).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"CPUSCALE cpus=$cpus sec=$sec%.2f docs_per_sec=${nDocs / sec}%.0f triples=$n")
       spark.stop()
