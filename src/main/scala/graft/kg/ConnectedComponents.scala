@@ -41,7 +41,10 @@ object ConnectedComponents {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      for ((a, b) <- es) {
+      // skip self-loops: the distributed loop filters src =!= dst before
+      // seeding labels, so a vertex appearing ONLY in self-loop edges is
+      // not in its output — both paths must agree on the vertex set
+      for ((a, b) <- es if a != b) {
         parent.getOrElseUpdate(a, a)
         parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))

@@ -21,11 +21,21 @@ import graft.kg.Schema.{LinkedMention, Triple}
   *     the expansion itself decides instantly); ties break
   *     lexicographically. Deterministic.
   *
-  * Shuffle shape: profiles and candidate tables are
-  * entity-vocabulary-sized → broadcast; only the url-keyword join
-  * shuffles, keyed by url (the natural partitioning).
+  * Shuffle shape: profiles and candidate tables are entity-vocabulary-
+  * sized — small enough that AQE promotes them to broadcast at runtime;
+  * no FORCED broadcast hints (at 10^12 pages the vocabulary tables can
+  * outgrow driver memory, and a wrong hint OOMs where AQE degrades to a
+  * shuffled join). Only the url-keyword join necessarily shuffles, keyed
+  * by url (the natural partitioning).
   */
 object EntityLinking {
+
+  /** Acronym candidate of a phrase: first letter of each word, uppercased.
+    * Word split is Python `str.split()` (Py.split — any whitespace incl.
+    * NBSP that survives raw text), consistent with the Py.* semantics used
+    * everywhere else. Shared by urlAliasPairs and Pipeline.aliasEdges. */
+  def initialsOf(phrase: String): String =
+    Py.split(phrase).map(w => Character.toUpperCase(w.charAt(0))).mkString
 
   /** Per-url (acr_key, exp_key) candidate pairs — NOT distinct'd, the
     * per-url grain carries the local-co-occurrence signal. */
@@ -42,8 +52,7 @@ object EntityLinking {
         for {
           a <- acronyms
           p <- phrases
-          initials = p.split("\\s+").filter(_.nonEmpty).map(w => Character.toUpperCase(w.charAt(0))).mkString
-          if initials == a
+          if initialsOf(p) == a
         } yield (url, Py.lower(a), Py.lower(p))
       }
       .toDF("url", "acr_key", "exp_key")
@@ -68,7 +77,7 @@ object EntityLinking {
       .filter(t => t.pred == "mentionsEntity" && t.kind == "concept")
       .map(t => (t.url, Py.lower(t.obj)))
       .toDF("url", "exp_key")
-      .join(broadcast(expansions.select(col("exp_key")).distinct()), Seq("exp_key"))
+      .join(expansions.select(col("exp_key")).distinct(), Seq("exp_key"))
       .distinct()
     val urlKw = triples.filter(_.pred == "hasKeyword").map(t => (t.url, t.obj)).toDF("url", "kw")
     val w = org.apache.spark.sql.expressions.Window
@@ -96,16 +105,20 @@ object EntityLinking {
     val profiles = expansionProfiles(spark, triples, ambiguous)
     val urlKw = triples.filter(_.pred == "hasKeyword").map(t => (t.url, t.obj)).toDF("url", "kw")
 
-    // candidate grid: every ambiguous-acronym mention × its expansions
+    // candidate grid: every ambiguous-acronym mention × its expansions.
+    // No forced broadcast hints anywhere in linking: the ambiguous/profile
+    // tables are usually vocabulary-sized, but at 10^12 pages "usually"
+    // is not a guarantee — a forced hint OOMs when it's wrong, while AQE
+    // promotes small sides to broadcast at runtime from observed sizes.
     val ambMentions = mentions.toDF()
-      .join(broadcast(ambiguous.select(col("acr_key")).distinct()),
+      .join(ambiguous.select(col("acr_key")).distinct(),
         col("entity_key") === col("acr_key"))
     val grid = ambMentions
-      .join(broadcast(ambiguous), Seq("acr_key"))
+      .join(ambiguous, Seq("acr_key"))
 
     // context score: |url keywords ∩ expansion profile|
     val overlap = urlKw
-      .join(broadcast(profiles), Seq("kw"))
+      .join(profiles, Seq("kw"))
       .groupBy(col("url"), col("exp_key")).agg(count(lit(1)).as("ctx_score"))
 
     // local bonus: the url itself contains this expansion phrase
@@ -129,7 +142,7 @@ object EntityLinking {
     // the canonical column order on both sides before unioning
     val cols = Seq("url", "pred", "entity_key", "surface", "kind", "weight").map(col)
     val untouched = mentions.toDF()
-      .join(broadcast(ambiguous.select(col("acr_key").as("entity_key")).distinct()),
+      .join(ambiguous.select(col("acr_key").as("entity_key")).distinct(),
         Seq("entity_key"), "left_anti")
       .select(cols: _*)
 

@@ -12,9 +12,11 @@ import graft.kg.Schema._
   *    zero shuffles (PlanSpec-gated); on a real cluster the url-hash
   *    layout lives in the table's Iceberg bucket spec (kg.io.TableIO),
   *    not in a runtime repartition.
-  *  - Linking joins are broadcast (alias table is small by construction);
-  *    entity aggregation is two-phase (partial by (entity,url) then final)
-  *    so hot entities ("CNN" in ~20% of docs) never hit a single reducer.
+  *  - Linking joins carry vocabulary-sized tables — small enough for AQE
+  *    to broadcast at runtime, never force-hinted (a wrong hint OOMs at
+  *    10^12 pages); entity aggregation is two-phase (partial by
+  *    (entity,url) then final) so hot entities ("CNN" in ~20% of docs)
+  *    never hit a single reducer.
   *  - Canonicalization = DataFrame connected components over alias edges.
   *  - Each stage checkpoints to parquet under `workDir`; `_SUCCESS` is the
   *    resume ledger — a rerun skips completed stages (idempotent).
@@ -145,8 +147,7 @@ object Pipeline {
         for {
           a <- acronyms
           p <- phrases
-          initials = p._2.split("\\s+").filter(_.nonEmpty).map(w => Character.toUpperCase(w.charAt(0))).mkString
-          if initials == a._2
+          if EntityLinking.initialsOf(p._2) == a._2
         } yield (Py.lower(a._2), Py.lower(p._2))
       }
       .toDF("key_a", "key_b")
@@ -225,10 +226,14 @@ object Pipeline {
       .join(nUrls, Seq("component"))
       .withColumnRenamed("component", "entity_id")
 
+    // canon grows with the entity vocabulary — at 10^12 pages that is
+    // easily 10^8+ rows, where a forced broadcast hint OOMs the driver.
+    // No hint: AQE broadcasts it at runtime when it observes it small,
+    // and degrades to a shuffled join when it isn't.
     val canon = ranked.where($"rn" === 1)
       .select($"component", $"entity_key".as("canonical_name_e"))
     val edges = perUrl
-      .join(broadcast(canon), Seq("component"))
+      .join(canon, Seq("component"))
       .select(
         $"url".as("src_url"),
         lit("mentionsEntity").as("pred"),

@@ -85,9 +85,13 @@ object Py {
   }
 
   /** Compile with Python-`re` friendly defaults: UNICODE_CHARACTER_CLASS
-    * makes `\b`/`\w`/`\d` Unicode-aware like Python's. */
+    * makes `\b`/`\w`/`\d` Unicode-aware like Python's; UNIX_LINES makes
+    * `^`/`$`/`.` treat ONLY `\n` as a line terminator, matching CPython
+    * (Java otherwise also recognizes \r\n, \r, U+0085, U+2028, U+2029 — so a
+    * Java `$` would match before a trailing `\r` where Python's `$` does
+    * not, and Java `.` would refuse to match `\r`). */
   def pat(regex: String, flags: Int = 0): Pattern =
-    Pattern.compile(regex, flags | Pattern.UNICODE_CHARACTER_CLASS)
+    Pattern.compile(regex, flags | Pattern.UNICODE_CHARACTER_CLASS | Pattern.UNIX_LINES)
 
   val CASE_I: Int = Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
   val MULTI: Int = Pattern.MULTILINE

@@ -271,7 +271,10 @@ object RefAnalyzers {
       val m = phrasePat.matcher(s)
       while (m.find()) {
         val phrase = m.group(1)
-        val words = Py.lower(phrase).split(' ')
+        // Python str.split() (any whitespace): the phrase regex allows
+        // \s+ separators, so "Results\nDiscussion" must split into two
+        // words for the all-common-words check, not stay one token
+        val words = Py.split(Py.lower(phrase))
         val l = Py.len(phrase)
         if (!words.forall(PaperCommonWords.contains) && l >= 5 && l <= 60)
           bump(Py.lower(phrase), phrase, s)

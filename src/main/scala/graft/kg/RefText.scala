@@ -137,7 +137,9 @@ object RefText {
   }
 
   /** Python `pattern.match(s)` for `^(...)$` — anchored at start; `$`
-    * matches at end or before a single trailing newline. */
+    * matches at end or before a single trailing `\n` (Py.pat compiles
+    * with UNIX_LINES, so a trailing `\r` is NOT a header terminator —
+    * CPython parity). */
   private def sectionMatches(s: String): Boolean = {
     val m = sectionPattern.matcher(s)
     m.lookingAt()

@@ -109,23 +109,17 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** SimHash-64 as a 64-char '0'/'1' string: per bit k, the sign of the
-    * count-weighted sum of (2*bit_k(md5(token)) - 1). Engine-portable:
-    * nibble k/4 of the md5 hex, bit (3 - k%4) of the nibble. */
-  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
-    val tokCnt = df
-      .select(col(id), explode(split(col(text), " ")).as("token"))
-      .where(col("token") =!= "")
-      .groupBy(col(id), col("token"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", md5(col("token")))
-    // all 64 bit-contributions as ONE array per token (64× fewer shuffle
-    // rows than a k-explode), reduced with an elementwise-sum aggregate
+  /** SimHash-64 core over weighted hash rows (id, cnt, h=md5 hex): per
+    * bit k, the sign of the count-weighted sum of (2*bit_k(h) - 1).
+    * Engine-portable: nibble k/4 of the md5 hex, bit (3 - k%4). All 64
+    * bit-contributions travel as ONE array per row (64× fewer shuffle
+    * rows than a k-explode), reduced with an elementwise-sum aggregate. */
+  private def simhashFromWeighted(rows: DataFrame, id: String): DataFrame = {
     val contribArr = expr(
       "transform(sequence(0, 63), k -> cnt * " +
         "(((instr('0123456789abcdef', substring(h, cast(k / 4 as int) + 1, 1)) - 1 " +
         "  >> (3 - k % 4)) & 1) * 2 - 1))")
-    tokCnt
+    rows
       .select(col(id), contribArr.as("c"))
       .groupBy(col(id))
       .agg(aggregate(
@@ -136,24 +130,158 @@ object Dedup {
         transform(col("scores"), s => when(s > 0, "1").otherwise("0"))).as("simhash"))
   }
 
+  /** SimHash-64 as a 64-char '0'/'1' string over space tokens. NOTE: on a
+    * tiny-vocabulary corpus token simhash degenerates (near-identical
+    * fingerprints everywhere); prefer `simhashOverUnits` with char
+    * shingles for the pairing path. */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame =
+    simhashFromWeighted(
+      df.select(col(id), explode(split(col(text), " ")).as("token"))
+        .where(col("token") =!= "")
+        .groupBy(col(id), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("h", md5(col("token"))),
+      id)
+
+  /** SimHash-64 over pre-deduplicated (id, unit) rows, each unit weight 1
+    * — e.g. char-8 shingles from `charShingles`, whose positional
+    * entropy keeps fingerprints spread even when the token vocabulary is
+    * tiny. */
+  def simhashOverUnits(units: DataFrame, id: String, unit: String): DataFrame =
+    simhashFromWeighted(
+      units.select(col(id), lit(1L).as("cnt"), md5(col(unit)).as("h")), id)
+
+  /** md5 of a UTF-8 string; first 8 bytes as a big-endian long — bit k
+    * (MSB-first) equals "bit (3 - k%4) of hex nibble k/4", the exact
+    * engine-portable convention of `simhashFromWeighted` and the DuckDB
+    * oracles. */
+  private def md5Head64(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var j = 0
+    while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+    h
+  }
+
+  /** Distinct char n-gram shingles of a text, one per start offset; for
+    * texts shorter than n the whole text is the single shingle (matches
+    * the oracle's `generate_series(1, greatest(1, len - n + 1))`). */
+  private def distinctShingles(s: String, n: Int): java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String]()
+    val t = if (s == null) "" else s
+    if (t.length <= n) set.add(t)
+    else {
+      var i = 0
+      val last = t.length - n
+      while (i <= last) { set.add(t.substring(i, i + n)); i += 1 }
+    }
+    set
+  }
+
+  /** Single-pass per-row shingle SimHash — semantically equal to
+    * `simhashOverUnits(charShingles(df, …))` but a narrow map with ZERO
+    * shuffle: one tight loop per row (distinct n-grams → md5 → 64 sign
+    * counters). The explode→distinct→array-fold formulation shuffles
+    * ~64× the corpus bytes and spent 74 s at sf0.1 where this runs in
+    * ~2 s; at 100 TB fingerprinting must stay embarrassingly parallel. */
+  def simhashShingles(df: DataFrame, id: String, text: String, n: Int = 8): DataFrame = {
+    val f = udf { (s: String) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](64)
+      val it = distinctShingles(s, n).iterator()
+      while (it.hasNext) {
+        val h = md5Head64(md, it.next())
+        var k = 0
+        while (k < 64) {
+          counts(k) += (((h >>> (63 - k)) & 1L).toInt << 1) - 1
+          k += 1
+        }
+      }
+      val sb = new java.lang.StringBuilder(64)
+      var k = 0
+      while (k < 64) { sb.append(if (counts(k) > 0) '1' else '0'); k += 1 }
+      sb.toString
+    }
+    df.select(col(id), f(col(text)).as("simhash"))
+  }
+
+  /** Single-pass per-row shingle MinHash — semantically equal to
+    * `minhashOver(charShingles(df, …))` (hex-string min per seed of
+    * md5('<seed>:'||shingle)) as one narrow loop per row, zero shuffle.
+    * Output: (id, seed, minhash), like `minhashOver`. */
+  def minhashShingles(df: DataFrame, id: String, text: String,
+      nHashes: Int = 16, n: Int = 8): DataFrame = {
+    val f = udf { (s: String) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val mins = Array.fill(nHashes)(null: String)
+      val it = distinctShingles(s, n).iterator()
+      while (it.hasNext) {
+        val sh = it.next()
+        var seed = 0
+        while (seed < nHashes) {
+          md.reset()
+          val d = md.digest((seed.toString + ":" + sh).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val hex = new java.lang.StringBuilder(32)
+          var j = 0
+          while (j < 16) {
+            val b = d(j) & 0xff
+            hex.append(Character.forDigit(b >> 4, 16)).append(Character.forDigit(b & 0xf, 16))
+            j += 1
+          }
+          val hx = hex.toString
+          if (mins(seed) == null || hx.compareTo(mins(seed)) < 0) mins(seed) = hx
+          seed += 1
+        }
+      }
+      mins.toSeq
+    }
+    df.select(col(id), posexplode(f(col(text))).as(Seq("seed", "minhash")))
+  }
+
   /** SimHash near-dup pairs with hamming ≤ maxHamming, using 4-chunk
     * pigeonhole banding (hamming ≤ 3 ⇒ some 16-bit chunk is equal) so the
-    * join is on chunk equality, never all-pairs. */
-  def simhashPairs(sim: DataFrame, id: String, maxHamming: Int = 3): DataFrame = {
+    * join is on chunk equality, never all-pairs.
+    *
+    * Scale guards (the silent-quadratic killers at 100 TB):
+    *  - candidate pairs are `distinct()`ed BEFORE the hamming expression —
+    *    a pair sharing k chunks (an exact duplicate shares 4) would
+    *    otherwise pay the hamming computation k times;
+    *  - hamming = XOR + popcount on two 32-bit integers parsed from the
+    *    fingerprint, not a 64-element string zip;
+    *  - a (chunk-position, value) bucket larger than `maxBucketSize` is
+    *    dropped (its pair blow-up is quadratic); the number of capped
+    *    buckets and the max bucket size are surfaced as an `observe`
+    *    metric ("simhash_buckets") so the drop is never silent. */
+  def simhashPairs(sim: DataFrame, id: String, maxHamming: Int = 3,
+      maxBucketSize: Long = 100000L): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole supports hamming <= 3")
     val chunks = sim.select(col(id), col("simhash"),
       explode(array((0 until 4).map(c => struct(lit(c).as("c"),
         substring(col("simhash"), c * 16 + 1, 16).as("chunk"))): _*)).as("x"))
       .select(col(id), col("simhash"), col("x.c").as("c"), col("x.chunk").as("chunk"))
-    val l = chunks.select(col("c"), col("chunk"), col(id).as("id1"), col("simhash").as("s1"))
-    val r = chunks.select(col("c"), col("chunk"), col(id).as("id2"), col("simhash").as("s2"))
-    val hamming = (a: Column, b: Column) =>
-      aggregate(zip_with(split(a, ""), split(b, ""), (x, y) => when(x === y, 0).otherwise(1)),
-        lit(0), (acc, v) => acc + v)
-    l.join(r, Seq("c", "chunk"))
+    val keptBuckets = chunks
+      .groupBy(col("c"), col("chunk"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .observe("simhash_buckets",
+        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("capped_buckets"),
+        max(col("bucket_n")).as("max_bucket"))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("c"), col("chunk"))
+    val inBuckets = chunks.join(keptBuckets, Seq("c", "chunk"))
+    val l = inBuckets.select(col("c"), col("chunk"), col(id).as("id1"), col("simhash").as("s1"))
+    val r = inBuckets.select(col("c"), col("chunk"), col(id).as("id2"), col("simhash").as("s2"))
+    val pairs = l.join(r, Seq("c", "chunk"))
       .where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), hamming(col("s1"), col("s2")).as("hamming"))
+      .select(col("id1"), col("id2"), col("s1"), col("s2"))
       .distinct()
+    val ham = expr(
+      "cast(bit_count(cast(conv(substring(s1, 1, 32), 2, 10) as bigint) ^ " +
+        "cast(conv(substring(s2, 1, 32), 2, 10) as bigint)) + " +
+        "bit_count(cast(conv(substring(s1, 33, 32), 2, 10) as bigint) ^ " +
+        "cast(conv(substring(s2, 33, 32), 2, 10) as bigint)) as int)")
+    pairs
+      .select(col("id1"), col("id2"), ham.as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 

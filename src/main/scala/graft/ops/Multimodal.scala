@@ -23,16 +23,37 @@ object Multimodal {
       n_frames: Int,
       embedding: Seq[Float])
 
-  /** ==== STUB ==== deterministic fake decoder: derives pseudo
-    * width/height/frames/embedding from the bytes. A production build
-    * replaces ONLY this function with a real codec call; the operator
-    * around it is unchanged. */
+  /** Container sniffing by magic bytes — this part is REAL (not stubbed):
+    * PNG (89 50 4E 47), JPEG (FF D8 FF), GIF ("GIF8"), RIFF containers
+    * ("RIFF" + format tag at offset 8: WAVE/AVI /WEBP), HTML ('<'). */
+  def sniffFormat(bytes: Array[Byte]): String = {
+    val n = if (bytes == null) 0 else bytes.length
+    def at(i: Int): Int = if (i < n) bytes(i) & 0xff else -1
+    def ascii(from: Int, s: String): Boolean =
+      s.zipWithIndex.forall { case (c, i) => at(from + i) == c.toInt }
+    if (n == 0) "empty"
+    else if (at(0) == 0x89 && ascii(1, "PNG")) "png"
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "jpeg"
+    else if (ascii(0, "GIF8")) "gif"
+    else if (ascii(0, "RIFF")) {
+      if (ascii(8, "WAVE")) "wav"
+      else if (ascii(8, "AVI ")) "avi"
+      else if (ascii(8, "WEBP")) "webp"
+      else "riff"
+    } else if (at(0) == '<') "html"
+    else "bin"
+  }
+
+  /** ==== STUB ==== deterministic fake decoder: the `format` column comes
+    * from REAL magic-byte sniffing (sniffFormat); width/height/frames/
+    * embedding are pseudo-values derived from the bytes. A production
+    * build replaces ONLY the pseudo part with a real codec call; the
+    * operator around it is unchanged. */
   def stubDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val n = if (bytes == null) 0 else bytes.length
     def at(i: Int): Int = if (n == 0) 0 else bytes(((i % n) + n) % n) & 0xff
-    val fmt = if (n == 0) "empty" else if (at(0) == '<') "html" else "bin"
     val emb = (0 until 8).map(i => (at(i * 7) - 128) / 128.0f)
-    MediaFeatures(id, n, fmt, 16 + at(1) % 64, 16 + at(2) % 64, 1 + at(3) % 8, emb)
+    MediaFeatures(id, n, sniffFormat(bytes), 16 + at(1) % 64, 16 + at(2) % 64, 1 + at(3) % 8, emb)
   }
 
   /** Batched partition-local decode: one decoder instance per partition,

@@ -43,32 +43,77 @@ object Similarity {
   private def planeWeight(p: Column, i: Column): Column =
     expr("instr('0123456789abcdef', substring(md5(concat(p, ':', i)), (i % 32) + 1, 1)) - 1") - lit(7.5)
 
-  /** Random-hyperplane LSH bucket bits: for each of nPlanes, the sign of
-    * dot(vec, plane). Output: (id, bucket) with bucket a '0'/'1' string. */
-  def lshBuckets(df: DataFrame, id: String, vec: String, nPlanes: Int = 8): DataFrame = {
+  /** Banded random-hyperplane LSH: `nBands` independent bands of
+    * `planesPerBand` planes each (plane id = band*planesPerBand + i, so
+    * band 0 of (1, 8) equals the classic 8-plane bucket). Candidates
+    * share ANY band's bucket — OR-amplification, exactly the
+    * `minhashBands` idiom: more bands = higher recall at the same
+    * in-bucket cost, and 2^planesPerBand buckets per band bound bucket
+    * sizes. Output: (id, band, bucket). */
+  def lshBands(df: DataFrame, id: String, vec: String,
+      nBands: Int = 4, planesPerBand: Int = 8): DataFrame = {
     val dims = df.select(col(id),
       posexplode(transform(col(vec), x => x.cast("double"))).as(Seq("i", "x")))
     val planes = dims
-      .select(col(id), col("i"), col("x"), explode(array((0 until nPlanes).map(lit): _*)).as("p"))
+      .select(col(id), col("i"), col("x"),
+        explode(array((0 until nBands * planesPerBand).map(lit): _*)).as("p"))
       .withColumn("w", planeWeight(col("p"), col("i")))
       .groupBy(col(id), col("p"))
       .agg(sum(col("x") * col("w")).as("dot"))
       .withColumn("b", when(col("dot") > 0, lit("1")).otherwise(lit("0")))
-    planes.groupBy(col(id))
+      .withColumn("band", (col("p") / planesPerBand).cast("int"))
+    planes.groupBy(col(id), col("band"))
       .agg(concat_ws("",
         transform(array_sort(collect_list(struct(col("p"), col("b")))),
           x => x.getField("b"))).as("bucket"))
   }
 
-  /** ANN via LSH buckets: candidates share a bucket; exact cosine re-rank
-    * inside the bucket. Misses cross-bucket neighbors (that's the
-    * recall/cost trade — the scale path for 100 TB corpora). */
-  def annTopK(df: DataFrame, id: String, vec: String, k: Int, nPlanes: Int = 8): DataFrame = {
-    val withBucket = df.join(lshBuckets(df, id, vec, nPlanes), Seq(id))
-    val l = withBucket.select(col("bucket"), col(id).as("probe_id"), col(vec).as("probe_vec"))
-    val r = withBucket.select(col("bucket"), col(id).as("neighbor_id"), col(vec).as("corpus_vec"))
-    val scored = l.join(r, Seq("bucket"))
-      .where(col("probe_id") =!= col("neighbor_id"))
+  /** Single-band LSH bucket bits (the index/inspection surface): for each
+    * of nPlanes, the sign of dot(vec, plane). Output: (id, bucket). */
+  def lshBuckets(df: DataFrame, id: String, vec: String, nPlanes: Int = 8): DataFrame =
+    lshBands(df, id, vec, nBands = 1, planesPerBand = nPlanes)
+      .select(col(id), col("bucket"))
+
+  /** Banded candidate pairs: ids sharing any band bucket, distinct'd
+    * BEFORE any scoring (a pair sharing b bands must not be scored b
+    * times). Oversized buckets are dropped (quadratic in-bucket blow-up)
+    * with an `observe` metric ("ann_buckets") so the cap is never
+    * silent. Output: (id1, id2) with id1 < id2 over column `idCol`. */
+  private def bandedCandidates(bands: DataFrame, id: String,
+      maxBucketSize: Long): DataFrame = {
+    val kept = bands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .observe("ann_buckets",
+        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("capped_buckets"),
+        max(col("bucket_n")).as("max_bucket"))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val in = bands.join(kept, Seq("band", "bucket"))
+    val l = in.select(col("band"), col("bucket"), col(id).as("id1"))
+    val r = in.select(col("band"), col("bucket"), col(id).as("id2"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+  }
+
+  /** ANN top-k via banded LSH (OR of nBands buckets): candidates from any
+    * shared band bucket, deduped, then exact cosine re-rank. Recall vs
+    * the brute-force `cosineTopK` grows with nBands (measured in
+    * OpsSpec); per-band bucket sizes stay bounded — the scale path for
+    * 100 TB corpora (single-band bucketing has a quadratic in-bucket
+    * blow-up and a recall cliff). */
+  def annTopK(df: DataFrame, id: String, vec: String, k: Int,
+      nBands: Int = 4, planesPerBand: Int = 8,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    val cands = bandedCandidates(lshBands(df, id, vec, nBands, planesPerBand), id, maxBucketSize)
+    // candidates are symmetric (id1 < id2); a probe must see neighbors on
+    // both sides, so mirror before scoring
+    val sym = cands.select(col("id1").as("probe_id"), col("id2").as("neighbor_id"))
+      .union(cands.select(col("id2").as("probe_id"), col("id1").as("neighbor_id")))
+    val pv = df.select(col(id).as("probe_id"), col(vec).as("probe_vec"))
+    val nv = df.select(col(id).as("neighbor_id"), col(vec).as("corpus_vec"))
+    val scored = sym.join(pv, Seq("probe_id")).join(nv, Seq("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         round(cosine(col("probe_vec"), col("corpus_vec")), 4).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
@@ -77,17 +122,27 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: bucketed candidates with
+  /** Embedding-cosine near-duplicate pairs: banded candidates with
     * rounded cosine ≥ threshold (id1 < id2). */
   def cosineNearDups(df: DataFrame, id: String, vec: String,
-      threshold: Double, nPlanes: Int = 8): DataFrame = {
-    val withBucket = df.join(lshBuckets(df, id, vec, nPlanes), Seq(id))
-    val l = withBucket.select(col("bucket"), col(id).as("id1"), col(vec).as("v1"))
-    val r = withBucket.select(col("bucket"), col(id).as("id2"), col(vec).as("v2"))
-    l.join(r, Seq("bucket"))
-      .where(col("id1") < col("id2"))
+      threshold: Double, nBands: Int = 4, planesPerBand: Int = 8,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    val cands = bandedCandidates(lshBands(df, id, vec, nBands, planesPerBand), id, maxBucketSize)
+    val v1 = df.select(col(id).as("id1"), col(vec).as("v1"))
+    val v2 = df.select(col(id).as("id2"), col(vec).as("v2"))
+    cands.join(v1, Seq("id1")).join(v2, Seq("id2"))
       .select(col("id1"), col("id2"), round(cosine(col("v1"), col("v2")), 4).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
-      .distinct()
   }
+
+  /** R4 incremental add (/root/reference/src/vector_store.py:136-161):
+    * the reference appends new chunks to its store and extends the index
+    * in place. Hyperplane bucketing is per-row deterministic (planes are
+    * md5-derived constants), so indexing a delta and unioning EQUALS a
+    * full rebuild — an append-only incremental index with no refit.
+    * Output: (id, bucket, src = base|delta). */
+  def incrementalIndex(base: DataFrame, delta: DataFrame, id: String, vec: String,
+      nPlanes: Int = 8): DataFrame =
+    lshBuckets(base, id, vec, nPlanes).withColumn("src", lit("base"))
+      .unionByName(lshBuckets(delta, id, vec, nPlanes).withColumn("src", lit("delta")))
 }

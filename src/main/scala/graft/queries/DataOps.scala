@@ -34,6 +34,30 @@ object DataOps {
     base.union(exact).union(near)
   }
 
+  /** Banded hyperplane-LSH candidate CTE over `embeddings` (mirrors
+    * Similarity.lshBands + bandedCandidates: 4 bands × 8 planes, bucket
+    * cap, pairs distinct'd before scoring). Yields `cand(id1, id2)`. */
+  private val bandedCandSql: String =
+    """dims AS (
+      |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+      |         generate_subscripts(embedding, 1) - 1 AS i
+      |  FROM embeddings),
+      |dots AS (
+      |  SELECT vec_id, p,
+      |         sum(x * (strpos('0123456789abcdef',
+      |                         substr(md5(p::VARCHAR || ':' || i::VARCHAR), (i % 32)::INT + 1, 1)) - 1 - 7.5)) AS dot
+      |  FROM dims, generate_series(0, 31) AS t(p) GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT vec_id, (p // 8)::INT AS band,
+      |         string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+      |  FROM dots GROUP BY 1, 2),
+      |kept AS (
+      |  SELECT band, bucket FROM bands GROUP BY 1, 2 HAVING count(*) <= 100000),
+      |inb AS (SELECT b.vec_id, b.band, b.bucket FROM bands b JOIN kept USING (band, bucket)),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+      |  FROM inb a JOIN inb b USING (band, bucket) WHERE a.vec_id < b.vec_id)""".stripMargin
+
   private val ddInputSql: String =
     s"""dd_input AS (
        |  SELECT doc_id, text FROM documents
@@ -58,24 +82,30 @@ object DataOps {
       Dedup.exactGroups(ddInput(s, dir), "doc_id", "text")),
 
     "dd_minhash_sig" -> ((s, dir) =>
-      Dedup.minhashOver(
-        Dedup.charShingles(ddInput(s, dir), "doc_id", "text", 8)
-          .withColumnRenamed("shingle", "unit"), "doc_id", "unit", 8)),
+      Dedup.minhashShingles(ddInput(s, dir), "doc_id", "text", 8, 8)),
 
     "dd_minhash_pairs" -> ((s, dir) => {
       val input = ddInput(s, dir)
+      // signatures come from the narrow single-pass kernel (zero shuffle);
+      // only the exact-Jaccard verification needs the shingle table
+      val sigs = Dedup.minhashShingles(input, "doc_id", "text", 8, 8)
+      val pairs = Dedup.candidatePairs(Dedup.minhashBands(sigs, "doc_id", 4), "doc_id")
       val sh = Dedup.charShingles(input, "doc_id", "text", 8)
         .withColumnRenamed("shingle", "token")
-      val sigs = Dedup.minhashOver(sh.withColumnRenamed("token", "unit"), "doc_id", "unit", 8)
-      val pairs = Dedup.candidatePairs(Dedup.minhashBands(sigs, "doc_id", 4), "doc_id")
       Dedup.jaccardVerify(pairs, sh, "doc_id").where(col("jaccard") >= 0.5)
     }),
 
     "dd_simhash" -> ((s, dir) =>
       Dedup.simhash(ddInput(s, dir), "doc_id", "text")),
 
+    // pairing runs on SHINGLE simhash: token simhash degenerates on the
+    // 31-word vocabulary (near-identical fingerprints → mega-buckets →
+    // quadratic candidate blow-up: 97.9s in BENCH_r01); char-8 shingles
+    // keep fingerprints spread (max bucket ~3 here), and the narrow
+    // single-pass kernel fingerprints with zero shuffle
     "dd_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(Dedup.simhash(ddInput(s, dir), "doc_id", "text"), "doc_id", 3)),
+      Dedup.simhashPairs(
+        Dedup.simhashShingles(ddInput(s, dir), "doc_id", "text", 8), "doc_id", 3)),
 
     "dd_ngram_jaccard" -> ((s, dir) => {
       // all-pairs verification on a doc_id % 4 == 0 subset — the exact
@@ -106,12 +136,21 @@ object DataOps {
       Similarity.lshBuckets(emb(s, dir), "vec_id", "embedding", 8)),
 
     "sim_ann_topk" -> ((s, dir) =>
-      Similarity.annTopK(emb(s, dir), "vec_id", "embedding", 5, 8)),
+      Similarity.annTopK(emb(s, dir), "vec_id", "embedding", 5, 4, 8)),
 
     // max pairwise cosine in the synthetic embeddings is ~0.51 → 0.35
     // keeps the near-dup path exercised with a non-empty result
     "sim_cosine_neardups" -> ((s, dir) =>
-      Similarity.cosineNearDups(emb(s, dir), "vec_id", "embedding", 0.35, 4)),
+      Similarity.cosineNearDups(emb(s, dir), "vec_id", "embedding", 0.35, 4, 8)),
+
+    // R4 incremental add: index the delta only, union with the base index
+    // (≡ full rebuild — deterministic planes)
+    "sim_incremental_add" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.incrementalIndex(
+        e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", 8)
+    }),
 
     // ---- text analysis ----
     "ta_langid" -> ((s, dir) =>
@@ -281,9 +320,70 @@ object DataOps {
         |       md5(text) AS content_md5,
         |       concat_ws('', substr(text, 1, 1), substr(text, 101, 1), substr(text, 201, 1),
         |                 substr(text, 301, 1), substr(text, 401, 1)) AS frame_sample
-        |FROM documents""".stripMargin)
-    // dd_minhash_pairs included above; dd_simhash_pairs, sim_ann_topk,
-    // sim_cosine_neardups, mm_decode_stub are rows-only (LSH candidate
-    // joins / mapPartitions are not single-statement-SQL shapes worth
-    // maintaining twice — their components are oracle-checked separately)
+        |FROM documents""".stripMargin,
+
+    "dd_simhash_pairs" ->
+      s"""WITH $ddInputSql, $shinglesSql,
+         |sh AS (
+         |  SELECT doc_id, string_agg(b, '' ORDER BY k) AS simhash FROM (
+         |    SELECT doc_id, k,
+         |           CASE WHEN sum(((strpos('0123456789abcdef', substr(md5(shingle), (k // 4)::INT + 1, 1)) - 1)
+         |                          >> (3 - k % 4) & 1) * 2 - 1) > 0
+         |                THEN '1' ELSE '0' END AS b
+         |    FROM shingles, generate_series(0, 63) AS t(k) GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |chunks AS (
+         |  SELECT doc_id, simhash, c, substr(simhash, c * 16 + 1, 16) AS chunk
+         |  FROM sh, generate_series(0, 3) AS t(c)),
+         |keptc AS (
+         |  SELECT c, chunk FROM chunks GROUP BY 1, 2 HAVING count(*) <= 100000),
+         |inb AS (SELECT ch.* FROM chunks ch JOIN keptc USING (c, chunk)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.simhash AS s1, b.simhash AS s2
+         |  FROM inb a JOIN inb b USING (c, chunk) WHERE a.doc_id < b.doc_id)
+         |SELECT id1, id2,
+         |       len(list_filter(generate_series(1, 64), i -> substr(s1, i::int, 1) <> substr(s2, i::int, 1))) AS hamming
+         |FROM cand
+         |WHERE len(list_filter(generate_series(1, 64), i -> substr(s1, i::int, 1) <> substr(s2, i::int, 1))) <= 3""".stripMargin,
+
+    "sim_ann_topk" ->
+      s"""WITH $bandedCandSql,
+         |sym AS (SELECT id1 AS probe_id, id2 AS neighbor_id FROM cand
+         |        UNION ALL SELECT id2, id1 FROM cand),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |scored AS (
+         |  SELECT s.probe_id, s.neighbor_id,
+         |         round(list_dot_product(p.e, c.e) /
+         |               (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))), 4) AS cos_sim
+         |  FROM sym s JOIN v p ON p.vec_id = s.probe_id JOIN v c ON c.vec_id = s.neighbor_id)
+         |SELECT probe_id, neighbor_id, cos_sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    "sim_cosine_neardups" ->
+      s"""WITH $bandedCandSql,
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+         |SELECT id1, id2,
+         |       round(list_dot_product(a.e, b.e) /
+         |             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cos_sim
+         |FROM cand JOIN v a ON a.vec_id = id1 JOIN v b ON b.vec_id = id2
+         |WHERE round(list_dot_product(a.e, b.e) /
+         |            (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.35""".stripMargin,
+
+    "sim_incremental_add" ->
+      """WITH dims AS (
+        |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+        |         generate_subscripts(embedding, 1) - 1 AS i
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |         sum(x * (strpos('0123456789abcdef',
+        |                         substr(md5(p::VARCHAR || ':' || i::VARCHAR), (i % 32)::INT + 1, 1)) - 1 - 7.5)) AS dot
+        |  FROM dims, generate_series(0, 7) AS t(p) GROUP BY 1, 2)
+        |SELECT vec_id, string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket,
+        |       CASE WHEN vec_id % 2 = 0 THEN 'base' ELSE 'delta' END AS src
+        |FROM dots GROUP BY 1, 3""".stripMargin)
+    // dd_minhash_pairs included above; mm_decode_stub stays rows-only
+    // (mapPartitions stub decode is not a SQL shape; its sniffing and
+    // shape are OpsSpec-tested)
 }

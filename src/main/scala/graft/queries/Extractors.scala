@@ -72,6 +72,87 @@ object Extractors {
   private val stopwordList: String =
     RefAnalyzers.Stopwords.toSeq.sorted.map(w => s"'$w'").mkString(",")
 
+  /** Keyword-merge CTE chain (A2-A4, document_analyzer.py:171-222) over
+    * relation `rel` with text column `txt`; yields
+    * `kw_pick(doc_id, position, keyword)` (positions 1-20, bigrams
+    * first). Shared by a4_keywords (over documents) and en_questions /
+    * s7_report (over the enriched text). */
+  private def keywordCtes(rel: String, txt: String): String =
+    s"""toklist AS (
+       |  SELECT doc_id, list_filter(regexp_extract_all(lower($txt), '\\b[a-zA-Z]{3,}\\b'),
+       |           x -> x NOT IN ($stopwordList) AND strlen(x) <= 25) AS toks
+       |  FROM $rel),
+       |tok AS (
+       |  SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS i FROM toklist),
+       |uni AS (
+       |  SELECT doc_id, token, count(*) AS c, min(i) AS fi FROM tok GROUP BY 1, 2),
+       |uni_r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, fi ASC) AS rn FROM uni),
+       |top_uni AS (
+       |  SELECT doc_id, token, c, fi,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY rn) AS urank
+       |  FROM uni_r WHERE rn <= 40 AND c >= 2),
+       |bi0 AS (
+       |  SELECT doc_id, unnest(bgs) AS bg, generate_subscripts(bgs, 1) AS i
+       |  FROM (SELECT doc_id,
+       |          list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+       |            i -> CASE WHEN toks[i] <> toks[i + 1] THEN toks[i] || ' ' || toks[i + 1] END) AS bgs
+       |        FROM toklist)),
+       |bi AS (
+       |  SELECT doc_id, bg, min(i) AS fi, count(*) AS c
+       |  FROM bi0 WHERE bg IS NOT NULL GROUP BY 1, 2),
+       |bi_r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, fi ASC) AS rn FROM bi),
+       |bi8 AS (
+       |  SELECT doc_id, bg,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY rn) AS brank
+       |  FROM bi_r WHERE rn <= 15 AND c >= 3
+       |  QUALIFY brank <= 8),
+       |nbig AS (SELECT doc_id, count(*) AS nb FROM bi8 GROUP BY 1),
+       |seen AS (
+       |  SELECT DISTINCT doc_id, unnest(string_split(bg, ' ')) AS w FROM bi8),
+       |uni_elig AS (
+       |  SELECT u.doc_id, u.token, u.urank
+       |  FROM top_uni u
+       |  LEFT JOIN seen s ON s.doc_id = u.doc_id AND s.w = u.token
+       |  WHERE s.w IS NULL AND regexp_matches(u.token, '[aeiou]')),
+       |uni_pick AS (
+       |  SELECT e.doc_id, e.token,
+       |         row_number() OVER (PARTITION BY e.doc_id ORDER BY e.urank) AS prank,
+       |         coalesce(n.nb, 0) AS nb
+       |  FROM uni_elig e LEFT JOIN nbig n ON n.doc_id = e.doc_id),
+       |kw_pick AS (
+       |  SELECT doc_id, brank::BIGINT AS position, bg AS keyword FROM bi8
+       |  UNION ALL
+       |  SELECT doc_id, (nb + prank)::BIGINT AS position, token AS keyword
+       |  FROM uni_pick WHERE nb + prank <= 20)""".stripMargin
+
+  /** E13 summary CTE over `enr(doc_id, t)` → `summ(doc_id, summary)`.
+    * Python's sentence split `(?<=[.!?])\s+` needs lookbehind (not RE2);
+    * the equivalent lookaround-free form rewrites `([.!?])\s+` to
+    * `\1<US>` (same split points: `\s` can never be `[.!?]`) and splits
+    * on the U+001F sentinel. The fallback branch (no abstract, or ≤50
+    * chars) is provably dead on the enriched corpus (every doc has an
+    * Abstract header and a >50-char abstract), so only the abstract path
+    * is expressed. */
+  private val summaryCte: String =
+    """abs AS (
+      |  SELECT doc_id,
+      |         trim(regexp_extract(t,
+      |           '(?is)(?:abstract|summary)\s*[:\n]\s*(.*?)(?:\n\s*(?:introduction|keywords|1\.|1\s|I\.))',
+      |           1), ' ' || chr(10) || chr(9)) AS a
+      |  FROM enr),
+      |summ AS (
+      |  SELECT doc_id,
+      |         array_to_string(
+      |           list_filter(
+      |             list_transform(
+      |               string_split(regexp_replace(a, '([.!?])\s+', '\1' || chr(31), 'g'), chr(31)),
+      |               x -> trim(x, ' ' || chr(10) || chr(9))),
+      |             x -> strlen(x) > 20)[1:5],
+      |           ' ') AS summary
+      |  FROM abs)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C1 over live-pattern-rich input (email, brackets, html, non-ASCII)
     "en_clean" -> ((s, dir) =>
@@ -143,17 +224,77 @@ object Extractors {
         .select(col("doc_id"), posexplode(Udfs.keywords(col("text"))).as(Seq("pos", "keyword")))
         .select(col("doc_id"), (col("pos") + 1).as("position"), col("keyword"))),
 
-    // E13 extractive summary (golden-tested; sentence split needs
-    // lookbehind — not RE2-expressible, rows-only here)
+    // E13 extractive summary (lookbehind sentence split reproduced in
+    // DuckDB via a sentinel rewrite — see summaryCte)
     "en_summary" -> ((s, dir) =>
       enrDf(s, dir).select(col("doc_id"), Udfs.summary(col("t")).as("summary"))),
 
-    // E12 suggested questions (golden-tested; rows-only)
+    // E12 suggested questions
     "en_questions" -> ((s, dir) =>
       enrDf(s, dir)
         .select(col("doc_id"),
           posexplode(Udfs.suggestedQuestions(col("t"))).as(Seq("pos", "question")))
-        .select(col("doc_id"), (col("pos") + 1).as("position"), col("question"))))
+        .select(col("doc_id"), (col("pos") + 1).as("position"), col("question"))),
+
+    // Q2 — relevance gate (/root/reference/src/conversation.py:172-174,
+    // config.py:25): a generated answer/summary shorter than
+    // MIN_ANSWER_LENGTH=30 is discarded as irrelevant
+    "en_relevance_gate" -> ((s, dir) =>
+      enrDf(s, dir)
+        .select(col("doc_id"), Udfs.summary(col("t")).as("summary"))
+        .where(length(col("summary")) >= 30)),
+
+    // S7 — notes/export sink (/root/reference/app_enhanced.py:1517-1564
+    // download_notes): one formatted markdown report per document,
+    // assembled from the extracted metadata + stats + summary; at scale
+    // this is `df.write.text` over the final tables
+    "s7_report" -> ((s, dir) =>
+      enrDf(s, dir)
+        .select(col("doc_id"), Udfs.metadata(col("t")).as("m"),
+          Udfs.docStats(col("t")).as("d"), Udfs.summary(col("t")).as("summary"))
+        .select(col("doc_id"), concat(
+          lit("# "), coalesce(col("m._1"), lit("(untitled)")),
+          lit("\nAuthors: "), concat_ws(", ", col("m._2")),
+          lit("\nYear: "), coalesce(col("m._3"), lit("?")),
+          lit("\nWords: "), col("d._1").cast("string"),
+          lit("\nReading time: "), col("d._2"),
+          lit("\nSummary: "), col("summary")).as("report"))))
+
+  /** E1-E4 metadata CTEs over `enr(doc_id, t)` → `metax(doc_id, title,
+    * authors LIST, year, doi)` (title = longest of the first 8 nonempty
+    * lines within length bounds; authors = first 10 from the anchored
+    * author-line regex — middle initials required, a golden-pinned
+    * reference quirk). */
+  private val metaCtes: String =
+    """lines AS (
+      |  SELECT doc_id, trim(unnest(string_split(t, chr(10)))) AS line,
+      |         generate_subscripts(string_split(t, chr(10)), 1) AS idx
+      |  FROM enr),
+      |cand AS (
+      |  SELECT doc_id, line, row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS lineno
+      |  FROM lines WHERE line <> ''),
+      |title AS (
+      |  SELECT doc_id, line AS title,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY strlen(line) DESC, lineno ASC) AS rn
+      |  FROM cand
+      |  WHERE lineno <= 8 AND strlen(line) > 10 AND strlen(line) < 250
+      |    AND NOT regexp_matches(line, '^\d+$')
+      |    AND NOT regexp_matches(line, '^(?i)(abstract|introduction|page)')),
+      |meta AS (
+      |  SELECT doc_id, t,
+      |         substr(t, 1, strpos(lower(t), 'abstract') - 1) AS pre
+      |  FROM enr),
+      |metax AS (
+      |  SELECT m.doc_id,
+      |         (SELECT title FROM title WHERE title.doc_id = m.doc_id AND rn = 1) AS title,
+      |         list_filter(list_transform(
+      |           regexp_split_to_array(
+      |             regexp_extract(pre, '(?:^|\n)\s*([A-Z][a-z]+(?:\s+[A-Z]\.?\s*)?[A-Z][a-z]+(?:\s*,\s*[A-Z][a-z]+(?:\s+[A-Z]\.?\s*)?[A-Z][a-z]+)+)', 1),
+      |             ',\s*(?:and\s+)?'),
+      |           x -> trim(x)), x -> x <> '')[1:10] AS authors,
+      |         regexp_extract(substr(t, 1, 3000), '\b(19|20)\d{2}\b', 0) AS year,
+      |         rtrim(regexp_extract(substr(t, 1, 5000), '(10\.\d{4,}/[^\s]+)', 1), '.') AS doi
+      |  FROM meta m)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "en_clean" ->
@@ -168,34 +309,9 @@ object Extractors {
 
     "en_metadata" ->
       s"""WITH $enrSql,
-         |lines AS (
-         |  SELECT doc_id, trim(unnest(string_split(t, chr(10)))) AS line,
-         |         generate_subscripts(string_split(t, chr(10)), 1) AS idx
-         |  FROM enr),
-         |cand AS (
-         |  SELECT doc_id, line, row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS lineno
-         |  FROM lines WHERE line <> ''),
-         |title AS (
-         |  SELECT doc_id, line AS title,
-         |         row_number() OVER (PARTITION BY doc_id ORDER BY strlen(line) DESC, lineno ASC) AS rn
-         |  FROM cand
-         |  WHERE lineno <= 8 AND strlen(line) > 10 AND strlen(line) < 250
-         |    AND NOT regexp_matches(line, '^\\d+$$')
-         |    AND NOT regexp_matches(line, '^(?i)(abstract|introduction|page)')),
-         |meta AS (
-         |  SELECT doc_id, t,
-         |         substr(t, 1, strpos(lower(t), 'abstract') - 1) AS pre
-         |  FROM enr)
-         |SELECT m.doc_id,
-         |       (SELECT title FROM title WHERE title.doc_id = m.doc_id AND rn = 1) AS title,
-         |       array_to_string(list_filter(
-         |         regexp_split_to_array(
-         |           regexp_extract(pre, '(?:^|\\n)\\s*([A-Z][a-z]+(?:\\s+[A-Z]\\.?\\s*)?[A-Z][a-z]+(?:\\s*,\\s*[A-Z][a-z]+(?:\\s+[A-Z]\\.?\\s*)?[A-Z][a-z]+)+)', 1),
-         |           ',\\s*(?:and\\s+)?'),
-         |         x -> trim(x) <> ''), '|') AS authors,
-         |       regexp_extract(substr(t, 1, 3000), '\\b(19|20)\\d{2}\\b', 0) AS year,
-         |       rtrim(regexp_extract(substr(t, 1, 5000), '(10\\.\\d{4,}/[^\\s]+)', 1), '.') AS doi
-         |FROM meta m""".stripMargin,
+         |$metaCtes
+         |SELECT doc_id, title, array_to_string(authors, '|') AS authors, year, doi
+         |FROM metax""".stripMargin,
 
     "en_sections" ->
       s"""WITH $enrSql
@@ -281,51 +397,67 @@ object Extractors {
          |SELECT doc_id, bigram, count(*) AS cnt FROM bi GROUP BY 1, 2""".stripMargin,
 
     "a4_keywords" ->
-      s"""WITH toklist AS (
-         |  SELECT doc_id, list_filter(regexp_extract_all(lower(text), '\\b[a-zA-Z]{3,}\\b'),
-         |           x -> x NOT IN ($stopwordList) AND strlen(x) <= 25) AS toks
-         |  FROM documents),
-         |tok AS (
-         |  SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS i FROM toklist),
-         |uni AS (
-         |  SELECT doc_id, token, count(*) AS c, min(i) AS fi FROM tok GROUP BY 1, 2),
-         |uni_r AS (
-         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, fi ASC) AS rn FROM uni),
-         |top_uni AS (
-         |  SELECT doc_id, token, c, fi,
-         |         row_number() OVER (PARTITION BY doc_id ORDER BY rn) AS urank
-         |  FROM uni_r WHERE rn <= 40 AND c >= 2),
-         |bi0 AS (
-         |  SELECT doc_id, unnest(bgs) AS bg, generate_subscripts(bgs, 1) AS i
-         |  FROM (SELECT doc_id,
-         |          list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
-         |            i -> CASE WHEN toks[i] <> toks[i + 1] THEN toks[i] || ' ' || toks[i + 1] END) AS bgs
-         |        FROM toklist)),
-         |bi AS (
-         |  SELECT doc_id, bg, min(i) AS fi, count(*) AS c
-         |  FROM bi0 WHERE bg IS NOT NULL GROUP BY 1, 2),
-         |bi_r AS (
-         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, fi ASC) AS rn FROM bi),
-         |bi8 AS (
-         |  SELECT doc_id, bg,
-         |         row_number() OVER (PARTITION BY doc_id ORDER BY rn) AS brank
-         |  FROM bi_r WHERE rn <= 15 AND c >= 3
-         |  QUALIFY brank <= 8),
-         |nbig AS (SELECT doc_id, count(*) AS nb FROM bi8 GROUP BY 1),
-         |seen AS (
-         |  SELECT DISTINCT doc_id, unnest(string_split(bg, ' ')) AS w FROM bi8),
-         |uni_elig AS (
-         |  SELECT u.doc_id, u.token, u.urank
-         |  FROM top_uni u
-         |  LEFT JOIN seen s ON s.doc_id = u.doc_id AND s.w = u.token
-         |  WHERE s.w IS NULL AND regexp_matches(u.token, '[aeiou]')),
-         |uni_pick AS (
-         |  SELECT e.doc_id, e.token,
-         |         row_number() OVER (PARTITION BY e.doc_id ORDER BY e.urank) AS prank,
-         |         coalesce(n.nb, 0) AS nb
-         |  FROM uni_elig e LEFT JOIN nbig n ON n.doc_id = e.doc_id)
-         |SELECT doc_id, brank::BIGINT AS position, bg AS keyword FROM bi8
-         |UNION ALL
-         |SELECT doc_id, (nb + prank)::BIGINT AS position, token AS keyword
-         |FROM uni_pick WHERE nb + prank <= 20""".stripMargin)
+      s"""WITH ${keywordCtes("documents", "text")}
+         |SELECT doc_id, position, keyword FROM kw_pick""".stripMargin,
+
+    "en_summary" ->
+      s"""WITH $enrSql,
+         |$summaryCte
+         |SELECT doc_id, summary FROM summ""".stripMargin,
+
+    "en_relevance_gate" ->
+      s"""WITH $enrSql,
+         |$summaryCte
+         |SELECT doc_id, summary FROM summ WHERE strlen(summary) >= 30""".stripMargin,
+
+    "en_questions" ->
+      s"""WITH $enrSql,
+         |${keywordCtes("enr", "t")},
+         |hits AS (
+         |  SELECT doc_id, x.ord, x.q
+         |  FROM enr, (VALUES
+         |    (1, 'What methodology or approach does this paper use?', '\\b(?:method|methodology|approach)\\b'),
+         |    (2, 'What are the main results and findings?', '\\b(?:result|finding|experiment)\\b'),
+         |    (3, 'What are the conclusions and limitations?', '\\b(?:conclusion|future work|limitation)\\b'),
+         |    (4, 'What are the key contributions of this work?', '\\b(?:contribut|novel|propos)\\b'),
+         |    (5, 'How does this approach compare to existing methods?', '\\b(?:compar|baseline|benchmark|state.of.the.art)\\b')
+         |  ) AS x(ord, q, re)
+         |  WHERE regexp_matches(lower(t), x.re)),
+         |kw1 AS (SELECT doc_id, keyword FROM kw_pick WHERE position = 1),
+         |allq AS (
+         |  SELECT doc_id, ord, q FROM hits
+         |  UNION ALL
+         |  SELECT doc_id, 6 AS ord,
+         |         'Can you explain the role of ''' || keyword || ''' in this paper?' AS q
+         |  FROM kw1),
+         |fallback AS (
+         |  SELECT e.doc_id, x.ord, x.q
+         |  FROM enr e, (VALUES
+         |    (11, 'What is this paper about?'),
+         |    (12, 'What problem does this paper address?')) AS x(ord, q)
+         |  WHERE e.doc_id NOT IN (SELECT doc_id FROM allq))
+         |SELECT doc_id, position, question FROM (
+         |  SELECT doc_id, q AS question,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS position
+         |  FROM (SELECT * FROM allq UNION ALL SELECT * FROM fallback))
+         |WHERE position <= 5""".stripMargin,
+
+    "s7_report" ->
+      s"""WITH $enrSql,
+         |$metaCtes,
+         |$summaryCte,
+         |stats AS (
+         |  SELECT doc_id,
+         |         len(list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> '')) AS words
+         |  FROM enr)
+         |SELECT x.doc_id,
+         |       '# ' || coalesce(x.title, '(untitled)') ||
+         |       chr(10) || 'Authors: ' || array_to_string(x.authors, ', ') ||
+         |       chr(10) || 'Year: ' || coalesce(nullif(x.year, ''), '?') ||
+         |       chr(10) || 'Words: ' || st.words ||
+         |       chr(10) || 'Reading time: ' || greatest(1, ceil(st.words / 250.0))::INT || ' min' ||
+         |       chr(10) || 'Summary: ' || sm.summary AS report
+         |FROM metax x
+         |JOIN stats st ON st.doc_id = x.doc_id
+         |JOIN summ sm ON sm.doc_id = x.doc_id""".stripMargin)
 }
