@@ -18,7 +18,7 @@ object SparkEntry {
     * exercises extraction, linking, canonicalization, and the nodes
     * table in one query. */
   def entry(spark: SparkSession): DataFrame =
-    kgRun(spark, "/root/testdata/sf0.001")._2.nodes
+    graft.queries.KgQueries.kgRun(spark, "/root/testdata/sf0.001")._2.nodes
       .where(col("n_urls") >= 2)
       .select(col("canonical_name"), col("kind"), col("n_urls"), col("n_mentions"))
       .orderBy(col("n_urls").desc, col("canonical_name").asc)
@@ -35,19 +35,9 @@ object SparkEntry {
       "'<[^>]+>', '', 'g'), " +
       "'\\s+', ' ', 'g'))"
 
-  /** KG pipeline runs once per (sfDir) and is shared by the kg_* queries
-    * (Verify calls every query; the pipeline shouldn't run three times). */
-  private val kgCache = scala.collection.concurrent.TrieMap.empty[String, (String, Pipeline.Result)]
-  private def kgRun(s: SparkSession, dir: String): (String, Pipeline.Result) =
-    kgCache.getOrElseUpdate(dir, {
-      val nDocs = if (dir.contains("0.1")) 2000L else if (dir.contains("0.01")) 1000L else 300L
-      val work = java.nio.file.Files.createTempDirectory("kgq").toString
-      (work, Pipeline.run(s, PagesGen.pages(s, nDocs), Pipeline.Config(work, nPartitions = 16)))
-    })
-
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     base ++ graft.queries.Relational.queries ++ graft.queries.DataOps.queries ++
-      graft.queries.Extractors.queries
+      graft.queries.Extractors.queries ++ graft.queries.KgQueries.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C1 — the byte-identity kernel (SURVEY §2.3)
@@ -62,37 +52,7 @@ object SparkEntry {
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_revenue"),
-          count(lit(1)).as("n_rows"))),
-
-    // KG pipeline outputs (north_star) — non-SQL-expressible (regex-UDF
-    // extraction + iterative CC); correctness is gated by PipelineSpec's
-    // P/R=1.0 oracle test, driver records rows-only here.
-    "kg_nodes" -> ((s, dir) =>
-      kgRun(s, dir)._2.nodes
-        .select(col("entity_id"), col("canonical_name"), col("kind"),
-          concat_ws("|", col("aliases")).as("aliases"), col("n_mentions"), col("n_urls"))),
-    "kg_edges" -> ((s, dir) =>
-      kgRun(s, dir)._2.edges),
-    "kg_triples" -> ((s, dir) =>
-      s.read.parquet(kgRun(s, dir)._1 + "/triples")
-        .select("url", "pred", "obj", "kind", "weight")),
-
-    // per-partition lineage + stage metrics (north_rule artifact)
-    "kg_metrics" -> ((s, dir) => {
-      val work = kgRun(s, dir)._1
-      s.read.parquet(s"$work/metrics_partition")
-        .select(col("stage"), col("partition_id"), col("rows"))
-    }),
-
-    // K1/K2 — reference chunker over cleaned docs (greedy 1500-char word
-    // packing, section=None on newline-free input — SURVEY §2.4 quirk);
-    // golden-tested, rows-only here (word-streaming flush isn't SQL)
-    "kg_chunks" -> ((s, dir) =>
-      tbl(s, dir, "documents")
-        .select(col("doc_id"), posexplode(Udfs.chunkText(Udfs.cleanText(col("text"))))
-          .as(Seq("chunk_id", "c")))
-        .select(col("doc_id"), col("chunk_id"), col("c.content").as("content"),
-          col("c.section").as("section")))
+          count(lit(1)).as("n_rows")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -103,5 +63,5 @@ object SparkEntry {
         "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue, " +
         "count(*) AS n_rows FROM lineitem GROUP BY 1, 2")
   ) ++ graft.queries.Relational.oracles ++ graft.queries.DataOps.oracles ++
-    graft.queries.Extractors.oracles
+    graft.queries.Extractors.oracles ++ graft.queries.KgQueries.oracles
 }

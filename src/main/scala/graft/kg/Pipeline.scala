@@ -200,9 +200,13 @@ object Pipeline {
       .groupBy($"component", $"entity_key", $"kind")
       .agg(sum($"weight").as("w"))
 
+    // kind joins the ordering: the same key can carry two kinds in one
+    // component (a resolved acronym mention lands on its expansion's key
+    // with kind 'acronym') and a (w, key) tie between them would make
+    // row_number nondeterministic
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy($"component")
-      .orderBy($"w".desc, $"entity_key".asc)
+      .orderBy($"w".desc, $"entity_key".asc, $"kind".asc)
     val ranked = perKey.withColumn("rn", row_number().over(win))
 
     // aliases include resolved surface forms (an ambiguous acronym like

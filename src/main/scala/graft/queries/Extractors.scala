@@ -72,12 +72,22 @@ object Extractors {
   private val stopwordList: String =
     RefAnalyzers.Stopwords.toSeq.sorted.map(w => s"'$w'").mkString(",")
 
+  /** E5 section-header regex (RE2 form of RefAnalyzers.sectionHeaderPat);
+    * capture group 2 is the section name. */
+  private[queries] val sectionRegexSql: String =
+    "(?im)(?:^|\\n)\\s*(\\d+\\.?\\s+)?(Abstract|Introduction|Related\\s+Work|Background|" +
+      "Method(?:ology|s)?|Approach|Framework|" +
+      "Experiment(?:s|al)?(?:\\s+(?:Setup|Results))?|" +
+      "Results?(?:\\s+and\\s+Discussion)?|Discussion|Analysis|Evaluation|" +
+      "Conclusion(?:s)?(?:\\s+and\\s+Future\\s+Work)?|Future\\s+Work|Limitations|" +
+      "Acknowledgment(?:s)?|References|Appendix)\\s*(?:\\n|$)"
+
   /** Keyword-merge CTE chain (A2-A4, document_analyzer.py:171-222) over
     * relation `rel` with text column `txt`; yields
     * `kw_pick(doc_id, position, keyword)` (positions 1-20, bigrams
-    * first). Shared by a4_keywords (over documents) and en_questions /
-    * s7_report (over the enriched text). */
-  private def keywordCtes(rel: String, txt: String): String =
+    * first). Shared by a4_keywords (over documents), en_questions /
+    * s7_report (over the enriched text), and the kg_* oracles. */
+  private[queries] def keywordCtes(rel: String, txt: String): String =
     s"""toklist AS (
        |  SELECT doc_id, list_filter(regexp_extract_all(lower($txt), '\\b[a-zA-Z]{3,}\\b'),
        |           x -> x NOT IN ($stopwordList) AND strlen(x) <= 25) AS toks
@@ -127,31 +137,33 @@ object Extractors {
        |  SELECT doc_id, (nb + prank)::BIGINT AS position, token AS keyword
        |  FROM uni_pick WHERE nb + prank <= 20)""".stripMargin
 
-  /** E13 summary CTE over `enr(doc_id, t)` → `summ(doc_id, summary)`.
+  /** E13 summary CTE over `rel(doc_id, t)` → `summ(doc_id, summary)`.
     * Python's sentence split `(?<=[.!?])\s+` needs lookbehind (not RE2);
     * the equivalent lookaround-free form rewrites `([.!?])\s+` to
     * `\1<US>` (same split points: `\s` can never be `[.!?]`) and splits
     * on the U+001F sentinel. The fallback branch (no abstract, or ≤50
-    * chars) is provably dead on the enriched corpus (every doc has an
+    * chars) is provably dead on the enriched corpora (every doc has an
     * Abstract header and a >50-char abstract), so only the abstract path
     * is expressed. */
-  private val summaryCte: String =
-    """abs AS (
+  private[queries] def summaryCteOver(rel: String): String =
+    s"""abs AS (
       |  SELECT doc_id,
       |         trim(regexp_extract(t,
-      |           '(?is)(?:abstract|summary)\s*[:\n]\s*(.*?)(?:\n\s*(?:introduction|keywords|1\.|1\s|I\.))',
+      |           '(?is)(?:abstract|summary)\\s*[:\\n]\\s*(.*?)(?:\\n\\s*(?:introduction|keywords|1\\.|1\\s|I\\.))',
       |           1), ' ' || chr(10) || chr(9)) AS a
-      |  FROM enr),
+      |  FROM $rel),
       |summ AS (
       |  SELECT doc_id,
       |         array_to_string(
       |           list_filter(
       |             list_transform(
-      |               string_split(regexp_replace(a, '([.!?])\s+', '\1' || chr(31), 'g'), chr(31)),
+      |               string_split(regexp_replace(a, '([.!?])\\s+', '\\1' || chr(31), 'g'), chr(31)),
       |               x -> trim(x, ' ' || chr(10) || chr(9))),
       |             x -> strlen(x) > 20)[1:5],
       |           ' ') AS summary
       |  FROM abs)""".stripMargin
+
+  private val summaryCte: String = summaryCteOver("enr")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C1 over live-pattern-rich input (email, brackets, html, non-ASCII)
@@ -260,16 +272,16 @@ object Extractors {
           lit("\nReading time: "), col("d._2"),
           lit("\nSummary: "), col("summary")).as("report"))))
 
-  /** E1-E4 metadata CTEs over `enr(doc_id, t)` → `metax(doc_id, title,
+  /** E1-E4 metadata CTEs over `rel(doc_id, t)` → `metax(doc_id, title,
     * authors LIST, year, doi)` (title = longest of the first 8 nonempty
     * lines within length bounds; authors = first 10 from the anchored
     * author-line regex — middle initials required, a golden-pinned
     * reference quirk). */
-  private val metaCtes: String =
-    """lines AS (
+  private[queries] def metaCtesOver(rel: String): String =
+    s"""lines AS (
       |  SELECT doc_id, trim(unnest(string_split(t, chr(10)))) AS line,
       |         generate_subscripts(string_split(t, chr(10)), 1) AS idx
-      |  FROM enr),
+      |  FROM $rel),
       |cand AS (
       |  SELECT doc_id, line, row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS lineno
       |  FROM lines WHERE line <> ''),
@@ -278,23 +290,25 @@ object Extractors {
       |         row_number() OVER (PARTITION BY doc_id ORDER BY strlen(line) DESC, lineno ASC) AS rn
       |  FROM cand
       |  WHERE lineno <= 8 AND strlen(line) > 10 AND strlen(line) < 250
-      |    AND NOT regexp_matches(line, '^\d+$')
+      |    AND NOT regexp_matches(line, '^\\d+$$')
       |    AND NOT regexp_matches(line, '^(?i)(abstract|introduction|page)')),
       |meta AS (
       |  SELECT doc_id, t,
       |         substr(t, 1, strpos(lower(t), 'abstract') - 1) AS pre
-      |  FROM enr),
+      |  FROM $rel),
       |metax AS (
       |  SELECT m.doc_id,
       |         (SELECT title FROM title WHERE title.doc_id = m.doc_id AND rn = 1) AS title,
       |         list_filter(list_transform(
       |           regexp_split_to_array(
-      |             regexp_extract(pre, '(?:^|\n)\s*([A-Z][a-z]+(?:\s+[A-Z]\.?\s*)?[A-Z][a-z]+(?:\s*,\s*[A-Z][a-z]+(?:\s+[A-Z]\.?\s*)?[A-Z][a-z]+)+)', 1),
-      |             ',\s*(?:and\s+)?'),
+      |             regexp_extract(pre, '(?:^|\\n)\\s*([A-Z][a-z]+(?:\\s+[A-Z]\\.?\\s*)?[A-Z][a-z]+(?:\\s*,\\s*[A-Z][a-z]+(?:\\s+[A-Z]\\.?\\s*)?[A-Z][a-z]+)+)', 1),
+      |             ',\\s*(?:and\\s+)?'),
       |           x -> trim(x)), x -> x <> '')[1:10] AS authors,
-      |         regexp_extract(substr(t, 1, 3000), '\b(19|20)\d{2}\b', 0) AS year,
-      |         rtrim(regexp_extract(substr(t, 1, 5000), '(10\.\d{4,}/[^\s]+)', 1), '.') AS doi
+      |         regexp_extract(substr(t, 1, 3000), '\\b(19|20)\\d{2}\\b', 0) AS year,
+      |         rtrim(regexp_extract(substr(t, 1, 5000), '(10\\.\\d{4,}/[^\\s]+)', 1), '.') AS doi
       |  FROM meta m)""".stripMargin
+
+  private val metaCtes: String = metaCtesOver("enr")
 
   val oracles: Map[String, String] = Map(
     "en_clean" ->
@@ -316,7 +330,7 @@ object Extractors {
     "en_sections" ->
       s"""WITH $enrSql
          |SELECT doc_id, trim(unnest(regexp_extract_all(t,
-         |  '(?im)(?:^|\\n)\\s*(\\d+\\.?\\s+)?(Abstract|Introduction|Related\\s+Work|Background|Method(?:ology|s)?|Approach|Framework|Experiment(?:s|al)?(?:\\s+(?:Setup|Results))?|Results?(?:\\s+and\\s+Discussion)?|Discussion|Analysis|Evaluation|Conclusion(?:s)?(?:\\s+and\\s+Future\\s+Work)?|Future\\s+Work|Limitations|Acknowledgment(?:s)?|References|Appendix)\\s*(?:\\n|$$)',
+         |  '$sectionRegexSql',
          |  2))) AS name
          |FROM enr""".stripMargin,
 
