@@ -257,22 +257,24 @@ object Pipeline {
   private def writeStage(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Run independent stage writes as concurrent Spark jobs (one thread
+    * each): overlaps the serial tails (last straggler task, parquet
+    * commit, driver bookkeeping) that otherwise stack up per stage. */
+  private def inParallel(jobs: Seq[() => Unit]): Unit =
+    if (jobs.size <= 1) jobs.foreach(_.apply())
+    else {
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(jobs.size)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence(jobs.map(j => Future(j()))), Duration.Inf)
+      finally pool.shutdown()
+    }
+
   /** Run all stages with parquet checkpointing + resume. */
   def run(spark: SparkSession, pages: Dataset[Page], cfg: Config): Result = {
     import spark.implicits._
     val metrics = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
-
-    def stage[T](name: String, path: String)(compute: => DataFrame): DataFrame = {
-      val t0 = System.nanoTime()
-      if (!(cfg.resume && stageDone(spark, path))) {
-        writeStage(compute, path)
-      }
-      val df = spark.read.parquet(path)
-      // row counts only when metrics are on (each count is an extra job)
-      val rows = if (cfg.writeMetrics) df.count() else -1L
-      metrics += ((name, rows, (System.nanoTime() - t0) / 1000000L))
-      df
-    }
 
     val docsPath = s"${cfg.workDir}/clean_docs"
     val triplesPath = s"${cfg.workDir}/triples"
@@ -280,13 +282,40 @@ object Pipeline {
     val nodesPath = s"${cfg.workDir}/nodes"
     val edgesPath = s"${cfg.workDir}/edges"
 
-    val docsDf = stage("extract_clean", docsPath) {
-      // raw_text is NOT persisted — the checkpoint carries derived bytes only
-      extractClean(spark, pages, cfg.nPartitions).toDF().drop("raw_text")
+    // ------- stages 1+2: ONE scan of the source, two concurrent writes.
+    // clean_docs and triples both derive from the same narrow raw-text
+    // extraction; running them as serial stages reads the (html-fat)
+    // source twice and serializes two full-corpus barriers (the residual
+    // scaling gap in BENCH/BASELINE.md r01). The slim raw intermediate is
+    // persisted (memory, spill to disk) only when both writes actually
+    // run; concurrent Spark jobs dedupe cached partition computation at
+    // the block level, so the corpus is scanned once.
+    val needDocs = !(cfg.resume && stageDone(spark, docsPath))
+    val needTriples = !(cfg.resume && stageDone(spark, triplesPath))
+    if (needDocs || needTriples) {
+      val t0 = System.nanoTime()
+      val raw = pages.map(p => Schema.RawDoc(p.url, p.warc_ts, p.lang, rawText(p)))
+      val src =
+        if (needDocs && needTriples)
+          raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else raw
+      val work = Seq(
+        (needDocs, "extract_clean", () => writeStage(
+          src.map(d => CleanDoc(d.url, d.warc_ts, d.lang, null, RefText.cleanText(d.raw_text)))
+            .toDF().drop("raw_text"), docsPath)),
+        (needTriples, "triples", () => writeStage(
+          src.flatMap(d => triplesForDoc(d.url, d.raw_text)).toDF(), triplesPath)))
+        .collect { case (true, name, job) => (name, job) }
+      inParallel(work.map(_._2))
+      if (needDocs && needTriples) src.unpersist(false)
+      for ((name, _) <- work)
+        metrics += ((name, -1L, (System.nanoTime() - t0) / 1000000L))
     }
-
-    val triplesDf = stage("triples", triplesPath) {
-      triplesFromPages(spark, pages).toDF()
+    val docsDf = spark.read.parquet(docsPath)
+    val triplesDf = spark.read.parquet(triplesPath)
+    if (cfg.writeMetrics) {
+      metrics += (("extract_clean_rows", docsDf.count(), 0L))
+      metrics += (("triples_rows", triplesDf.count(), 0L))
     }
     val triples = triplesDf.as[Triple]
 
@@ -309,8 +338,9 @@ object Pipeline {
       val linked = linkedDf.as[Schema.LinkedMention]
       val t0 = System.nanoTime()
       val (n, e) = canonicalize(spark, linked, aliasDf)
-      writeStage(n, nodesPath)
-      writeStage(e, edgesPath)
+      // nodes and edges both read canonicalize's persisted label table —
+      // two independent writes, overlapped
+      inParallel(Seq(() => writeStage(n, nodesPath), () => writeStage(e, edgesPath)))
       spark.catalog.clearCache() // drop canonicalize's internal persist
       metrics += (("canonicalize", -1L, (System.nanoTime() - t0) / 1000000L))
     }

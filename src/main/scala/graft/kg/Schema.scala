@@ -14,6 +14,14 @@ object Schema {
       text: String,
       lang: String)
 
+  /** Slim single-scan intermediate: raw text extracted per url (html
+    * decoded at most once; the html column never travels further). */
+  final case class RawDoc(
+      url: String,
+      warc_ts: Timestamp,
+      lang: String,
+      raw_text: String)
+
   /** Stage-1 output: extracted + cleaned text per url. */
   final case class CleanDoc(
       url: String,
