@@ -70,6 +70,38 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n${plan(df)}")
   }
 
+  test("canonicalize degrades to a non-broadcast join when broadcast is off") {
+    // the canon/profile tables grow with the entity vocabulary: no FORCED
+    // broadcast hints anywhere in canonicalize/linking, so with broadcast
+    // disabled the join must degrade to SMJ/shuffled-hash — and produce
+    // identical results (the 10^8-entity-vocabulary survival test)
+    import graft.kg.{EntityLinking, PagesGen, Pipeline}
+    val triples = Pipeline.triplesFromPages(spark, PagesGen.pages(spark, 60L))
+    def edgesWith(conf: Map[String, String]): (String, Array[String]) = {
+      val old = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val (alias, linked) = EntityLinking.resolve(spark, triples)
+        val (_, edges) = Pipeline.canonicalize(spark, linked, alias)
+        val rows = edges.orderBy($"src_url", $"dst_name").collect()
+          .map(r => r.mkString("|"))
+        (plan(edges), rows)
+      } finally old.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val (_, withBroadcast) = edgesWith(Map.empty)
+    val (noBcPlan, noBroadcast) = edgesWith(Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"))
+    assert(!noBcPlan.contains("BroadcastHashJoin"),
+      "a forced broadcast hint survived:\n" + noBcPlan)
+    assert(withBroadcast.sameElements(noBroadcast),
+      "results must not depend on the join strategy")
+    spark.catalog.clearCache()
+  }
+
   test("per-url triple extraction is a purely narrow pass (zero shuffles)") {
     val pages = graft.kg.PagesGen.pages(spark, 10L)
     val triples = graft.kg.Pipeline.extractTriples(spark,
