@@ -86,9 +86,15 @@ class PlanSpec extends AnyFunSuite {
         val rows = edges.orderBy($"src_url", $"dst_name").collect()
           .map(r => r.mkString("|"))
         (plan(edges), rows)
-      } finally old.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
+      } finally {
+        // canonicalize persists its label table; the cache is keyed by
+        // logical plan and would leak the FIRST run's physical plan
+        // (with its broadcast joins) into the second run's explain
+        spark.catalog.clearCache()
+        old.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
       }
     }
     val (_, withBroadcast) = edgesWith(Map.empty)
@@ -99,7 +105,6 @@ class PlanSpec extends AnyFunSuite {
       "a forced broadcast hint survived:\n" + noBcPlan)
     assert(withBroadcast.sameElements(noBroadcast),
       "results must not depend on the join strategy")
-    spark.catalog.clearCache()
   }
 
   test("per-url triple extraction is a purely narrow pass (zero shuffles)") {
