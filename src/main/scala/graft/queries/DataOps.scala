@@ -166,11 +166,15 @@ object DataOps {
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(docs(s, dir), "doc_id", "text", 5, 100)),
     "mm_decode_stub" -> ((s, dir) => {
-      // binary column from text bytes; mapPartitions stub decoder
+      // binary column from text bytes; mapPartitions stub decoder. The
+      // embedding is projected as its integer numerators (e*128 — exact:
+      // the stub divides a small int by a power of two) so the oracle
+      // never compares float formatting.
       val bin = docs(s, dir).select(col("doc_id"), encode(col("text"), "utf-8").as("media"))
       Multimodal.decodeFeatures(s, bin, "doc_id", "media").toDF()
         .select(col("id"), col("n_bytes"), col("format"), col("width"),
-          col("height"), col("n_frames"), concat_ws(",", col("embedding")).as("embedding_csv"))
+          col("height"), col("n_frames"),
+          concat_ws(",", transform(col("embedding"), e => (e * 128).cast("int"))).as("emb_q"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -382,8 +386,30 @@ object DataOps {
         |  FROM dims, generate_series(0, 7) AS t(p) GROUP BY 1, 2)
         |SELECT vec_id, string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket,
         |       CASE WHEN vec_id % 2 = 0 THEN 'base' ELSE 'delta' END AS src
-        |FROM dots GROUP BY 1, 3""".stripMargin)
-    // dd_minhash_pairs included above; mm_decode_stub stays rows-only
-    // (mapPartitions stub decode is not a SQL shape; its sniffing and
-    // shape are OpsSpec-tested)
+        |FROM dots GROUP BY 1, 3""".stripMargin,
+
+    // The stub decoder is deterministic byte math (Multimodal.stubDecode):
+    // at(i) = byte[(i mod n)]; the docs corpus is pure ASCII (verified —
+    // strlen == octet_length), so ascii(substr) IS the byte. PNG/JPEG
+    // magic needs bytes >= 0x80, unreachable in ASCII → those sniff
+    // branches are provably dead here and omitted.
+    "mm_decode_stub" ->
+      """WITH b AS (SELECT doc_id, text, strlen(text) AS n FROM documents)
+        |SELECT doc_id AS id, n AS n_bytes,
+        |       CASE WHEN n = 0 THEN 'empty'
+        |            WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'
+        |            WHEN substr(text, 1, 4) = 'RIFF' THEN
+        |              CASE WHEN substr(text, 9, 4) = 'WAVE' THEN 'wav'
+        |                   WHEN substr(text, 9, 4) = 'AVI ' THEN 'avi'
+        |                   WHEN substr(text, 9, 4) = 'WEBP' THEN 'webp'
+        |                   ELSE 'riff' END
+        |            WHEN substr(text, 1, 1) = '<' THEN 'html'
+        |            ELSE 'bin' END AS format,
+        |       16 + ascii(substr(text, (1 % n) + 1, 1)) % 64 AS width,
+        |       16 + ascii(substr(text, (2 % n) + 1, 1)) % 64 AS height,
+        |       1 + ascii(substr(text, (3 % n) + 1, 1)) % 8 AS n_frames,
+        |       array_to_string(list_transform(generate_series(0, 7),
+        |         i -> (ascii(substr(text, ((i * 7) % n)::INT + 1, 1)) - 128)::VARCHAR), ',') AS emb_q
+        |FROM b""".stripMargin)
+    // dd_minhash_pairs included above
 }

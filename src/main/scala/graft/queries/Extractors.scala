@@ -256,6 +256,15 @@ object Extractors {
         .select(col("doc_id"), Udfs.summary(col("t")).as("summary"))
         .where(length(col("summary")) >= 30)),
 
+    // C4 — sanitize_html (/root/reference/app_enhanced.py:1256-1263):
+    // ordered HTML-entity escaping ('&' first so it never re-escapes the
+    // entities it introduces); pure codegen'd column ops, no UDF
+    "en_sanitize" -> ((s, dir) =>
+      enrDf(s, dir).select(col("doc_id"),
+        replace(replace(replace(replace(replace(col("t"),
+          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;")),
+          lit("\""), lit("&quot;")), lit("'"), lit("&#39;")).as("sanitized"))),
+
     // S7 — notes/export sink (/root/reference/app_enhanced.py:1517-1564
     // download_notes): one formatted markdown report per document,
     // assembled from the extracted metadata + stats + summary; at scale
@@ -423,6 +432,14 @@ object Extractors {
       s"""WITH $enrSql,
          |$summaryCte
          |SELECT doc_id, summary FROM summ WHERE strlen(summary) >= 30""".stripMargin,
+
+    "en_sanitize" ->
+      s"""WITH $enrSql
+         |SELECT doc_id,
+         |       replace(replace(replace(replace(replace(t,
+         |         '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+         |         '"', '&quot;'), chr(39), '&#39;') AS sanitized
+         |FROM enr""".stripMargin,
 
     "en_questions" ->
       s"""WITH $enrSql,

@@ -191,15 +191,16 @@ object KgQueries {
     }),
 
     // K1/K2 — reference chunker over cleaned docs (greedy 1500-char word
-    // packing; golden-tested, word-streaming flush isn't SQL → rows-only)
-    "kg_chunks" -> ((s, dir) => {
-      import s.implicits._
+    // packing, text_processor.py:152-235). Input is the text repeated 6×
+    // (~3.3k cleaned chars) so several flush boundaries actually fire —
+    // raw docs are <600 chars and would all be single-chunk. Oracle
+    // re-derives the sequential packing fold as a WITH RECURSIVE CTE.
+    "kg_chunks" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), posexplode(graft.kg.Udfs.chunkText(
-          graft.kg.Udfs.cleanText(col("text")))).as(Seq("chunk_id", "c")))
+          graft.kg.Udfs.cleanText(repeat(concat(col("text"), lit(" ")), 6)))).as(Seq("chunk_id", "c")))
         .select(col("doc_id"), col("chunk_id"), col("c.content").as("content"),
-          col("c.section").as("section"))
-    }))
+          col("c.section").as("section"))))
 
   // ---------------------------------------------------------------- oracles
   private val acronymBlacklistSql =
@@ -367,5 +368,39 @@ object KgQueries {
          |$graphCtes
          |SELECT p.url AS src_url, 'mentionsEntity' AS pred,
          |       c.canonical_name AS dst_name, p.weight
-         |FROM perurl p JOIN canon c USING (comp)""".stripMargin)
+         |FROM perurl p JOIN canon c USING (comp)""".stripMargin,
+
+    // K1/K2: the chunker's greedy packing is a sequential fold
+    // (curLen += len(word)+1, reset on >1500) — expressed as a recursive
+    // CTE advancing one word per step (depth = max words/doc, ~600 at
+    // sf0.01). On cleaned text (no newlines) headers never fire, so
+    // section is always NULL — the pinned reference quirk (SURVEY §2.4).
+    // Cleaned text is space-collapsed ASCII, so Py.split == split(' ')
+    // and Py.len == strlen.
+    "kg_chunks" ->
+      """WITH RECURSIVE clean AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |           lower(repeat(text || ' ', 6)),
+        |           '\b[\w.-]+?@\w+?\.\w+?\b', '', 'g'),
+        |           '\[[^\]]*\]', '', 'g'),
+        |           '[^\x00-\x7F]+', '', 'g'),
+        |           '<[^>]+>', '', 'g'),
+        |           '\s+', ' ', 'g')) AS c
+        |  FROM documents),
+        |wz AS (
+        |  SELECT doc_id, w, i, strlen(w) + 1 AS wl FROM (
+        |    SELECT doc_id, unnest(string_split(c, ' ')) AS w,
+        |           generate_subscripts(string_split(c, ' '), 1) AS i
+        |    FROM clean WHERE c <> '')),
+        |state AS (
+        |  SELECT doc_id, i, w, wl AS cur, 0 AS cid FROM wz WHERE i = 1
+        |  UNION ALL
+        |  SELECT n.doc_id, n.i, n.w,
+        |         CASE WHEN s.cur + n.wl > 1500 THEN n.wl ELSE s.cur + n.wl END,
+        |         CASE WHEN s.cur + n.wl > 1500 THEN s.cid + 1 ELSE s.cid END
+        |  FROM state s JOIN wz n ON n.doc_id = s.doc_id AND n.i = s.i + 1)
+        |SELECT doc_id, cid AS chunk_id, string_agg(w, ' ' ORDER BY i) AS content,
+        |       NULL::VARCHAR AS section
+        |FROM state GROUP BY 1, 2""".stripMargin)
 }
