@@ -71,7 +71,11 @@ object Bench {
     // the headline metric (BASELINE.json docs/sec) runs FIRST, in a clean
     // JVM — r01 ran it after 46 queries' worth of cached plans/GC/listener
     // state and underreported the engine 11× vs the dedicated scaling run
-    // (BENCH/BASELINE.md); measure before polluting the session
+    // (BENCH/BASELINE.md); measure before polluting the session.
+    // Untimed JIT warm-up first (same protocol as ScalingBench): a
+    // steady-state cluster job runs compiled code; timing C2 compilation
+    // of the regex kernels underreported the engine 2.6× at 20k docs.
+    kgBuild(spark, 2000L, cpus * 2)
     val (kgSec, docsPerSec, triplesPerSec, nTriples) = kgBuild(spark, kgDocs, cpus * 2)
     spark.catalog.clearCache()
 

@@ -94,7 +94,13 @@ object EntityLinking {
     * alias edges); ambiguous acronyms are resolved per url. */
   def resolve(spark: SparkSession, triples: Dataset[Triple]): (DataFrame, Dataset[LinkedMention]) = {
     import spark.implicits._
+    // both returned plans (alias edges AND resolved mentions) hang off
+    // this groupByKey shuffle; persisted so the caller's two stage writes
+    // (run concurrently in Pipeline.run) compute it once, not three times
+    // (isEmpty probe + each write). Caller drops it via clearCache after
+    // checkpointing.
     val pairs = urlAliasPairs(spark, triples)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (unambiguous, ambiguous) = splitAmbiguity(pairs)
     val mentions = triples
       .filter(_.pred == "mentionsEntity")

@@ -328,8 +328,12 @@ object Pipeline {
       } else {
         val t0 = System.nanoTime()
         val (edges, linked) = EntityLinking.resolve(spark, triples)
-        writeStage(edges, aliasPath)
-        writeStage(linked.toDF(), linkedPath)
+        // independent outputs sharing resolve's persisted pairs shuffle —
+        // overlapped like the stage-1/2 and nodes/edges write pairs
+        inParallel(Seq(
+          () => writeStage(edges, aliasPath),
+          () => writeStage(linked.toDF(), linkedPath)))
+        spark.catalog.clearCache() // drop resolve's internal pairs persist
         metrics += (("entity_linking", -1L, (System.nanoTime() - t0) / 1000000L))
         (spark.read.parquet(aliasPath), spark.read.parquet(linkedPath))
       }

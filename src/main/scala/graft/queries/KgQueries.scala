@@ -159,7 +159,11 @@ object KgQueries {
 
   def kgRun(s: SparkSession, dir: String): (String, Pipeline.Result) =
     kgCache.getOrElseUpdate(dir, {
-      val work = java.nio.file.Files.createTempDirectory("kgq").toString
+      // tmpfs when available, like Bench.kgBuild: the sandbox has one
+      // virtual disk whose contention is a box artifact, not the plan's
+      val base = if (new java.io.File("/dev/shm").isDirectory)
+        java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp")
+      val work = java.nio.file.Files.createTempDirectory(base, "kgq").toString
       (work, Pipeline.run(s, kgPages(s, dir), Pipeline.Config(work, nPartitions = 16)))
     })
 
