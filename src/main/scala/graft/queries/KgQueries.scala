@@ -194,6 +194,15 @@ object KgQueries {
         .select(col("stage"), col("partition_id"), col("rows"))
     }),
 
+    // the SQL-expressible slice of the lineage metrics: per-stage output
+    // row counts, oracle-checked against re-derived counts of each stage
+    "kg_stage_rows" -> ((s, dir) => {
+      val work = kgRun(s, dir)._1
+      s.read.parquet(s"$work/metrics_stage")
+        .where(col("stage").isin("extract_clean_rows", "triples_rows", "nodes", "edges"))
+        .select(col("stage"), col("rows"))
+    }),
+
     // K1/K2 — reference chunker over cleaned docs (greedy 1500-char word
     // packing, text_processor.py:152-235). Input is the text repeated 6×
     // (~3.3k cleaned chars) so several flush boundaries actually fire —
@@ -311,8 +320,7 @@ object KgQueries {
        |      ORDER BY w DESC, entity_key ASC, kind ASC) AS rn FROM perkey)
        |  WHERE rn = 1)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "kg_triples" ->
+  private val kgTriplesSql: String =
       s"""WITH $kgenrSql,
          |${Extractors.metaCtesOver("kgenr")},
          |${Extractors.summaryCteOver("kgenr")},
@@ -345,9 +353,9 @@ object KgQueries {
          |UNION ALL SELECT url, 'hasKeyword', keyword, 'keyword', 1
          |  FROM kw_pick JOIN kgenr USING (doc_id)
          |UNION ALL SELECT url, 'hasSummary', summary, 'attr', 1
-         |  FROM summ JOIN kgenr USING (doc_id)""".stripMargin,
+         |  FROM summ JOIN kgenr USING (doc_id)""".stripMargin
 
-    "kg_nodes" ->
+  private val kgNodesSql: String =
       s"""WITH RECURSIVE $kgenrSql,
          |${Extractors.keywordCtes("kgenr", "t")},
          |$mentionsCtes,
@@ -363,16 +371,34 @@ object KgQueries {
          |FROM canon c
          |JOIN aliases a USING (comp)
          |JOIN nment m USING (comp)
-         |JOIN nurls u USING (comp)""".stripMargin,
+         |JOIN nurls u USING (comp)""".stripMargin
 
-    "kg_edges" ->
+  private val kgEdgesSql: String =
       s"""WITH RECURSIVE $kgenrSql,
          |${Extractors.keywordCtes("kgenr", "t")},
          |$mentionsCtes,
          |$graphCtes
          |SELECT p.url AS src_url, 'mentionsEntity' AS pred,
          |       c.canonical_name AS dst_name, p.weight
-         |FROM perurl p JOIN canon c USING (comp)""".stripMargin,
+         |FROM perurl p JOIN canon c USING (comp)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "kg_triples" -> kgTriplesSql,
+    "kg_nodes" -> kgNodesSql,
+    "kg_edges" -> kgEdgesSql,
+
+    // north_rule lineage: the SQL-expressible slice of the metrics
+    // artifact — per-stage output row counts, each re-derived by counting
+    // the corresponding full oracle query (nested WITH subqueries)
+    "kg_stage_rows" ->
+      s"""SELECT 'extract_clean_rows' AS stage,
+         |       (SELECT count(*) FROM documents)::BIGINT AS rows
+         |UNION ALL SELECT 'triples_rows',
+         |       (SELECT count(*) FROM ($kgTriplesSql))::BIGINT
+         |UNION ALL SELECT 'nodes',
+         |       (SELECT count(*) FROM ($kgNodesSql))::BIGINT
+         |UNION ALL SELECT 'edges',
+         |       (SELECT count(*) FROM ($kgEdgesSql))::BIGINT""".stripMargin,
 
     // K1/K2: the chunker's greedy packing is a sequential fold
     // (curLen += len(word)+1, reset on >1500) — expressed as a recursive
