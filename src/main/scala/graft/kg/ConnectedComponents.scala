@@ -26,6 +26,17 @@ object ConnectedComponents {
     * not the common path. Same labels either way (min-id per component). */
   val DriverSolveMaxEdges: Long = 2000000L
 
+  /** Edge budget for the driver fast path derived from the ACTUAL driver
+    * heap, not a constant: a union-find entry costs ~100 bytes (boxed
+    * longs + HashMap node + collect row), and the collect may use at most
+    * `heapFraction` of max heap — so a small driver degrades to the
+    * distributed loop instead of OOMing, and a big driver solves bigger
+    * alias graphs in one job. Callers with a real budget (Pipeline) pass
+    * this; DriverSolveMaxEdges stays as a conservative floor. */
+  def driverEdgeBudget(heapFraction: Double = 0.05): Long =
+    math.max(DriverSolveMaxEdges,
+      (Runtime.getRuntime.maxMemory * heapFraction / 100).toLong)
+
   def run(spark: SparkSession, edges: DataFrame, maxIterations: Int = 25,
       driverSolveThreshold: Long = DriverSolveMaxEdges): DataFrame = {
     import spark.implicits._

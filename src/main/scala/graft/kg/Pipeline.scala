@@ -177,7 +177,9 @@ object Pipeline {
 
     val ccLabels = ConnectedComponents.run(
       spark,
-      aliases.select(keyId($"key_a").as("src"), keyId($"key_b").as("dst")))
+      aliases.select(keyId($"key_a").as("src"), keyId($"key_b").as("dst")),
+      // fast-path budget from the driver's real heap, not a constant
+      driverSolveThreshold = ConnectedComponents.driverEdgeBudget())
 
     // entity_key -> component (keys not in any alias edge are their own
     // component). Persisted: nodes AND edges both derive from it, and the
