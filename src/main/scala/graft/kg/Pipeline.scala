@@ -175,9 +175,18 @@ object Pipeline {
 
     val keyId = (c: org.apache.spark.sql.Column) => xxhash64(c)
 
+    // MinHash-LSH blocking over concept names (north_star): near-identical
+    // surface forms (plural/singular variants) join the acronym-alias
+    // edges as CC input — bucketed candidates + exact-Jaccard verify,
+    // never all-pairs, over the (vocabulary-sized) distinct key set
+    val nameSim = EntityLinking.nameSimilarityEdges(
+      linked.toDF().where($"kind" === "concept").select($"entity_key"))
+    val ccEdges = aliases.select($"key_a", $"key_b")
+      .union(nameSim.select($"key_a", $"key_b"))
+
     val ccLabels = ConnectedComponents.run(
       spark,
-      aliases.select(keyId($"key_a").as("src"), keyId($"key_b").as("dst")),
+      ccEdges.select(keyId($"key_a").as("src"), keyId($"key_b").as("dst")),
       // fast-path budget from the driver's real heap, not a constant
       driverSolveThreshold = ConnectedComponents.driverEdgeBudget())
 

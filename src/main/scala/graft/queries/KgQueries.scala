@@ -52,6 +52,11 @@ object KgQueries {
     "summary repeats television broadcast coverage."
   private val loneCX = " the CNN report describes image convolution kernels and the CNN " +
     "summary repeats image convolution kernels."
+  // plural surface form: exercises MinHash-LSH name blocking in
+  // canonicalization (char-4 jaccard singular↔plural = 0.958 ≥ 0.7; the
+  // closest DISTINCT planted pair is 0.375, so nothing else merges)
+  private val pluralX = " the Convolutional Neural Networks family generalizes the design and " +
+    "the Convolutional Neural Networks family scales further."
   // keeps the abstract line above the 250-char title bound for every doc
   private val tailLine = " this abstract line is intentionally long enough that the title " +
     "extractor never considers it under the two hundred and fifty character bound."
@@ -70,6 +75,7 @@ object KgQueries {
       .when(pmod(id, lit(10)) === 3, lit(mediaX))
       .when(pmod(id, lit(20)) === 7, lit(loneMX))
       .when(pmod(id, lit(20)) === 17, lit(loneCX))
+      .when(pmod(id, lit(10)) === 9, lit(pluralX))
       .otherwise(lit(""))
     concat_ws("\n",
       concat(p, lit(" methods for "), f, lit(" a comprehensive and scalable study of web corpora")),
@@ -120,6 +126,7 @@ object KgQueries {
        |       WHEN doc_id % 10 = 3 THEN ${q(mediaX)}
        |       WHEN doc_id % 20 = 7 THEN ${q(loneMX)}
        |       WHEN doc_id % 20 = 17 THEN ${q(loneCX)}
+       |       WHEN doc_id % 10 = 9 THEN ${q(pluralX)}
        |       ELSE '' END ||
        |  ' the corpus says ' || text || '.' || ${q(tailLine)} || chr(10) ||
        |  '' || chr(10) ||
@@ -252,8 +259,11 @@ object KgQueries {
   /** Linking + CC CTEs (Pipeline/EntityLinking semantics): per-url alias
     * pairs by initials match, global ambiguity split, context-similarity
     * resolution (profile overlap + 1e6 local bonus, ties → exp_key asc),
-    * transitive-closure CC over unambiguous edges, then the two-phase
-    * canonicalization aggregates. Requires `WITH RECURSIVE`. */
+    * MinHash-LSH name blocking over concept keys (char-4 shingles, 8
+    * hashes, 4 bands of 2, exact-Jaccard ≥ 0.7 — mirrors
+    * EntityLinking.nameSimilarityEdges), transitive-closure CC over
+    * unambiguous ∪ name-sim edges, then the two-phase canonicalization
+    * aggregates. Requires `WITH RECURSIVE`. */
   private val graphCtes: String =
     s"""pairs AS (
        |  SELECT DISTINCT m1.url, m1.entity_key AS acr_key, m2.entity_key AS exp_key
@@ -300,8 +310,36 @@ object KgQueries {
        |  SELECT url, entity_key, surface, kind, w FROM mentions
        |  WHERE entity_key NOT IN (SELECT DISTINCT acr_key FROM amb)
        |  UNION ALL SELECT * FROM resolved),
-       |esym AS (SELECT key_a AS a, key_b AS b FROM uedges
-       |         UNION SELECT key_b, key_a FROM uedges),
+       |ckeys AS (SELECT DISTINCT entity_key AS k FROM mentions WHERE kind = 'concept'),
+       |ksh AS (
+       |  SELECT DISTINCT k,
+       |         unnest(list_transform(generate_series(1, greatest(1, strlen(k) - 3)),
+       |                               i -> substr(k, i::int, 4))) AS sh
+       |  FROM ckeys),
+       |ksig AS (
+       |  SELECT k, seed, min(md5(seed::VARCHAR || ':' || sh)) AS minhash
+       |  FROM ksh, generate_series(0, 7) AS t(seed) GROUP BY 1, 2),
+       |kband AS (
+       |  SELECT k, (seed // 2)::INT AS band,
+       |         md5(string_agg(minhash, '' ORDER BY seed)) AS bucket
+       |  FROM ksig GROUP BY 1, 2),
+       |kcand AS (
+       |  SELECT DISTINCT a.k AS id1, b.k AS id2
+       |  FROM kband a JOIN kband b USING (band, bucket) WHERE a.k < b.k),
+       |ksz AS (SELECT k, count(*) AS sz FROM ksh GROUP BY 1),
+       |namesim AS (
+       |  SELECT x.id1 AS key_a, x.id2 AS key_b FROM (
+       |    SELECT c.id1, c.id2, count(*) AS i
+       |    FROM kcand c
+       |    JOIN ksh s1 ON s1.k = c.id1
+       |    JOIN ksh s2 ON s2.k = c.id2 AND s2.sh = s1.sh
+       |    GROUP BY 1, 2) x
+       |  JOIN ksz z1 ON z1.k = x.id1 JOIN ksz z2 ON z2.k = x.id2
+       |  WHERE round(x.i * 1.0 / (z1.sz + z2.sz - x.i), 4) >= 0.7),
+       |alledges AS (SELECT key_a, key_b FROM uedges
+       |             UNION SELECT key_a, key_b FROM namesim),
+       |esym AS (SELECT key_a AS a, key_b AS b FROM alledges
+       |         UNION SELECT key_b, key_a FROM alledges),
        |walk(a, b) AS (
        |  SELECT a, b FROM esym
        |  UNION

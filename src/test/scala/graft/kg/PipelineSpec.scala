@@ -53,6 +53,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(cnn(0).getAs[Long]("n_urls") >= nDocs / 10 - 1, "media docs present")
   }
 
+  test("MinHash-LSH name blocking merges plural variant, never the CNN expansions") {
+    val keys = Seq("convolutional neural network", "convolutional neural networks",
+      "cable news network", "recurrent neural network", "graph attention network",
+      "generative adversarial network", "stochastic gradient descent").toDF("entity_key")
+    val edges = EntityLinking.nameSimilarityEdges(keys)
+      .as[(String, String)].collect().toSet
+    assert(edges == Set(("convolutional neural network", "convolutional neural networks")),
+      s"unexpected name-sim edges: $edges")
+  }
+
   test("context-similarity linking resolves CNN mentions per url") {
     val e = result.edges
     assert(e.count() > 0)
