@@ -40,10 +40,14 @@ object SparkEntry {
       graft.queries.Extractors.queries ++ graft.queries.KgQueries.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // C1 — the byte-identity kernel (SURVEY §2.3)
-    "c1_clean_text" -> ((s, dir) =>
+    // C1 — the byte-identity kernel (SURVEY §2.3), via the NATIVE Catalyst
+    // expression (graft.ext.CleanTextExpr, doGenCode — stays inside
+    // whole-stage codegen; ExprSpec pins parity with the UDF)
+    "c1_clean_text" -> ((s, dir) => {
+      graft.ext.GraftFunctions.register(s)
       tbl(s, dir, "documents")
-        .select(col("doc_id"), Udfs.cleanText(col("text")).as("clean_text"))),
+        .select(col("doc_id"), expr("graft_clean_text(text)").as("clean_text"))
+    }),
 
     // A? — classic partial+final hash aggregation (scan→agg pushdown demo)
     "q1_agg" -> ((s, dir) =>

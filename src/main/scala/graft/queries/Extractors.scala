@@ -166,9 +166,12 @@ object Extractors {
   private val summaryCte: String = summaryCteOver("enr")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // C1 over live-pattern-rich input (email, brackets, html, non-ASCII)
-    "en_clean" -> ((s, dir) =>
-      enrDf(s, dir).select(col("doc_id"), Udfs.cleanText(col("t")).as("clean_text"))),
+    // C1 over live-pattern-rich input (email, brackets, html, non-ASCII),
+    // through the native Catalyst expression (codegen'd, non-nullable)
+    "en_clean" -> ((s, dir) => {
+      graft.ext.GraftFunctions.register(s)
+      enrDf(s, dir).select(col("doc_id"), expr("graft_clean_text(t)").as("clean_text"))
+    }),
 
     // E1-E4 metadata through the real extractor
     "en_metadata" -> ((s, dir) =>
