@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * SimHash (bit-majority fingerprints + banded hamming join), and n-gram
   * Jaccard verification.
   *
-  * All hash primitives are md5-hex based so results are reproducible in
-  * any engine (the DuckDB oracle recomputes them exactly). Everything is
-  * built from codegen'd `functions._` — no UDFs — so whole-stage codegen
-  * spans the full plan and Catalyst can push/prune freely.
+  * All hash primitives derive from md5 so results are reproducible in
+  * any engine (the DuckDB oracle recomputes them exactly); MinHash uses
+  * ONE md5 per unit with k universal-hash mixes (MinhashP/A/B) rather
+  * than k md5s. The set operators are codegen'd `functions._` — no UDFs
+  * in any shuffle path — so whole-stage codegen spans the full plan and
+  * Catalyst can push/prune freely; the per-row fingerprint kernels
+  * (simhashShingles/minhashShingles) are narrow single-pass loops.
   *
   * Scale notes: the only shuffles are the per-doc token dedup (narrow
   * after a doc-id repartition), the band-bucket self-join (bounded: bucket
@@ -37,9 +40,18 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(id)).as("min_id"))
       .where(col("n_docs") >= 2)
 
-  /** MinHash signatures: for seed s, minhash_s = min over distinct tokens
-    * of md5('<s>:'||token) (hex-string min — total order, engine-portable).
-    * Output: (id, seed, minhash). */
+  /** Universal-hash MinHash scheme, shared by every formulation and every
+    * DuckDB oracle: each unit is md5'd ONCE (the sole expensive hash);
+    * x = its first 8 hex chars as an unsigned 32-bit int, and hash k is
+    * the LCG mix (a_k·(x mod p) + b_k) mod p with p = 2^31−1. One md5 +
+    * k multiply-adds per unit instead of k md5s (8-16× less hashing —
+    * at 100 TB fingerprinting cost IS the dedup bill). All values stay
+    * below 2^62, so the arithmetic is exact in any engine's int64. */
+  final val MinhashP: Long = 2147483647L // 2^31 - 1
+  def minhashA(seed: Int): Long = (1103515245L * (seed + 1) + 12345L) % MinhashP
+  def minhashB(seed: Int): Long = (69069L * (seed + 1) + 362437L) % MinhashP
+
+  /** MinHash signatures over whitespace tokens. Output: (id, seed, minhash). */
   def minhashSignatures(df: DataFrame, id: String, text: String, nHashes: Int = 16): DataFrame =
     minhashOver(docTokens(df, id, text), id, "token", nHashes)
 
@@ -48,28 +60,30 @@ object Dedup {
     * array aggregate — the shuffle carries one array row per unit, not
     * nHashes rows (8-16× fewer). Output is still (id, seed, minhash). */
   def minhashOver(units: DataFrame, id: String, unit: String, nHashes: Int): DataFrame = {
+    val p = lit(MinhashP)
+    val x = pmod(conv(substring(md5(col(unit)), 1, 8), 16, 10).cast("long"), p)
     val hashes = transform(sequence(lit(0), lit(nHashes - 1)),
-      s => md5(concat(s.cast("string"), lit(":"), col(unit))))
-    val maxHex = lit("g") // '>' every md5 hex char; identity for min
+      s => pmod(pmod(lit(1103515245L) * (s + 1) + lit(12345L), p) * x +
+        pmod(lit(69069L) * (s + 1) + lit(362437L), p), p))
     units
       .select(col(id), hashes.as("hs"))
       .groupBy(col(id))
       .agg(aggregate(
         collect_list(col("hs")),
-        array_repeat(maxHex, nHashes),
-        (acc, x) => zip_with(acc, x, (a, b) => least(a, b))).as("sig"))
+        array_repeat(lit(Long.MaxValue), nHashes),
+        (acc, h) => zip_with(acc, h, (a, b) => least(a, b))).as("sig"))
       .select(col(id), posexplode(col("sig")).as(Seq("seed", "minhash")))
   }
 
   /** LSH band keys: rows-per-band of `rowsPerBand` consecutive minhashes,
-    * band bucket = md5 of their concatenation in seed order. */
+    * band bucket = md5 of their ':'-joined concatenation in seed order. */
   def minhashBands(sigs: DataFrame, id: String, rowsPerBand: Int = 4): DataFrame =
     sigs
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
       .groupBy(col(id), col("band"))
-      .agg(md5(concat_ws("",
+      .agg(md5(concat_ws(":",
         transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
-          x => x.getField("minhash")))).as("bucket"))
+          x => x.getField("minhash").cast("string")))).as("bucket"))
 
   /** Candidate pairs: ids sharing any band bucket (id1 < id2). */
   def candidatePairs(bands: DataFrame, id: String): DataFrame = {
@@ -207,30 +221,28 @@ object Dedup {
   }
 
   /** Single-pass per-row shingle MinHash — semantically equal to
-    * `minhashOver(charShingles(df, …))` (hex-string min per seed of
-    * md5('<seed>:'||shingle)) as one narrow loop per row, zero shuffle.
+    * `minhashOver(charShingles(df, …))` (same MinhashP/A/B universal-hash
+    * scheme) as one narrow loop per row, zero shuffle: ONE md5 per
+    * distinct shingle, then nHashes multiply-adds.
     * Output: (id, seed, minhash), like `minhashOver`. */
   def minhashShingles(df: DataFrame, id: String, text: String,
       nHashes: Int = 16, n: Int = 8): DataFrame = {
+    val as = Array.tabulate(nHashes)(minhashA)
+    val bs = Array.tabulate(nHashes)(minhashB)
     val f = udf { (s: String) =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      val mins = Array.fill(nHashes)(null: String)
+      val mins = Array.fill(nHashes)(Long.MaxValue)
       val it = distinctShingles(s, n).iterator()
       while (it.hasNext) {
-        val sh = it.next()
+        md.reset()
+        val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 8 hex chars == first 4 bytes, unsigned
+        val x = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % MinhashP
         var seed = 0
         while (seed < nHashes) {
-          md.reset()
-          val d = md.digest((seed.toString + ":" + sh).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val hex = new java.lang.StringBuilder(32)
-          var j = 0
-          while (j < 16) {
-            val b = d(j) & 0xff
-            hex.append(Character.forDigit(b >> 4, 16)).append(Character.forDigit(b & 0xf, 16))
-            j += 1
-          }
-          val hx = hex.toString
-          if (mins(seed) == null || hx.compareTo(mins(seed)) < 0) mins(seed) = hx
+          val v = (as(seed) * x + bs(seed)) % MinhashP
+          if (v < mins(seed)) mins(seed) = v
           seed += 1
         }
       }

@@ -58,6 +58,15 @@ object DataOps {
       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
       |  FROM inb a JOIN inb b USING (band, bucket) WHERE a.vec_id < b.vec_id)""".stripMargin
 
+  /** DuckDB form of the Dedup.MinhashP/A/B universal-hash MinHash: one
+    * md5 per unit, hash k = (a_k·(x mod p) + b_k) mod p over the unsigned
+    * 32-bit md5 prefix. `unit` is a SQL expression for the hashed value.
+    * Shared by the dd_minhash_* oracles and the kg name-blocking CTEs. */
+  private[queries] def minhashHashSql(unit: String): String =
+    s"(((1103515245::BIGINT * (seed + 1) + 12345) % 2147483647) * " +
+      s"(('0x' || substr(md5($unit), 1, 8))::BIGINT % 2147483647) + " +
+      s"((69069::BIGINT * (seed + 1) + 362437) % 2147483647)) % 2147483647"
+
   private val ddInputSql: String =
     s"""dd_input AS (
        |  SELECT doc_id, text FROM documents
@@ -185,18 +194,18 @@ object DataOps {
 
     "dd_minhash_sig" ->
       s"""WITH $ddInputSql, $shinglesSql
-         |SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS minhash
+         |SELECT doc_id, seed, min(${minhashHashSql("shingle")}) AS minhash
          |FROM shingles, generate_series(0, 7) AS t(seed)
          |GROUP BY 1, 2""".stripMargin,
 
     "dd_minhash_pairs" ->
       s"""WITH $ddInputSql, $shinglesSql,
          |sigs AS (
-         |  SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || shingle)) AS minhash
+         |  SELECT doc_id, seed, min(${minhashHashSql("shingle")}) AS minhash
          |  FROM shingles, generate_series(0, 7) AS t(seed) GROUP BY 1, 2),
          |bands AS (
          |  SELECT doc_id, (seed // 4)::INT AS band,
-         |         md5(string_agg(minhash, '' ORDER BY seed)) AS bucket
+         |         md5(string_agg(minhash::VARCHAR, ':' ORDER BY seed)) AS bucket
          |  FROM sigs GROUP BY 1, 2),
          |cands AS (
          |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2

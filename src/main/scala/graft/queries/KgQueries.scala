@@ -317,11 +317,11 @@ object KgQueries {
        |                               i -> substr(k, i::int, 4))) AS sh
        |  FROM ckeys),
        |ksig AS (
-       |  SELECT k, seed, min(md5(seed::VARCHAR || ':' || sh)) AS minhash
+       |  SELECT k, seed, min(${DataOps.minhashHashSql("sh")}) AS minhash
        |  FROM ksh, generate_series(0, 7) AS t(seed) GROUP BY 1, 2),
        |kband AS (
        |  SELECT k, (seed // 2)::INT AS band,
-       |         md5(string_agg(minhash, '' ORDER BY seed)) AS bucket
+       |         md5(string_agg(minhash::VARCHAR, ':' ORDER BY seed)) AS bucket
        |  FROM ksig GROUP BY 1, 2),
        |kcand AS (
        |  SELECT DISTINCT a.k AS id1, b.k AS id2

@@ -31,10 +31,15 @@ class OpsSpec extends AnyFunSuite {
       .select(($"doc_id" + 100000).as("doc_id"), concat($"text", lit(" tiny tail")).as("text"))
     val input = base.union(near)
     val sh = Dedup.charShingles(input, "doc_id", "text", 8).withColumnRenamed("shingle", "token")
+    // independent explode-formulation of the MinhashP/A/B scheme — must
+    // agree with the narrow minhashShingles kernel's buckets
+    val p = lit(Dedup.MinhashP)
     val seeds = array((0 until 8).map(lit): _*)
+    val x = pmod(conv(substring(md5($"token"), 1, 8), 16, 10).cast("long"), p)
     val sigs = sh.select($"doc_id", explode(seeds).as("seed"), $"token")
       .groupBy($"doc_id", $"seed")
-      .agg(min(md5(concat($"seed".cast("string"), lit(":"), $"token"))).as("minhash"))
+      .agg(min(pmod(pmod(lit(1103515245L) * ($"seed" + 1) + lit(12345L), p) * x +
+        pmod(lit(69069L) * ($"seed" + 1) + lit(362437L), p), p)).as("minhash"))
     val pairs = Dedup.candidatePairs(Dedup.minhashBands(sigs, "doc_id", 4), "doc_id")
     val verified = Dedup.jaccardVerify(pairs, sh, "doc_id")
       .where($"jaccard" >= 0.5).collect()
