@@ -39,9 +39,28 @@ object Similarity {
   }
 
   /** Deterministic hyperplane weight for (plane p, dim i): md5 nibble at
-    * position (i mod 32) of md5(p||':'||i), centered at 7.5. */
-  private def planeWeight(p: Column, i: Column): Column =
-    expr("instr('0123456789abcdef', substring(md5(concat(p, ':', i)), (i % 32) + 1, 1)) - 1") - lit(7.5)
+    * position (i mod 32) of md5(p||':'||i), centered at 7.5 — the exact
+    * contract the DuckDB oracles re-derive. */
+  private def planeWeight(p: Int, i: Int, md: java.security.MessageDigest): Double = {
+    md.reset()
+    val d = md.digest(s"$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val pos = i % 32
+    val b = d(pos / 2) & 0xff
+    val nibble = if (pos % 2 == 0) b >> 4 else b & 0xf
+    nibble - 7.5
+  }
+
+  /** Plane-weight matrix memo, one per executor JVM: the matrix is DATA-
+    * INDEPENDENT (a pure function of (nPlanes, dim)), so hashing it per
+    * row — 1024 md5s per vector at (32 planes × 32 dims) — is pure waste;
+    * computed once per executor it amortizes to zero across the corpus. */
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int), Array[Array[Double]]]
+  private def planeMatrix(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.getOrElseUpdate((nPlanes, dim), {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(nPlanes)(p => Array.tabulate(dim)(i => planeWeight(p, i, md)))
+    })
 
   /** Banded random-hyperplane LSH: `nBands` independent bands of
     * `planesPerBand` planes each (plane id = band*planesPerBand + i, so
@@ -49,23 +68,34 @@ object Similarity {
     * share ANY band's bucket — OR-amplification, exactly the
     * `minhashBands` idiom: more bands = higher recall at the same
     * in-bucket cost, and 2^planesPerBand buckets per band bound bucket
-    * sizes. Output: (id, band, bucket). */
+    * sizes.
+    *
+    * A narrow per-row kernel (like Dedup.minhashShingles): the old
+    * explode-dims×planes formulation blew each vector into 1024 shuffle
+    * rows and recomputed the constant plane matrix per row; this one is
+    * zero-shuffle with double accumulation in ascending-dim order (the
+    * same fold order, so bucket bits are bit-identical — oracle-checked).
+    * Output: (id, band, bucket). */
   def lshBands(df: DataFrame, id: String, vec: String,
       nBands: Int = 4, planesPerBand: Int = 8): DataFrame = {
-    val dims = df.select(col(id),
-      posexplode(transform(col(vec), x => x.cast("double"))).as(Seq("i", "x")))
-    val planes = dims
-      .select(col(id), col("i"), col("x"),
-        explode(array((0 until nBands * planesPerBand).map(lit): _*)).as("p"))
-      .withColumn("w", planeWeight(col("p"), col("i")))
-      .groupBy(col(id), col("p"))
-      .agg(sum(col("x") * col("w")).as("dot"))
-      .withColumn("b", when(col("dot") > 0, lit("1")).otherwise(lit("0")))
-      .withColumn("band", (col("p") / planesPerBand).cast("int"))
-    planes.groupBy(col(id), col("band"))
-      .agg(concat_ws("",
-        transform(array_sort(collect_list(struct(col("p"), col("b")))),
-          x => x.getField("b"))).as("bucket"))
+    val nPlanes = nBands * planesPerBand
+    val f = udf { (v: Seq[Float]) =>
+      val w = planeMatrix(nPlanes, v.length)
+      (0 until nBands).map { b =>
+        val sb = new java.lang.StringBuilder(planesPerBand)
+        var j = 0
+        while (j < planesPerBand) {
+          val wp = w(b * planesPerBand + j)
+          var dot = 0.0
+          var i = 0
+          while (i < v.length) { dot += v(i).toDouble * wp(i); i += 1 }
+          sb.append(if (dot > 0) '1' else '0')
+          j += 1
+        }
+        sb.toString
+      }
+    }
+    df.select(col(id), posexplode(f(col(vec))).as(Seq("band", "bucket")))
   }
 
   /** Single-band LSH bucket bits (the index/inspection surface): for each
