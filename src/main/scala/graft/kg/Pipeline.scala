@@ -287,6 +287,21 @@ object Pipeline {
     import spark.implicits._
     val metrics = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
 
+    // stage output row counts ride the WRITE job via observe() — a
+    // separate count() would re-read each checkpoint as its own
+    // serialized job (4 extra jobs per run); on resume (no write this
+    // run) the reader falls back to counting the checkpoint
+    val observed = scala.collection.concurrent.TrieMap.empty[String, Long]
+    def writeCounted(df: DataFrame, path: String, name: String): Unit =
+      if (!cfg.writeMetrics) writeStage(df, path)
+      else {
+        val obs = org.apache.spark.sql.Observation()
+        writeStage(df.observe(obs, count(lit(1)).as("n")), path)
+        observed(name) = obs.get("n").asInstanceOf[Long]
+      }
+    def rowsOf(name: String, reader: => DataFrame): Long =
+      observed.getOrElse(name, reader.count())
+
     val docsPath = s"${cfg.workDir}/clean_docs"
     val triplesPath = s"${cfg.workDir}/triples"
     val aliasPath = s"${cfg.workDir}/alias_edges"
@@ -311,11 +326,11 @@ object Pipeline {
           raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else raw
       val work = Seq(
-        (needDocs, "extract_clean", () => writeStage(
+        (needDocs, "extract_clean", () => writeCounted(
           src.map(d => CleanDoc(d.url, d.warc_ts, d.lang, null, RefText.cleanText(d.raw_text)))
-            .toDF().drop("raw_text"), docsPath)),
-        (needTriples, "triples", () => writeStage(
-          src.flatMap(d => triplesForDoc(d.url, d.raw_text)).toDF(), triplesPath)))
+            .toDF().drop("raw_text"), docsPath, "extract_clean")),
+        (needTriples, "triples", () => writeCounted(
+          src.flatMap(d => triplesForDoc(d.url, d.raw_text)).toDF(), triplesPath, "triples")))
         .collect { case (true, name, job) => (name, job) }
       inParallel(work.map(_._2))
       if (needDocs && needTriples) src.unpersist(false)
@@ -325,8 +340,8 @@ object Pipeline {
     val docsDf = spark.read.parquet(docsPath)
     val triplesDf = spark.read.parquet(triplesPath)
     if (cfg.writeMetrics) {
-      metrics += (("extract_clean_rows", docsDf.count(), 0L))
-      metrics += (("triples_rows", triplesDf.count(), 0L))
+      metrics += (("extract_clean_rows", rowsOf("extract_clean", docsDf), 0L))
+      metrics += (("triples_rows", rowsOf("triples", triplesDf), 0L))
     }
     val triples = triplesDf.as[Triple]
 
@@ -355,15 +370,16 @@ object Pipeline {
       val (n, e) = canonicalize(spark, linked, aliasDf)
       // nodes and edges both read canonicalize's persisted label table —
       // two independent writes, overlapped
-      inParallel(Seq(() => writeStage(n, nodesPath), () => writeStage(e, edgesPath)))
+      inParallel(Seq(() => writeCounted(n, nodesPath, "nodes"),
+        () => writeCounted(e, edgesPath, "edges")))
       spark.catalog.clearCache() // drop canonicalize's internal persist
       metrics += (("canonicalize", -1L, (System.nanoTime() - t0) / 1000000L))
     }
     val nodesDf = spark.read.parquet(nodesPath)
     val edgesDf = spark.read.parquet(edgesPath)
     if (cfg.writeMetrics) {
-      metrics += (("nodes", nodesDf.count(), 0L))
-      metrics += (("edges", edgesDf.count(), 0L))
+      metrics += (("nodes", rowsOf("nodes", nodesDf), 0L))
+      metrics += (("edges", rowsOf("edges", edgesDf), 0L))
     }
 
     val stageMetrics = metrics.toSeq.toDF("stage", "rows", "wall_ms")
