@@ -60,4 +60,62 @@ object StreamingPipeline {
       .agg(sum(col("weight")).as("mentions"))
       .select(col("window.start").as("w_start"), col("entity"), col("mentions"))
   }
+
+  /** Streaming exact dedup on content hash with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` evicts per-key state once the
+    * watermark passes, so the dedup map never grows with the corpus —
+    * the only shape that survives an unbounded 100-TB/day feed (a plain
+    * `dropDuplicates` on a stream accumulates state forever).
+    * Output: first-seen pages, duplicate texts within the horizon
+    * dropped. */
+  def streamDedup(spark: SparkSession, pages: Dataset[Page],
+      watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    pages.toDF()
+      .withColumn("text_md5", md5(coalesce(col("text"), lit(""))))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("text_md5")
+  }
+
+  /** Per-entity running state over the stream. */
+  final case class EntityState(total: Long, firstSeenMs: Long)
+  /** One update row per entity per micro-batch; `crossed_hot` fires
+    * exactly once, on the batch where the cumulative mention weight
+    * first reaches `hotThreshold` (a streaming skew/hot-key detector —
+    * the feed that would size salting upstream). */
+  final case class EntityUpdate(
+      entity: String, total: Long, first_seen_ms: Long, crossed_hot: Boolean)
+
+  /** Custom cross-batch state via `flatMapGroupsWithState`: cumulative
+    * mention weight per entity, carried in `GroupState` across
+    * micro-batches (the arbitrary-state API — aggregations can't express
+    * "emit once on threshold crossing"). State is per-entity
+    * (vocabulary-sized), not per-document — bounded by construction. */
+  def entityRunningTotals(spark: SparkSession, pages: Dataset[Page],
+      hotThreshold: Long = 50L): Dataset[EntityUpdate] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val mentions = pages.flatMap { p =>
+      Pipeline.triplesForDoc(p.url, Option(p.text).getOrElse(""))
+        .filter(_.pred == "mentionsEntity")
+        .map(t => (Py.lower(t.obj), t.weight.toLong, p.warc_ts.getTime))
+    }
+    mentions
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (entity: String, rows: Iterator[(String, Long, Long)],
+            state: GroupState[EntityState]) => {
+          val batch = rows.toVector
+          if (batch.isEmpty) Iterator.empty
+          else {
+            val add = batch.map(_._2).sum
+            val firstTs = batch.map(_._3).min
+            val prev = state.getOption.getOrElse(EntityState(0L, firstTs))
+            val next = EntityState(prev.total + add, math.min(prev.firstSeenMs, firstTs))
+            state.update(next)
+            val crossed = prev.total < hotThreshold && next.total >= hotThreshold
+            Iterator.single(EntityUpdate(entity, next.total, next.firstSeenMs, crossed))
+          }
+        })
+  }
 }

@@ -44,4 +44,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.exists(_.getAs[String]("entity") == "cnn"), "hot entity must appear")
   }
+
+  test("streaming dedup drops duplicate texts with bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ts = new java.sql.Timestamp(1767225600000L)
+    def page(url: String, text: String) = Schema.Page(url, ts, null, text, "en")
+    val in = MemoryStream[Schema.Page]
+    val q = StreamingPipeline.streamDedup(spark, in.toDS(), "1 hour")
+      .writeStream.format("memory").queryName("stream_dedup").outputMode("append").start()
+    in.addData(page("u1", "same text"), page("u2", "same text"), page("u3", "other text"))
+    q.processAllAvailable()
+    // a later micro-batch duplicate within the watermark is also dropped
+    in.addData(page("u4", "same text"))
+    q.processAllAvailable(); q.stop()
+    val urls = spark.table("stream_dedup").select("url").as[String].collect().sorted
+    assert(urls.length == 2, urls.mkString(","))
+    assert(urls.contains("u3"))
+  }
+
+  test("flatMapGroupsWithState carries entity totals across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ts = new java.sql.Timestamp(1767225600000L)
+    // two SGD mentions per page (count >= 2 gate) -> weight 2 per page
+    val text = "the Stochastic Gradient Descent (SGD) step and the SGD baseline."
+    def page(url: String) = Schema.Page(url, ts, null, text, "en")
+    val in = MemoryStream[Schema.Page]
+    val updates = StreamingPipeline.entityRunningTotals(spark, in.toDS(), hotThreshold = 3L)
+    val q = updates.writeStream
+      .format("memory").queryName("stream_totals").outputMode("append").start()
+    in.addData(page("u1")); q.processAllAvailable()
+    in.addData(page("u2")); q.processAllAvailable()
+    q.stop()
+    val sgd = spark.table("stream_totals")
+      .where($"entity" === "sgd").orderBy($"total")
+      .as[StreamingPipeline.EntityUpdate].collect()
+    assert(sgd.length == 2, sgd.mkString(";"))
+    assert(sgd(0).total == 2 && !sgd(0).crossed_hot, sgd.mkString(";"))
+    assert(sgd(1).total == 4 && sgd(1).crossed_hot,
+      "threshold crossing must fire exactly on the second batch: " + sgd.mkString(";"))
+    assert(sgd(1).first_seen_ms == ts.getTime)
+  }
 }
