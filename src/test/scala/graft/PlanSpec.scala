@@ -114,4 +114,18 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(plan(triples.toDF())).size
     assert(exchanges == 0, s"extraction must not shuffle:\n${plan(triples.toDF())}")
   }
+
+  test("LSH bucketing is a single narrow pass (zero shuffles)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.ops.Similarity.lshBands(emb, "vec_id", "embedding", 4, 8))
+    assert("Exchange".r.findAllIn(p).size == 0, s"bucketing must not shuffle:\n$p")
+  }
+
+  test("name-similarity blocking joins on buckets, never all-pairs") {
+    val keys = Seq("convolutional neural network", "convolutional neural networks",
+      "stochastic gradient descent", "graph attention network").toDF("entity_key")
+    val p = plan(graft.kg.EntityLinking.nameSimilarityEdges(keys))
+    assert(!p.contains("CartesianProduct"), s"blocking degenerated to all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"blocking degenerated to NL join:\n$p")
+  }
 }
