@@ -32,10 +32,10 @@ object ConnectedComponents {
     * `heapFraction` of max heap — so a small driver degrades to the
     * distributed loop instead of OOMing, and a big driver solves bigger
     * alias graphs in one job. Callers with a real budget (Pipeline) pass
-    * this; DriverSolveMaxEdges stays as a conservative floor. */
+    * this. Purely heap-derived — flooring at a constant would reintroduce
+    * exactly the small-driver OOM this exists to prevent. */
   def driverEdgeBudget(heapFraction: Double = 0.05): Long =
-    math.max(DriverSolveMaxEdges,
-      (Runtime.getRuntime.maxMemory * heapFraction / 100).toLong)
+    (Runtime.getRuntime.maxMemory * heapFraction / 100).toLong
 
   def run(spark: SparkSession, edges: DataFrame, maxIterations: Int = 25,
       driverSolveThreshold: Long = DriverSolveMaxEdges): DataFrame = {

@@ -71,8 +71,12 @@ object StreamingPipeline {
   def streamDedup(spark: SparkSession, pages: Dataset[Page],
       watermark: String = "1 hour"): DataFrame = {
     import spark.implicits._
-    pages.toDF()
-      .withColumn("text_md5", md5(coalesce(col("text"), lit(""))))
+    // hash the EXTRACTED text (html fallback included) — keying on the
+    // raw text column alone would collapse every html-only page
+    // (text = null) onto md5('') and silently drop them as duplicates
+    pages.map(p => (p.url, p.warc_ts, p.lang, Pipeline.rawText(p)))
+      .toDF("url", "warc_ts", "lang", "raw_text")
+      .withColumn("text_md5", md5(col("raw_text")))
       .withWatermark("warc_ts", watermark)
       .dropDuplicatesWithinWatermark("text_md5")
   }
@@ -96,7 +100,8 @@ object StreamingPipeline {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val mentions = pages.flatMap { p =>
-      Pipeline.triplesForDoc(p.url, Option(p.text).getOrElse(""))
+      // rawText, not p.text: html-only pages must count like in batch
+      Pipeline.triplesForDoc(p.url, Pipeline.rawText(p))
         .filter(_.pred == "mentionsEntity")
         .map(t => (Py.lower(t.obj), t.weight.toLong, p.warc_ts.getTime))
     }

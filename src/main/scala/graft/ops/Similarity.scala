@@ -80,19 +80,23 @@ object Similarity {
       nBands: Int = 4, planesPerBand: Int = 8): DataFrame = {
     val nPlanes = nBands * planesPerBand
     val f = udf { (v: Seq[Float]) =>
-      val w = planeMatrix(nPlanes, v.length)
-      (0 until nBands).map { b =>
-        val sb = new java.lang.StringBuilder(planesPerBand)
-        var j = 0
-        while (j < planesPerBand) {
-          val wp = w(b * planesPerBand + j)
-          var dot = 0.0
-          var i = 0
-          while (i < v.length) { dot += v(i).toDouble * wp(i); i += 1 }
-          sb.append(if (dot > 0) '1' else '0')
-          j += 1
+      // null vector → no buckets (the old explode formulation's semantics)
+      if (v == null) Seq.empty[String]
+      else {
+        val w = planeMatrix(nPlanes, v.length)
+        (0 until nBands).map { b =>
+          val sb = new java.lang.StringBuilder(planesPerBand)
+          var j = 0
+          while (j < planesPerBand) {
+            val wp = w(b * planesPerBand + j)
+            var dot = 0.0
+            var i = 0
+            while (i < v.length) { dot += v(i).toDouble * wp(i); i += 1 }
+            sb.append(if (dot > 0) '1' else '0')
+            j += 1
+          }
+          sb.toString
         }
-        sb.toString
       }
     }
     df.select(col(id), posexplode(f(col(vec))).as(Seq("band", "bucket")))

@@ -414,11 +414,16 @@ object DataOps {
         |                   ELSE 'riff' END
         |            WHEN substr(text, 1, 1) = '<' THEN 'html'
         |            ELSE 'bin' END AS format,
-        |       16 + ascii(substr(text, (1 % n) + 1, 1)) % 64 AS width,
-        |       16 + ascii(substr(text, (2 % n) + 1, 1)) % 64 AS height,
-        |       1 + ascii(substr(text, (3 % n) + 1, 1)) % 8 AS n_frames,
-        |       array_to_string(list_transform(generate_series(0, 7),
-        |         i -> (ascii(substr(text, ((i * 7) % n)::INT + 1, 1)) - 128)::VARCHAR), ',') AS emb_q
+        |       CASE WHEN n = 0 THEN 16
+        |            ELSE 16 + ascii(substr(text, (1 % n) + 1, 1)) % 64 END AS width,
+        |       CASE WHEN n = 0 THEN 16
+        |            ELSE 16 + ascii(substr(text, (2 % n) + 1, 1)) % 64 END AS height,
+        |       CASE WHEN n = 0 THEN 1
+        |            ELSE 1 + ascii(substr(text, (3 % n) + 1, 1)) % 8 END AS n_frames,
+        |       CASE WHEN n = 0 THEN '-128,-128,-128,-128,-128,-128,-128,-128'
+        |            ELSE array_to_string(list_transform(generate_series(0, 7),
+        |              i -> (ascii(substr(text, ((i * 7) % n)::INT + 1, 1)) - 128)::VARCHAR), ',')
+        |       END AS emb_q
         |FROM b""".stripMargin)
     // dd_minhash_pairs included above
 }

@@ -171,6 +171,10 @@ object KgQueries {
       val base = if (new java.io.File("/dev/shm").isDirectory)
         java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp")
       val work = java.nio.file.Files.createTempDirectory(base, "kgq").toString
+      // tmpfs outlives the process — without this hook every Verify/Bench
+      // run would leak a full pipeline output into RAM-backed /dev/shm
+      sys.addShutdownHook(
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work)))
       (work, Pipeline.run(s, kgPages(s, dir), Pipeline.Config(work, nPartitions = 16)))
     })
 

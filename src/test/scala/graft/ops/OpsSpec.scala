@@ -61,6 +61,14 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.exists(r => r.getAs[Long]("id1") == 5 && r.getAs[Long]("id2") == 100005))
   }
 
+  test("LSH bucketing skips null vectors instead of failing the job") {
+    val withNull = emb.select($"vec_id", $"embedding")
+      .union(spark.sql("SELECT 900001L AS vec_id, CAST(NULL AS ARRAY<FLOAT>) AS embedding"))
+    val buckets = Similarity.lshBuckets(withNull, "vec_id", "embedding", 8)
+    assert(buckets.where($"vec_id" === 900001L).count() == 0)
+    assert(buckets.count() == emb.count())
+  }
+
   test("brute-force cosine top-k is ranked and complete") {
     val top = Similarity.cosineTopK(emb, emb.where($"vec_id" < 3), "vec_id", "embedding", 5)
       .collect()
