@@ -169,6 +169,101 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
   }
 
+  // ---- IVF-flat ANN (the coarse-quantizer scale path) ----
+
+  /** ×1000 long quantization of a float vector. Every downstream IVF
+    * arithmetic step becomes integer-exact, so Spark and the DuckDB
+    * oracle compute bit-identical cluster assignments (float sums would
+    * drift with aggregation order). Round-half ties cannot occur: a
+    * float is dyadic, ×1000 stays an exact ≤34-bit product, and a dyadic
+    * can never equal (2k+1)/2000 — so HALF_UP (Spark) and HALF_EVEN
+    * (DuckDB) always agree here. */
+  private def quant(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Exact long dot product (values bounded by ±1000 per dim × 64 dims ×
+    * 500-row cluster sums — far inside 2^53, so the double conversions
+    * below are exact too). */
+  private def ldot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine over quantized vectors: exact integer dot / double norms —
+    * deterministic and engine-portable. */
+  private def qcos(a: Column, b: Column): Column =
+    ldot(a, b).cast("double") /
+      (sqrt(ldot(a, a).cast("double")) * sqrt(ldot(b, b).cast("double")))
+
+  /** Nearest-centroid assignment: each (vid, qv) row against a broadcast
+    * centroid table (cid, cv), keep the `n` best by (cosine desc, cid
+    * asc). Centroid counts are small by construction (nClusters ≪ rows),
+    * so the broadcast never grows with the corpus. */
+  private def assignClusters(vecs: DataFrame, cents: DataFrame, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid")).orderBy(col("sim").desc, col("cid").asc)
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vid"), col("cid"), qcos(col("qv"), col("cv")).as("sim"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= n)
+      .select(col("vid"), col("cid"))
+  }
+
+  /** IVF-flat approximate nearest neighbors — the coarse-quantizer
+    * alternative to banded LSH (`annTopK`): seed centroids = the
+    * nClusters smallest ids, ONE distributed Lloyd refinement (assign →
+    * per-cluster elementwise sum — cosine is scale-invariant, so the SUM
+    * vector ≡ the mean centroid and stays integer-exact), final inverted
+    * lists, then each probe searches only its nProbe nearest lists with
+    * an exact cosine re-rank. At 100 TB the probe side reads ~nProbe /
+    * nClusters of the corpus instead of all of it; the Lloyd step is one
+    * partial-aggregated shuffle of nClusters×dim cells.
+    * Output: (probe_id, neighbor_id, cos_sim, rank). */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, id: String, vec: String, k: Int,
+      nClusters: Int = 8, nProbe: Int = 2): DataFrame = {
+    val q = corpus.select(col(id).as("vid"), quant(col(vec)).as("qv"))
+    val seeds = q.orderBy(col("vid").asc).limit(nClusters)
+      .select(col("vid").as("cid"), col("qv").as("cv"))
+    val a0 = assignClusters(q, seeds, 1)
+    // one Lloyd step; the "centroid" is the per-cluster elementwise sum
+    // (exact longs), never a float mean
+    val sums = q.join(a0, "vid")
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos")).agg(sum(col("x")).as("sx"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
+        s => s.getField("sx")).as("cv"))
+    val a1 = assignClusters(q, sums, 1)
+    val pq = probes.select(col(id).as("vid"), quant(col(vec)).as("qv"))
+    val plists = assignClusters(pq, sums, nProbe).withColumnRenamed("vid", "probe_id")
+    val cands = plists.join(a1.withColumnRenamed("vid", "neighbor_id"), "cid")
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"))
+    val pv = probes.select(col(id).as("probe_id"), col(vec).as("probe_vec"))
+    val nv = corpus.select(col(id).as("neighbor_id"), col(vec).as("corpus_vec"))
+    val scored = cands.join(broadcast(pv), Seq("probe_id")).join(nv, Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(cosine(col("probe_vec"), col("corpus_vec")), 4).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Symmetric int8 scalar quantization — embedding compression for
+    * 100-TB stores (4 B float → 1 B per dim): q_i = ⌊x_i·127/maxabs + ½⌋
+    * with the per-vector scale preserved as round(maxabs·1e6) (an exact
+    * integer — emitting the double would race engine rounding modes).
+    * Explicit ⌊x+½⌋ instead of round() so negative halves agree across
+    * engines. Output: (id, n_dims, scale_q, q_csv). */
+  def quantizeInt8(df: DataFrame, id: String, vec: String): DataFrame =
+    df.select(col(id), col(vec).as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x.cast("double")))))
+      .select(col(id),
+        size(col("v")).as("n_dims"),
+        round(col("maxabs") * 1000000).cast("long").as("scale_q"),
+        concat_ws(",", transform(col("v"), x =>
+          when(col("maxabs") === 0.0, lit(0L))
+            .otherwise(floor(x.cast("double") * 127 / col("maxabs") + 0.5))
+            .cast("string"))).as("q_csv"))
+
   /** R4 incremental add (/root/reference/src/vector_store.py:136-161):
     * the reference appends new chunks to its store and extends the index
     * in place. Hyperplane bucketing is per-row deterministic (planes are

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as driver-contract queries with
   * DuckDB oracles: deduplication (exact / MinHash-LSH / SimHash /
@@ -161,6 +161,22 @@ object DataOps {
         "vec_id", "embedding", 8)
     }),
 
+    // IVF-flat ANN: coarse-quantizer scale path (8 lists, probe 2);
+    // integer-exact assignment math — the oracle recomputes it verbatim
+    "sim_ivf_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", 5, 8, 2)
+    }),
+
+    // int8 embedding compression (4 B → 1 B per dim at 100 TB)
+    "sim_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(emb(s, dir), "vec_id", "embedding")),
+
+    // ---- retrieval scoring ----
+    "ir_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "join", "hash", "window"), 20)),
+
     // ---- text analysis ----
     "ta_langid" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
@@ -260,7 +276,7 @@ object DataOps {
         |scored AS (
         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
         |         round(list_dot_product(p.e, c.e) /
-        |               (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))), 4) AS cos_sim
+        |               (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))), 4) + 0 AS cos_sim
         |  FROM v p, v c WHERE p.vec_id < 10 AND p.vec_id <> c.vec_id)
         |SELECT probe_id, neighbor_id, cos_sim, rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
@@ -367,7 +383,7 @@ object DataOps {
          |scored AS (
          |  SELECT s.probe_id, s.neighbor_id,
          |         round(list_dot_product(p.e, c.e) /
-         |               (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))), 4) AS cos_sim
+         |               (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))), 4) + 0 AS cos_sim
          |  FROM sym s JOIN v p ON p.vec_id = s.probe_id JOIN v c ON c.vec_id = s.neighbor_id)
          |SELECT probe_id, neighbor_id, cos_sim, rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
@@ -396,6 +412,85 @@ object DataOps {
         |SELECT vec_id, string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket,
         |       CASE WHEN vec_id % 2 = 0 THEN 'base' ELSE 'delta' END AS src
         |FROM dots GROUP BY 1, 3""".stripMargin,
+
+    // IVF mirror of Similarity.ivfTopK: ×1000 long quantization, seed
+    // centroids = 8 smallest ids, one Lloyd step with SUM centroids
+    // (cosine is scale-invariant → sum ≡ mean, integer-exact), probe 2
+    // lists, exact float re-rank. All dots are BIGINT sums (< 2^53) so
+    // assignments are bit-identical to Spark's.
+    "sim_ivf_topk" ->
+      """WITH qd AS (
+        |  SELECT vec_id, i, round(x * 1000)::BIGINT AS q FROM (
+        |    SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+        |           generate_subscripts(embedding, 1) - 1 AS i
+        |    FROM embeddings)),
+        |vnorm AS (SELECT vec_id, sqrt((sum(q*q))::DOUBLE) AS nrm FROM qd GROUP BY 1),
+        |seeds AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT 8),
+        |sd AS (SELECT s.cid, qd.i, qd.q AS cq FROM qd JOIN seeds s ON qd.vec_id = s.cid),
+        |snorm AS (SELECT cid, sqrt((sum(cq*cq))::DOUBLE) AS cnrm FROM sd GROUP BY 1),
+        |d0 AS (SELECT qd.vec_id, sd.cid, (sum(qd.q * sd.cq))::BIGINT AS dot
+        |       FROM qd JOIN sd USING (i) GROUP BY 1, 2),
+        |a0 AS (SELECT vec_id, cid FROM (
+        |         SELECT d0.vec_id, d0.cid,
+        |                row_number() OVER (PARTITION BY d0.vec_id
+        |                  ORDER BY d0.dot::DOUBLE / (v.nrm * s.cnrm) DESC, d0.cid ASC) AS rn
+        |         FROM d0 JOIN vnorm v ON v.vec_id = d0.vec_id JOIN snorm s ON s.cid = d0.cid)
+        |       WHERE rn = 1),
+        |cs AS (SELECT a0.cid, qd.i, (sum(qd.q))::BIGINT AS cq
+        |       FROM qd JOIN a0 ON a0.vec_id = qd.vec_id GROUP BY 1, 2),
+        |cnorm AS (SELECT cid, sqrt((sum(cq*cq))::DOUBLE) AS cnrm FROM cs GROUP BY 1),
+        |d1 AS (SELECT qd.vec_id, cs.cid, (sum(qd.q * cs.cq))::BIGINT AS dot
+        |       FROM qd JOIN cs USING (i) GROUP BY 1, 2),
+        |r1 AS (SELECT d1.vec_id, d1.cid,
+        |              row_number() OVER (PARTITION BY d1.vec_id
+        |                ORDER BY d1.dot::DOUBLE / (v.nrm * c.cnrm) DESC, d1.cid ASC) AS rn
+        |       FROM d1 JOIN vnorm v ON v.vec_id = d1.vec_id JOIN cnorm c ON c.cid = d1.cid),
+        |a1 AS (SELECT vec_id, cid FROM r1 WHERE rn = 1),
+        |pl AS (SELECT vec_id AS probe_id, cid FROM r1 WHERE vec_id < 10 AND rn <= 2),
+        |cand AS (SELECT pl.probe_id, a1.vec_id AS neighbor_id
+        |         FROM pl JOIN a1 USING (cid) WHERE a1.vec_id <> pl.probe_id),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |scored AS (
+        |  SELECT c.probe_id, c.neighbor_id,
+        |         round(list_dot_product(p.e, n.e) /
+        |               (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(n.e, n.e))), 4) + 0 AS cos_sim
+        |  FROM cand c JOIN v p ON p.vec_id = c.probe_id JOIN v n ON n.vec_id = c.neighbor_id)
+        |SELECT probe_id, neighbor_id, cos_sim, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    "sim_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS maxabs FROM v)
+        |SELECT vec_id, len(e) AS n_dims,
+        |       round(maxabs * 1000000)::BIGINT AS scale_q,
+        |       array_to_string(list_transform(e, x ->
+        |         CASE WHEN maxabs = 0 THEN 0
+        |              ELSE floor(x * 127 / maxabs + 0.5)::BIGINT END), ',') AS q_csv
+        |FROM m""".stripMargin,
+
+    // constants pre-folded to the exact doubles bm25TopK receives
+    // (2.2 = k1+1; 0.25 = 1-b) — folding them in SQL instead would go
+    // through DuckDB DECIMAL arithmetic and drift in the last ulp
+    "ir_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS term FROM documents),
+        |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+        |       WHERE term IN ('spark', 'join', 'hash', 'window') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         round(sum(ln(1.0::DOUBLE + (s.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) *
+        |                   tf.tf * 2.2::DOUBLE /
+        |                   (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl / s.avgdl))), 4) AS score
+        |  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+        |  GROUP BY 1)
+        |SELECT doc_id, score, rank FROM (
+        |  SELECT doc_id, score,
+        |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 20""".stripMargin,
 
     // The stub decoder is deterministic byte math (Multimodal.stubDecode):
     // at(i) = byte[(i mod n)]; the docs corpus is pure ASCII (verified —
