@@ -6,15 +6,26 @@ import org.apache.spark.sql.functions._
 /** Lexical retrieval scoring — the batch analog of the reference's
   * retriever surface (/root/reference/src/vector_store.py:163-213 ranks
   * chunks for a query; BM25 is the standard lexical counterpart for a
-  * corpus-scale engine). Pure column program: one token explode, partial
-  * aggregation for tf/df/dl, the two scalar corpus stats broadcast as a
-  * 1-row table, top-k via TakeOrderedAndProject — no UDFs, no global
-  * sort, no single-partition window over the corpus. */
+  * corpus-scale engine). Pure column program: ONE token-explode pass,
+  * partial aggregation for tf/df/dl, the two scalar corpus stats
+  * broadcast as a 1-row table, top-k via TakeOrderedAndProject — no
+  * UDFs, no global sort, no single-partition window over the corpus. */
 object Retrieval {
 
   /** BM25 top-k over `docs`:
     * score(d) = Σ_t ln(1 + (N − df + ½)/(df + ½)) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
     * with tokens = `[a-z]+` runs (the ta_tokens alpha tokenizer).
+    *
+    * dl and every per-term tf come out of ONE conditional-aggregation
+    * pass over the exploded tokens (`perdoc`); df, N and avgdl collapse
+    * into a single per-term broadcast table (each doc emits exactly one
+    * unpivoted row per term, so count/avg per term ARE the global
+    * stats). Two corpus scans total (PlanSpec-gated): one for the tiny
+    * stats table, one for scoring — the minimum for one-shot BM25 from
+    * raw text, since scores need the global stats first (a naive
+    * tf/df/dl/stats-as-separate-branches formulation scans 4×; one scan
+    * would need a materialized token table, i.e. an inverted index).
+    *
     * Ranking is by the ROUNDED score (4 dp) with id as tie-break, so the
     * order is reproducible in any engine. Constants are passed as
     * pre-folded double literals — `lit(k1) + 1` and a SQL `k1 + 1` can
@@ -26,16 +37,23 @@ object Retrieval {
       b: Double = 0.75): DataFrame = {
     val toks = docs.select(col(id),
       explode(expr(s"regexp_extract_all($text, '[a-z]+', 0)")).as("term"))
-    val dl = toks.groupBy(col(id)).agg(count(lit(1)).as("dl"))
-    // n_docs/avgdl: integer-valued double sums < 2^53 are order-exact,
-    // so avg() is engine-portable here
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = toks.where(col("term").isInCollection(terms))
-      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), "term")
-      .join(dl, Seq(id))
-      .crossJoin(broadcast(stats))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i")
+    }
+    val aggCols = count(lit(1)).as("dl") +: tfCols
+    val perdoc = toks.groupBy(col(id)).agg(aggCols.head, aggCols.tail: _*)
+    val unpiv = perdoc.select(col(id), col("dl"),
+      explode(array(terms.indices.map(i =>
+        struct(lit(terms(i)).as("term"), col(s"tf_$i").as("tf"))): _*)).as("p"))
+      .select(col(id), col("dl"), col("p.term").as("term"), col("p.tf").as("tf"))
+    // one row per (doc, term) with no filter, so per-term count/avg ARE
+    // the corpus-global N and avgdl; n_docs/avgdl are integer-valued
+    // double sums < 2^53 — order-exact, engine-portable
+    val meta = unpiv.groupBy(col("term")).agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"),
+      sum(when(col("tf") > 0, 1L).otherwise(0L)).as("df"))
+    val scored = unpiv.where(col("tf") > 0).join(broadcast(meta), "term")
       .select(col(id),
         (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
           col("tf") * lit(k1Plus1) /

@@ -215,6 +215,13 @@ object Similarity {
     * an exact cosine re-rank. At 100 TB the probe side reads ~nProbe /
     * nClusters of the corpus instead of all of it; the Lloyd step is one
     * partial-aggregated shuffle of nClusters×dim cells.
+    *
+    * The lazy composition recomputes the quantized corpus per stage
+    * (assign0 / Lloyd / assign1) — at production scale the assignment
+    * table is a checkpointed stage table (the `kg.Pipeline` parquet-
+    * ledger pattern, exactly how Spark ML's KMeans persists between
+    * iterations); at query-test scale lazy recompute is cheaper than
+    * materialization, so this function stays composition-pure.
     * Output: (probe_id, neighbor_id, cos_sim, rank). */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, id: String, vec: String, k: Int,
       nClusters: Int = 8, nProbe: Int = 2): DataFrame = {

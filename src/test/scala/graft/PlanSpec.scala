@@ -121,6 +121,29 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 0, s"bucketing must not shuffle:\n$p")
   }
 
+  test("BM25 scans the corpus exactly twice (stats pass + scoring pass)") {
+    // two is the floor for one-shot BM25 from raw text: scoring needs the
+    // global N/avgdl/df first (one scan would need a materialized token
+    // table); the naive per-branch formulation scans 4x
+    val p = plan(SparkEntry.queries("ir_bm25_topk")(spark, dir))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"expected 2 corpus scans, got $scans:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort:\n" + p)
+  }
+
+  test("int8 quantization is a single narrow pass (zero shuffles)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.ops.Similarity.quantizeInt8(emb, "vec_id", "embedding"))
+    assert("Exchange".r.findAllIn(p).size == 0, s"quantization must not shuffle:\n$p")
+  }
+
+  test("IVF assignment never degenerates to a cartesian product") {
+    // centroid tables are broadcast (nClusters rows); the only acceptable
+    // nested-loop is the broadcast cross join against them
+    val p = plan(SparkEntry.queries("sim_ivf_topk")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"IVF went all-pairs:\n$p")
+  }
+
   test("name-similarity blocking joins on buckets, never all-pairs") {
     val keys = Seq("convolutional neural network", "convolutional neural networks",
       "stochastic gradient descent", "graph attention network").toDF("entity_key")
