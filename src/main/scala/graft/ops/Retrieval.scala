@@ -66,4 +66,40 @@ object Retrieval {
       .orderBy(col("score").desc, col(id).asc)
     top.withColumn("rank", row_number().over(w))
   }
+
+  /** Materialized inverted index: (term, id, tf) postings. Built once
+    * (one corpus scan, one shuffle on (term, id) with map-side combine),
+    * it is the "serve many queries with ZERO corpus scans" path that
+    * one-shot `bm25TopK` cannot have — the 100-TB deployment shape. */
+  def buildIndex(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id),
+      explode(expr(s"regexp_extract_all($text, '[a-z]+', 0)")).as("term"))
+      .groupBy(col("term"), col(id)).agg(count(lit(1)).as("tf"))
+
+  /** BM25 served from a materialized index — never touches raw text.
+    * dl is recovered as Σ_t tf (the index covers every token), so
+    * scores are EXACTLY `bm25TopK`'s (OpsSpec pins the equality). All
+    * derived tables (dl, df, stats) scan the postings, which are a
+    * fraction of corpus bytes. Output: (id, score, rank). */
+  def bm25FromIndex(index: DataFrame, id: String, terms: Seq[String], k: Int,
+      k1Plus1: Double = 2.2, k1: Double = 1.2, oneMinusB: Double = 0.25,
+      b: Double = 0.75): DataFrame = {
+    val dl = index.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = index.where(col("term").isInCollection(terms))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .join(dl, Seq(id))
+      .crossJoin(broadcast(stats))
+      .select(col(id),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          col("tf") * lit(k1Plus1) /
+          (col("tf") + lit(k1) *
+            (lit(oneMinusB) + lit(b) * col("dl") / col("avgdl")))).as("ts"))
+      .groupBy(col(id)).agg(round(sum(col("ts")), 4).as("score"))
+    val top = scored.orderBy(col("score").desc, col(id).asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col(id).asc)
+    top.withColumn("rank", row_number().over(w))
+  }
 }

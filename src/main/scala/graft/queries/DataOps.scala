@@ -177,6 +177,11 @@ object DataOps {
       Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
         Seq("spark", "join", "hash", "window"), 20)),
 
+    // materialized inverted index (build once, serve queries with zero
+    // corpus scans; bm25FromIndex equality is OpsSpec-pinned)
+    "ir_index_build" -> ((s, dir) =>
+      Retrieval.buildIndex(docs(s, dir), "doc_id", "text")),
+
     // ---- text analysis ----
     "ta_langid" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
@@ -491,6 +496,11 @@ object DataOps {
         |  SELECT doc_id, score,
         |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
         |  FROM scored) WHERE rank <= 20""".stripMargin,
+
+    "ir_index_build" ->
+      """SELECT term, doc_id, count(*)::BIGINT AS tf FROM (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS term FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
 
     // The stub decoder is deterministic byte math (Multimodal.stubDecode):
     // at(i) = byte[(i mod n)]; the docs corpus is pure ASCII (verified —

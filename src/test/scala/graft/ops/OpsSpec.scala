@@ -187,6 +187,23 @@ class OpsSpec extends AnyFunSuite {
     assert(none.map(_.getAs[Long]("doc_id")).toSet == Set(2L))
   }
 
+  test("BM25 served from the inverted index equals BM25 from raw text") {
+    val terms = Seq("spark", "join", "hash", "window")
+    val fromText = Retrieval.bm25TopK(docs, "doc_id", "text", terms, 15)
+    val index = Retrieval.buildIndex(docs, "doc_id", "text")
+    val fromIndex = Retrieval.bm25FromIndex(index, "doc_id", terms, 15)
+    val a = fromText.orderBy($"rank").collect().map(_.toSeq)
+    val b = fromIndex.orderBy($"rank").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "index-served scores must equal one-shot scores")
+    // the index recovers dl as sum(tf) — spot-check against a raw count
+    val dl = index.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      .where($"doc_id" === 0).head().getAs[Long]("dl")
+    val raw = docs.where($"doc_id" === 0)
+      .select(size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n"))
+      .head().getAs[Int]("n")
+    assert(dl == raw.toLong)
+  }
+
   test("incremental index add equals full rebuild") {
     val base = emb.where($"vec_id" % 2 === 0)
     val delta = emb.where($"vec_id" % 2 === 1)
