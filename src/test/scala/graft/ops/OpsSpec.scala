@@ -187,6 +187,57 @@ class OpsSpec extends AnyFunSuite {
     assert(none.map(_.getAs[Long]("doc_id")).toSet == Set(2L))
   }
 
+  test("quantization edge cases: zero vector, single dim, negative max") {
+    val df = Seq(
+      (1L, Seq(0f, 0f, 0f)),
+      (2L, Seq(-2f)),
+      (3L, Seq(-1f, 0.5f, 0.25f)),
+      (4L, Seq(1e-8f, -1e-8f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out(1L).getAs[String]("q_csv") == "0,0,0", "zero vector must not divide by zero")
+    assert(out(1L).getAs[Long]("scale_q") == 0L)
+    assert(out(2L).getAs[String]("q_csv") == "-127")
+    assert(out(3L).getAs[String]("q_csv") == "-127,64,32")
+    assert(out(4L).getAs[String]("q_csv") == "127,-127", "tiny scales must still saturate")
+  }
+
+  test("BM25 matches an independent in-memory reference on an adversarial corpus") {
+    val corpus = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spark join"),
+      (3L, "nothing relevant here"), // no query terms: absent from output
+      (4L, ""),                      // no tokens at all: not part of N/avgdl
+      (5L, "hash hash window join spark extra words beyond"))
+    val terms = Seq("spark", "join", "hash", "window", "absentterm")
+    val got = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), "doc_id", "text", terms, 5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"), r.getAs[Int]("rank")))
+    val toks = corpus.map { case (id, t) => id -> "[a-z]+".r.findAllIn(t).toList }
+      .filter(_._2.nonEmpty)
+    val n = toks.size
+    val avgdl = toks.map(_._2.size).sum.toDouble / n
+    def expected(id: Long): Double = {
+      val tks = toks.toMap.apply(id)
+      terms.map { t =>
+        val tf = tks.count(_ == t)
+        if (tf == 0) 0.0
+        else {
+          val df = toks.count(_._2.contains(t))
+          math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+            (tf + 1.2 * (0.25 + 0.75 * tks.size / avgdl))
+        }
+      }.sum
+    }
+    assert(got.map(_._1).toSet == Set(1L, 2L, 5L))
+    for ((id, score, _) <- got)
+      assert(math.abs(score - expected(id)) <= 6e-5, s"doc $id: got $score want ${expected(id)}")
+    val topDoc = got.minBy(_._3)._1
+    assert(expected(topDoc) == Set(1L, 2L, 5L).map(expected).max,
+      "rank 1 must carry the highest reference score")
+  }
+
   test("BM25 served from the inverted index equals BM25 from raw text") {
     val terms = Seq("spark", "join", "hash", "window")
     val fromText = Retrieval.bm25TopK(docs, "doc_id", "text", terms, 15)
