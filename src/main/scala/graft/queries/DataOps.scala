@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as driver-contract queries with
   * DuckDB oracles: deduplication (exact / MinHash-LSH / SimHash /
@@ -22,6 +22,7 @@ object DataOps {
     s.read.parquet(s"$dir/embeddings.parquet")
 
   private val nearDupTail = " additional tail content for near duplicate testing"
+  private val decontTail = " extra trailing content appended after the contaminated span"
 
   /** documents ∪ planted exact dups ∪ planted near dups. */
   private def ddInput(s: SparkSession, dir: String): DataFrame = {
@@ -181,6 +182,31 @@ object DataOps {
     // corpus scans; bm25FromIndex equality is OpsSpec-pinned)
     "ir_index_build" -> ((s, dir) =>
       Retrieval.buildIndex(docs(s, dir), "doc_id", "text")),
+
+    // ---- corpus curation ----
+    // deterministic stratified sampling: en in full, de at 25%, the
+    // long tail at 5% — stable under reruns and repartitioning
+    "cu_hash_sample" -> ((s, dir) =>
+      Curation.hashSample(docs(s, dir), "doc_id", "lang",
+        Seq("en" -> 10000, "de" -> 2500), 500)),
+
+    // per-source cap: top 20 docs per source by length
+    "cu_source_cap" -> ((s, dir) =>
+      Curation.capPerGroup(docs(s, dir), "doc_id", "source", "n_chars", 20)),
+
+    // decontamination: bench set = doc_id % 97 == 0; planted contaminated
+    // copies (bench text + tail, doc_id + 3000000) must be flagged at
+    // containment 1.0; natural overlap maxes at ~0.32 at the oracle
+    // scale (sf0.01), so 0.5 isolates the plants there (tiny sf0.001
+    // benchmark docs can be near-covered naturally — OpsSpec handles it)
+    "cu_decontaminate" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = base.where(col("doc_id") % 97 === 0)
+      val contaminated = bench.select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"), lit(decontTail)).as("text"))
+      val corpus = base.where(col("doc_id") % 97 =!= 0).union(contaminated)
+      Curation.decontaminate(corpus, bench, "doc_id", "text", 8, 0.5)
+    }),
 
     // ---- text analysis ----
     "ta_langid" -> ((s, dir) =>
@@ -496,6 +522,43 @@ object DataOps {
         |  SELECT doc_id, score,
         |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
         |  FROM scored) WHERE rank <= 20""".stripMargin,
+
+    "cu_hash_sample" ->
+      """SELECT doc_id, stratum, bucket FROM (
+        |  SELECT doc_id, lang AS stratum,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bucket
+        |  FROM documents)
+        |WHERE bucket < CASE stratum WHEN 'en' THEN 10000 WHEN 'de' THEN 2500 ELSE 500 END""".stripMargin,
+
+    "cu_source_cap" ->
+      """SELECT doc_id, source, n_chars, rank_in_group FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rank_in_group
+        |  FROM documents)
+        |WHERE rank_in_group <= 20""".stripMargin,
+
+    "cu_decontaminate" ->
+      s"""WITH bench0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id, text || '$decontTail' AS text FROM bench0),
+         |csh AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(generate_series(1, greatest(1, strlen(text) - 7)),
+         |                               i -> substr(text, i::int, 8))) AS shingle
+         |  FROM corpus),
+         |bsh AS (
+         |  SELECT DISTINCT doc_id AS bench_id,
+         |         unnest(list_transform(generate_series(1, greatest(1, strlen(text) - 7)),
+         |                               i -> substr(text, i::int, 8))) AS shingle
+         |  FROM bench0),
+         |bsz AS (SELECT bench_id, count(*) AS bn FROM bsh GROUP BY 1),
+         |ov AS (SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+         |       FROM csh c JOIN bsh b USING (shingle) GROUP BY 1, 2)
+         |SELECT doc_id, bench_id, n_shared, round(n_shared * 1.0 / bn, 4) AS containment
+         |FROM ov JOIN bsz USING (bench_id)
+         |WHERE round(n_shared * 1.0 / bn, 4) >= 0.5""".stripMargin,
 
     "ir_index_build" ->
       """SELECT term, doc_id, count(*)::BIGINT AS tf FROM (

@@ -144,6 +144,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"IVF went all-pairs:\n$p")
   }
 
+  test("hash sampling is a narrow pass (zero shuffles)") {
+    val p = plan(SparkEntry.queries("cu_hash_sample")(spark, dir))
+    assert("Exchange".r.findAllIn(p).size == 0, s"sampling must not shuffle:\n$p")
+  }
+
+  test("per-group cap pushes a WindowGroupLimit below the sort") {
+    // Spark's rank-limit pushdown keeps a bounded per-group heap instead
+    // of fully sorting every group — the cap stays cheap on mega-domains
+    val p = plan(SparkEntry.queries("cu_source_cap")(spark, dir))
+    assert(p.contains("WindowGroupLimit"), s"rank filter did not push down:\n$p")
+  }
+
+  test("decontamination broadcasts the benchmark side") {
+    val p = plan(SparkEntry.queries("cu_decontaminate")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must never shuffle-join:\n$p")
+  }
+
   test("name-similarity blocking joins on buckets, never all-pairs") {
     val keys = Seq("convolutional neural network", "convolutional neural networks",
       "stochastic gradient descent", "graph attention network").toDF("entity_key")

@@ -265,6 +265,56 @@ class OpsSpec extends AnyFunSuite {
       "append-only incremental index must equal a full rebuild")
   }
 
+  test("hash sampling is partition-invariant, stratified, and rate-nested") {
+    val rates = Seq("en" -> 10000, "de" -> 2500)
+    val s1 = Curation.hashSample(docs, "doc_id", "lang", rates, 500)
+    val s2 = Curation.hashSample(docs.repartition(7), "doc_id", "lang", rates, 500)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty,
+      "sample membership must not depend on partitioning")
+    assert(s1.where($"stratum" === "en").count() == docs.where($"lang" === "en").count(),
+      "a 10000 bp stratum keeps every row")
+    // nesting: raising the rate only ADDS rows — the property that lets a
+    // pipeline grow a sample without resampling everything
+    val small = Curation.hashSample(docs, "doc_id", "lang", Seq.empty, 1000).select($"doc_id")
+    val large = Curation.hashSample(docs, "doc_id", "lang", Seq.empty, 5000).select($"doc_id")
+    assert(small.exceptAll(large).isEmpty, "hash samples must be nested across rates")
+    assert(small.count() < large.count())
+  }
+
+  test("per-source cap keeps exactly the top-n by length per group") {
+    val capped = Curation.capPerGroup(docs, "doc_id", "source", "n_chars", 3)
+    val byGroup = capped.collect().groupBy(_.getAs[String]("source"))
+    assert(byGroup.values.forall(_.length <= 3))
+    val src = byGroup.keys.head
+    val expected = docs.where($"source" === src)
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+      .sortBy { case (n, id) => (-n, id) }.take(3).map(_._2).toSet
+    val got = byGroup(src).map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expected, s"group $src: got $got want $expected")
+  }
+
+  test("decontamination flags every planted benchmark copy at full containment") {
+    val base = docs.select($"doc_id", $"text")
+    val bench = base.where($"doc_id" % 97 === 0)
+    val planted = bench.select(($"doc_id" + 3000000L).as("doc_id"),
+      concat($"text", lit(" trailing tail after the contaminated span")).as("text"))
+    val corpus = base.where($"doc_id" % 97 =!= 0).union(planted)
+    val flagged = Curation.decontaminate(corpus, bench, "doc_id", "text", 8, 0.5).collect()
+    assert(flagged.nonEmpty)
+    // every plant is flagged against its own benchmark doc at exactly 1.0
+    // (a superset doc contains every benchmark shingle). The tiny-vocab
+    // sf0.001 corpus also produces legitimate NATURAL hits — short
+    // benchmark docs whose common 8-grams another doc fully covers —
+    // which is the operator doing its job, not a false positive; the
+    // only hard guarantee is that no flagged pair is below threshold
+    val plants = flagged.filter(r =>
+      r.getAs[Long]("doc_id") == r.getAs[Long]("bench_id") + 3000000L)
+    assert(plants.length == bench.count(), "every plant must be flagged")
+    assert(plants.forall(_.getAs[Double]("containment") == 1.0))
+    assert(flagged.forall(_.getAs[Double]("containment") >= 0.5))
+  }
+
   test("magic-byte sniffing detects real container headers") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     assert(Multimodal.sniffFormat(b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)) == "png")
