@@ -224,7 +224,15 @@ object KgQueries {
         .select(col("doc_id"), posexplode(graft.kg.Udfs.chunkText(
           graft.kg.Udfs.cleanText(repeat(concat(col("text"), lit(" ")), 6)))).as(Seq("chunk_id", "c")))
         .select(col("doc_id"), col("chunk_id"), col("c.content").as("content"),
-          col("c.section").as("section"))))
+          col("c.section").as("section"))),
+
+    // graph analytics over the materialized KG: deterministic integer
+    // PageRank (5 sweeps, edges mirrored so the bipartite graph has no
+    // sinks), top 20 vertices — the oracle replays the same integer
+    // recurrence as mechanically unrolled CTEs over the kg_edges oracle
+    "kg_pagerank" -> ((s, dir) =>
+      graft.ops.Graph.pageRank(kgRun(s, dir)._2.edges, "src_url", "dst_name", "weight", 5)
+        .orderBy(col("pr").desc, col("vertex").asc).limit(20)))
 
   // ---------------------------------------------------------------- oracles
   private val acronymBlacklistSql =
@@ -424,10 +432,38 @@ object KgQueries {
          |       c.canonical_name AS dst_name, p.weight
          |FROM perurl p JOIN canon c USING (comp)""".stripMargin
 
+  /** Integer-PageRank oracle: the Graph.pageRank recurrence unrolled as
+    * one CTE pair (contributions, ranks) per sweep over the full
+    * kg_edges oracle. `//` (DuckDB) and `div` (Spark) both truncate, and
+    * every operand is a nonneg long — bit-identical per iteration. */
+  private def pageRankSql(edgesSql: String, iters: Int, scale: Long, topK: Int): String = {
+    val sb = new StringBuilder
+    // AS MATERIALIZED: the edges subtree is the most expensive oracle in
+    // the suite and ed/verts are referenced by every sweep — inlining
+    // them into each reference would multiply that cost ~12x
+    sb.append(s"WITH kge AS MATERIALIZED ($edgesSql),\n")
+    sb.append("ed AS MATERIALIZED (SELECT src_url AS src, dst_name AS dst, weight AS w FROM kge\n")
+    sb.append("      UNION ALL SELECT dst_name, src_url, weight FROM kge),\n")
+    sb.append("deg AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS wdeg FROM ed GROUP BY 1),\n")
+    sb.append("verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM ed),\n")
+    sb.append("nn AS (SELECT count(*)::BIGINT AS n FROM verts),\n")
+    sb.append(s"r0 AS (SELECT v, $scale // n AS r FROM verts CROSS JOIN nn),\n")
+    for (k <- 1 to iters) {
+      sb.append(s"c$k AS (SELECT ed.dst AS v, sum((r.r * ed.w) // d.wdeg)::BIGINT AS cs\n")
+      sb.append(s"       FROM ed JOIN deg d USING (src) JOIN r${k - 1} r ON r.v = ed.src GROUP BY 1),\n")
+      sb.append(s"r$k AS (SELECT verts.v, (15 * ($scale // n)) // 100 + (85 * coalesce(cs, 0)) // 100 AS r\n")
+      sb.append(s"       FROM verts LEFT JOIN c$k USING (v) CROSS JOIN nn),\n")
+    }
+    sb.setLength(sb.length - 2) // drop the trailing ",\n"
+    sb.append(s"\nSELECT v AS vertex, r AS pr FROM r$iters ORDER BY r DESC, v ASC LIMIT $topK")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "kg_triples" -> kgTriplesSql,
     "kg_nodes" -> kgNodesSql,
     "kg_edges" -> kgEdgesSql,
+    "kg_pagerank" -> pageRankSql(kgEdgesSql, 5, 1000000000L, 20),
 
     // north_rule lineage: the SQL-expressible slice of the metrics
     // artifact — per-stage output row counts, each re-derived by counting

@@ -315,6 +315,22 @@ class OpsSpec extends AnyFunSuite {
     assert(flagged.forall(_.getAs[Double]("containment") >= 0.5))
   }
 
+  test("integer PageRank: hub outranks leaves, partition-invariant, mass-conserving") {
+    val edges = Seq(("hub", "a", 1L), ("hub", "b", 1L), ("hub", "c", 1L), ("a", "b", 1L))
+      .toDF("s", "d", "w")
+    def run(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      Graph.pageRank(df, "s", "d", "w", 5).collect()
+        .map(r => r.getAs[String]("vertex") -> r.getAs[Long]("pr")).toMap
+    val pr = run(edges)
+    assert(pr == run(edges.repartition(5)), "ranks must not depend on partitioning")
+    assert(pr.keySet == Set("hub", "a", "b", "c"))
+    assert(pr("hub") == pr.values.max, s"the hub must rank highest: $pr")
+    assert(pr("c") == pr.values.min, s"the degree-1 leaf must rank lowest: $pr")
+    // integer floor losses only shave mass, never create it
+    val total = pr.values.sum
+    assert(total <= 1000000000L && total > 900000000L, s"mass off: $total")
+  }
+
   test("magic-byte sniffing detects real container headers") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     assert(Multimodal.sniffFormat(b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)) == "png")
