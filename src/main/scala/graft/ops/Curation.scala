@@ -50,8 +50,10 @@ object Curation {
     * |shingles(c) ∩ shingles(b)| / |shingles(b)| ≥ threshold flags doc c
     * as contaminated by benchmark doc b. The benchmark side is broadcast
     * (eval sets are tiny next to a 100-TB corpus), so the corpus is
-    * never shuffled for the join; the per-pair count aggregation is the
-    * only shuffle. Output: (id, bench_id, n_shared, containment). */
+    * never shuffled for the join, and the shingle tables deduplicate
+    * per-row (narrow `array_distinct` inside `charShingles`, no global
+    * distinct shuffle) — the per-pair count aggregation is the only
+    * corpus-sized shuffle. Output: (id, bench_id, n_shared, containment). */
   def decontaminate(corpus: DataFrame, bench: DataFrame, id: String, text: String,
       n: Int, minContainment: Double): DataFrame = {
     val cs = Dedup.charShingles(corpus, id, text, n)

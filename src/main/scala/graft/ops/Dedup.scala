@@ -297,13 +297,16 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Character n-gram shingles (positional substrings) per doc. */
+  /** Character n-gram shingles (positional substrings) per doc, distinct
+    * within each doc. The distinct is PER-ROW (`array_distinct` before
+    * the explode — a narrow map), not a global `.distinct()` (a shuffle
+    * of every exploded shingle, ~n× the corpus bytes at scale); the two
+    * are equivalent whenever ids are unique, which every caller's input
+    * guarantees. */
   def charShingles(df: DataFrame, id: String, text: String, n: Int = 8): DataFrame =
-    df.select(col(id), col(text))
-      .select(col(id), explode(expr(
-        s"transform(sequence(1, greatest(0, length($text) - ${n - 1})), i -> substring($text, i, $n))"))
-        .as("shingle"))
-      .distinct()
+    df.select(col(id), explode(array_distinct(expr(
+      s"transform(sequence(1, greatest(0, length($text) - ${n - 1})), i -> substring($text, i, $n))")))
+      .as("shingle"))
 
   /** Blocked all-pairs n-gram (token) Jaccard — for small blocks; LSH is
     * the scale path. Block key = any low-cardinality column. */

@@ -1,20 +1,47 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Lexical retrieval scoring — the batch analog of the reference's
   * retriever surface (/root/reference/src/vector_store.py:163-213 ranks
   * chunks for a query; BM25 is the standard lexical counterpart for a
-  * corpus-scale engine). Pure column program: ONE token-explode pass,
-  * partial aggregation for tf/df/dl, the two scalar corpus stats
-  * broadcast as a 1-row table, top-k via TakeOrderedAndProject — no
-  * UDFs, no global sort, no single-partition window over the corpus. */
+  * corpus-scale engine). Pure column programs: token explode, partial
+  * aggregation for tf/df/dl, scalar corpus stats broadcast as tiny
+  * tables, top-k via TakeOrderedAndProject — no UDFs, no global sort,
+  * no single-partition window over the corpus. */
 object Retrieval {
 
-  /** BM25 top-k over `docs`:
-    * score(d) = Σ_t ln(1 + (N − df + ½)/(df + ½)) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
-    * with tokens = `[a-z]+` runs (the ta_tokens alpha tokenizer).
+  /** The `[a-z]+` alpha tokenizer (ta_tokens semantics) — ONE definition
+    * shared by the one-shot scorer and the index builder, so the
+    * `bm25FromIndex ≡ bm25TopK` and `dl = Σ tf` invariants cannot be
+    * broken by editing a stray copy. */
+  private def tokens(text: String): Column =
+    explode(expr(s"regexp_extract_all($text, '[a-z]+', 0)"))
+
+  /** One (doc, term) BM25 contribution from columns (tf, df, dl, n_docs,
+    * avgdl):  ln(1 + (N − df + ½)/(df + ½)) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    * k1+1 and 1−b are folded HERE, in Scala IEEE arithmetic (for the
+    * defaults they equal the literals 2.2 and 0.25 exactly) — a SQL-side
+    * `k1 + 1` would fold through DuckDB DECIMAL arithmetic instead, so
+    * oracles must embed the already-folded double values. */
+  private def bm25Term(k1: Double, b: Double): Column =
+    log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      col("tf") * lit(k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+
+  /** Top-k by (rounded score desc, id asc): TakeOrderedAndProject limit
+    * first, then rank over the surviving k rows — never a
+    * single-partition window over the corpus. Ranking on the ROUNDED
+    * score keeps the order reproducible in any engine. */
+  private def topKRanked(scored: DataFrame, id: String, k: Int): DataFrame = {
+    val top = scored.orderBy(col("score").desc, col(id).asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col(id).asc)
+    top.withColumn("rank", row_number().over(w))
+  }
+
+  /** One-shot BM25 top-k over raw text.
     *
     * dl and every per-term tf come out of ONE conditional-aggregation
     * pass over the exploded tokens (`perdoc`); df, N and avgdl collapse
@@ -24,19 +51,11 @@ object Retrieval {
     * stats table, one for scoring — the minimum for one-shot BM25 from
     * raw text, since scores need the global stats first (a naive
     * tf/df/dl/stats-as-separate-branches formulation scans 4×; one scan
-    * would need a materialized token table, i.e. an inverted index).
-    *
-    * Ranking is by the ROUNDED score (4 dp) with id as tie-break, so the
-    * order is reproducible in any engine. Constants are passed as
-    * pre-folded double literals — `lit(k1) + 1` and a SQL `k1 + 1` can
-    * disagree in the last ulp, so callers' oracles must embed the same
-    * folded values this function receives.
+    * would need a materialized token table — see `buildIndex`).
     * Output: (id, score, rank), rank ≤ k. */
   def bm25TopK(docs: DataFrame, id: String, text: String, terms: Seq[String], k: Int,
-      k1Plus1: Double = 2.2, k1: Double = 1.2, oneMinusB: Double = 0.25,
-      b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col(id),
-      explode(expr(s"regexp_extract_all($text, '[a-z]+', 0)")).as("term"))
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(id), tokens(text).as("term"))
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i")
     }
@@ -54,17 +73,9 @@ object Retrieval {
       avg(col("dl")).as("avgdl"),
       sum(when(col("tf") > 0, 1L).otherwise(0L)).as("df"))
     val scored = unpiv.where(col("tf") > 0).join(broadcast(meta), "term")
-      .select(col(id),
-        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          col("tf") * lit(k1Plus1) /
-          (col("tf") + lit(k1) *
-            (lit(oneMinusB) + lit(b) * col("dl") / col("avgdl")))).as("ts"))
+      .select(col(id), bm25Term(k1, b).as("ts"))
       .groupBy(col(id)).agg(round(sum(col("ts")), 4).as("score"))
-    val top = scored.orderBy(col("score").desc, col(id).asc).limit(k)
-    // rank over the already-limited k rows (tiny), never over the corpus
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col(id).asc)
-    top.withColumn("rank", row_number().over(w))
+    topKRanked(scored, id, k)
   }
 
   /** Materialized inverted index: (term, id, tf) postings. Built once
@@ -72,8 +83,7 @@ object Retrieval {
     * it is the "serve many queries with ZERO corpus scans" path that
     * one-shot `bm25TopK` cannot have — the 100-TB deployment shape. */
   def buildIndex(docs: DataFrame, id: String, text: String): DataFrame =
-    docs.select(col(id),
-      explode(expr(s"regexp_extract_all($text, '[a-z]+', 0)")).as("term"))
+    docs.select(col(id), tokens(text).as("term"))
       .groupBy(col("term"), col(id)).agg(count(lit(1)).as("tf"))
 
   /** BM25 served from a materialized index — never touches raw text.
@@ -82,8 +92,7 @@ object Retrieval {
     * derived tables (dl, df, stats) scan the postings, which are a
     * fraction of corpus bytes. Output: (id, score, rank). */
   def bm25FromIndex(index: DataFrame, id: String, terms: Seq[String], k: Int,
-      k1Plus1: Double = 2.2, k1: Double = 1.2, oneMinusB: Double = 0.25,
-      b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val dl = index.groupBy(col(id)).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = index.where(col("term").isInCollection(terms))
@@ -91,15 +100,8 @@ object Retrieval {
     val scored = tf.join(broadcast(dfreq), "term")
       .join(dl, Seq(id))
       .crossJoin(broadcast(stats))
-      .select(col(id),
-        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          col("tf") * lit(k1Plus1) /
-          (col("tf") + lit(k1) *
-            (lit(oneMinusB) + lit(b) * col("dl") / col("avgdl")))).as("ts"))
+      .select(col(id), bm25Term(k1, b).as("ts"))
       .groupBy(col(id)).agg(round(sum(col("ts")), 4).as("score"))
-    val top = scored.orderBy(col("score").desc, col(id).asc).limit(k)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col(id).asc)
-    top.withColumn("rank", row_number().over(w))
+    topKRanked(scored, id, k)
   }
 }

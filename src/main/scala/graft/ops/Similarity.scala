@@ -174,10 +174,12 @@ object Similarity {
   /** ×1000 long quantization of a float vector. Every downstream IVF
     * arithmetic step becomes integer-exact, so Spark and the DuckDB
     * oracle compute bit-identical cluster assignments (float sums would
-    * drift with aggregation order). Round-half ties cannot occur: a
-    * float is dyadic, ×1000 stays an exact ≤34-bit product, and a dyadic
-    * can never equal (2k+1)/2000 — so HALF_UP (Spark) and HALF_EVEN
-    * (DuckDB) always agree here. */
+    * drift with aggregation order). Round-half ties DO occur (x·1000 is
+    * an exact ≤34-bit product of dyadics, and e.g. 0.0625f·1000 = 62.5
+    * exactly) but resolve identically: Spark's BigDecimal HALF_UP and
+    * DuckDB's round() both round halves AWAY FROM ZERO for either sign
+    * (verified: duckdb round(±62.5) = ±63). An engine that truly rounds
+    * half-to-even would need an explicit ⌊x+½⌋ here instead. */
   private def quant(v: Column): Column =
     transform(v, x => round(x.cast("double") * 1000).cast("long"))
 
@@ -256,10 +258,12 @@ object Similarity {
 
   /** Symmetric int8 scalar quantization — embedding compression for
     * 100-TB stores (4 B float → 1 B per dim): q_i = ⌊x_i·127/maxabs + ½⌋
-    * with the per-vector scale preserved as round(maxabs·1e6) (an exact
-    * integer — emitting the double would race engine rounding modes).
-    * Explicit ⌊x+½⌋ instead of round() so negative halves agree across
-    * engines. Output: (id, n_dims, scale_q, q_csv). */
+    * with the per-vector scale preserved as round(maxabs·1e6) — an exact
+    * integer rather than a re-rounded double, so the oracle compares
+    * longs (round-half ties on maxabs·1e6 resolve identically: both
+    * engines round halves away from zero — see `quant`). The q_i
+    * themselves use an explicit ⌊x+½⌋ so the tie rule is the CODE, not
+    * an engine default. Output: (id, n_dims, scale_q, q_csv). */
   def quantizeInt8(df: DataFrame, id: String, vec: String): DataFrame =
     df.select(col(id), col(vec).as("v"))
       .withColumn("maxabs", array_max(transform(col("v"), x => abs(x.cast("double")))))
