@@ -63,6 +63,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(urls.contains("u3"))
   }
 
+  test("deterministic hash sampling composes with streams: stream == batch") {
+    // hashSample is a stateless narrow pass whose membership depends only
+    // on the id hash, so streaming it over micro-batches MUST select
+    // exactly the rows the batch plan selects — the property that lets a
+    // curation pipeline run identically in backfill and live ingest
+    val dir = Files.createTempDirectory("docs_stream").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.mode("overwrite").parquet(dir)
+    val rates = Seq("en" -> 10000, "de" -> 2500)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = graft.ops.Curation.hashSample(stream, "doc_id", "lang", rates, 500)
+      .writeStream.format("memory").queryName("stream_sample")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("stream_sample").select("doc_id").as[Long].collect().toSet
+    val batch = graft.ops.Curation.hashSample(
+      spark.read.parquet(dir), "doc_id", "lang", rates, 500)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == batch, "stream sample must equal batch sample")
+    assert(got.nonEmpty)
+  }
+
   test("flatMapGroupsWithState carries entity totals across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
