@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark has no native operator for. The as-of join is
+  * composed from built-ins — union the two sides, one running
+  * `last(ignoreNulls)` window over (key, time) — so Catalyst plans ONE
+  * shuffle on the key and no join at all; the naive formulation
+  * (inequality theta-join + per-probe max) explodes to |probes|·|refs|
+  * pairs per key and is unusable at crawl scale. DuckDB's NATIVE
+  * `ASOF LEFT JOIN` serves as the independent oracle, so the composed
+  * implementation is validated against a first-class engine one. */
+object Temporal {
+
+  /** As-of join: for every probe row, the latest reference row of the
+    * same `key` with ref time ≤ probe time (inclusive), or nulls if none
+    * precedes it — pandas `merge_asof` / DuckDB `ASOF JOIN` semantics.
+    *
+    * Contract: probe and ref column names must be disjoint apart from
+    * `key` (rename on the ref side first), and (key, refTs) pairs must
+    * be unique — with duplicates the chosen ref row would be plan-order
+    * dependent in ANY engine, including DuckDB's native ASOF.
+    *
+    * The ref payload rides the sort as ONE struct column, so all its
+    * fields always come from the same reference row (per-column
+    * `last(ignoreNulls)` could mix rows when a payload field is null).
+    * Output: every probe column, then every non-key ref column. */
+  def asofJoin(probes: DataFrame, probeTs: String, refs: DataFrame, refTs: String,
+      key: String): DataFrame = {
+    val refPayload = refs.columns.filterNot(_ == key)
+    val probeCols = probes.columns.filterNot(_ == key)
+    val refStructT = refs.select(struct(refPayload.map(col): _*).as("__ref"))
+      .schema("__ref").dataType
+    val p = probes.select(
+      col(key) +: col(probeTs).as("__t") +: lit(1).as("__side") +:
+        (probeCols.map(col) :+ lit(null).cast(refStructT).as("__ref")): _*)
+    val r = refs.select(
+      col(key) +: col(refTs).as("__t") +: lit(0).as("__side") +:
+        (probeCols.map(c => lit(null).cast(probes.schema(c).dataType).as(c)) :+
+          struct(refPayload.map(col): _*).as("__ref")): _*)
+    // refs sort before probes at the same instant, so an equal-time ref
+    // IS visible to the probe (the inclusive <= of ASOF semantics)
+    val w = Window.partitionBy(col(key)).orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.unionByName(r)
+      .withColumn("__m", last(col("__ref"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(probes.columns.map(col) ++ refPayload.map(f => col(s"__m.$f").as(f)): _*)
+  }
+}

@@ -125,6 +125,25 @@ object Relational {
       val prio = tbl(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
         .select(col("o_custkey").as("custkey"))
       hi.union(prio).distinct()
+    }),
+
+    // as-of join (no native Spark operator): for each error event, the
+    // user's latest click at-or-before it — union + running-last window,
+    // one shuffle on user_id, no join node. The oracle is DuckDB's
+    // NATIVE ASOF LEFT JOIN — an independent first-class implementation.
+    "q12_asof_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val probes = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val refs = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.ops.Temporal.asofJoin(probes, "ts", refs, "click_ts", "user_id")
+        .select(col("event_id"), col("user_id"), col("click_id"), col("click_value"),
+          // ts is TIMESTAMP_NTZ; the session is pinned UTC, so the cast
+          // to TIMESTAMP makes unix_micros == DuckDB epoch_us(naive)
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("click_ts").cast("timestamp"))).as("gap_us"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -187,5 +206,16 @@ object Relational {
       """SELECT DISTINCT custkey FROM (
         |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
         |  UNION ALL
-        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin)
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q12_asof_join" ->
+      """WITH probes AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |refs AS (
+        |  SELECT user_id, ts AS click_ts, event_id AS click_id, value AS click_value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, r.click_id, r.click_value,
+        |       epoch_us(p.ts) - epoch_us(r.click_ts) AS gap_us
+        |FROM probes p ASOF LEFT JOIN refs r
+        |  ON p.user_id = r.user_id AND p.ts >= r.click_ts""".stripMargin)
 }

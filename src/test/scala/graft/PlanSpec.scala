@@ -144,6 +144,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"IVF went all-pairs:\n$p")
   }
 
+  test("as-of join plans as union + window: one shuffle, zero join nodes") {
+    val p = plan(SparkEntry.queries("q12_asof_join")(spark, dir))
+    assert(!p.contains("Join"), s"as-of must not plan a join node:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly the window's key shuffle:\n$p")
+  }
+
   test("hash sampling is a narrow pass (zero shuffles)") {
     val p = plan(SparkEntry.queries("cu_hash_sample")(spark, dir))
     assert("Exchange".r.findAllIn(p).size == 0, s"sampling must not shuffle:\n$p")

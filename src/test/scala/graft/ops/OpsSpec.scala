@@ -331,6 +331,20 @@ class OpsSpec extends AnyFunSuite {
     assert(total <= 1000000000L && total > 900000000L, s"mass off: $total")
   }
 
+  test("as-of join: inclusive at equal time, null when nothing precedes, latest wins") {
+    val refs = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 500L, "c")).toDF("k", "rt", "tag")
+    val probes = Seq((1L, 150L, 10L), (1L, 200L, 11L), (1L, 50L, 12L),
+      (2L, 450L, 13L), (3L, 999L, 14L)).toDF("k", "pt", "pid")
+    val out = Temporal.asofJoin(probes, "pt", refs, "rt", "k").collect()
+      .map(r => r.getAs[Long]("pid") -> Option(r.getAs[String]("tag"))).toMap
+    assert(out(10L).contains("a"), "150 must see the ref at 100")
+    assert(out(11L).contains("b"), "equal time must be inclusive (<=)")
+    assert(out(12L).isEmpty, "nothing precedes 50")
+    assert(out(13L).isEmpty, "450 precedes the only ref at 500")
+    assert(out(14L).isEmpty, "unseen key matches nothing")
+    assert(out.size == 5, "every probe survives (left semantics)")
+  }
+
   test("magic-byte sniffing detects real container headers") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     assert(Multimodal.sniffFormat(b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)) == "png")
