@@ -49,4 +49,18 @@ object Temporal {
       .where(col("__side") === 1)
       .select(probes.columns.map(col) ++ refPayload.map(f => col(s"__m.$f").as(f)): _*)
   }
+
+  /** Range (point-in-interval) join for NON-OVERLAPPING intervals per
+    * key — sessions, validity periods, SCD-2 rows: an as-of join on the
+    * interval START plus a containment filter on the END. Inherits
+    * asofJoin's plan (one key shuffle, zero join nodes) where a naive
+    * `BETWEEN` theta-join degenerates to a per-key nested loop. Inner
+    * semantics: points in a gap (or with no interval at all) are
+    * dropped; both interval endpoints are inclusive. Overlapping
+    * intervals need interval binning instead — a different operator,
+    * deliberately not hidden behind this one. */
+  def pointInInterval(points: DataFrame, pointTs: String, intervals: DataFrame,
+      startCol: String, endCol: String, key: String): DataFrame =
+    asofJoin(points, pointTs, intervals, startCol, key)
+      .where(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
 }

@@ -144,6 +144,33 @@ object Relational {
           // to TIMESTAMP makes unix_micros == DuckDB epoch_us(naive)
           (unix_micros(col("ts").cast("timestamp")) -
             unix_micros(col("click_ts").cast("timestamp"))).as("gap_us"))
+    }),
+
+    // range join: each purchase assigned to its containing 8-hour-gap
+    // activity period built from the user's OTHER events (events per
+    // user average ~5 h apart, so a 30-min gap would make zero-width
+    // intervals; purchases in a gap are dropped — inner
+    // point-in-interval semantics). Implemented as as-of-on-start + end
+    // filter; the oracle is DuckDB's plain BETWEEN theta-join — an
+    // independent formulation
+    "q13_range_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sessions = ev.where(col("event_type") =!= "purchase")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            floor(col("ts").cast("timestamp").cast("double")) -
+              floor(col("prev_ts").cast("timestamp").cast("double")) > 28800d, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.ops.Temporal.pointInInterval(purchases, "ts", sessions, "t_start", "t_end", "user_id")
+        .select(col("event_id"), col("user_id"), col("session_id"), col("value"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -217,5 +244,23 @@ object Relational {
         |SELECT p.event_id, p.user_id, r.click_id, r.click_value,
         |       epoch_us(p.ts) - epoch_us(r.click_ts) AS gap_us
         |FROM probes p ASOF LEFT JOIN refs r
-        |  ON p.user_id = r.user_id AND p.ts >= r.click_ts""".stripMargin)
+        |  ON p.user_id = r.user_id AND p.ts >= r.click_ts""".stripMargin,
+
+    "q13_range_join" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 28800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE event_type <> 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |         (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                 ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
+        |  FROM flagged),
+        |iv AS (SELECT user_id, session_id, min(ts) AS t_start, max(ts) AS t_end
+        |       FROM sessions GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, iv.session_id, p.value
+        |FROM p JOIN iv ON p.user_id = iv.user_id AND p.ts BETWEEN iv.t_start AND iv.t_end""".stripMargin)
 }

@@ -345,6 +345,16 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 5, "every probe survives (left semantics)")
   }
 
+  test("point-in-interval join: inclusive bounds, gaps dropped, keys isolated") {
+    val iv = Seq((1L, 10L, 100L, 200L), (1L, 11L, 300L, 400L)).toDF("k", "iv_id", "s", "e")
+    val pts = Seq((1L, 150L, 1000L), (1L, 250L, 1001L), (1L, 300L, 1002L),
+      (1L, 400L, 1003L), (2L, 150L, 1004L)).toDF("k", "pt", "pid")
+    val out = Temporal.pointInInterval(pts, "pt", iv, "s", "e", "k").collect()
+      .map(r => r.getAs[Long]("pid") -> r.getAs[Long]("iv_id")).toMap
+    assert(out == Map(1000L -> 10L, 1002L -> 11L, 1003L -> 11L),
+      s"got $out: 250 is in the gap, key 2 has no intervals, 300/400 are inclusive bounds")
+  }
+
   test("magic-byte sniffing detects real container headers") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     assert(Multimodal.sniffFormat(b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)) == "png")
