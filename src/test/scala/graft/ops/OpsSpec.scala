@@ -345,6 +345,31 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 5, "every probe survives (left semantics)")
   }
 
+  test("as-of join matches brute force on a randomized instance") {
+    // deterministic pseudo-random instance (LCG, fixed seed): many keys,
+    // colliding timestamps across keys, probes before/at/after refs
+    var state = 20260817L
+    def next(bound: Int): Int = { state = state * 6364136223846793005L + 1442695040888963407L
+      (math.abs(state >> 33) % bound).toInt }
+    val refs = Seq.tabulate(300)(i => (next(20).toLong, next(1000).toLong, i.toLong))
+      .distinctBy(r => (r._1, r._2)) // contract: unique (key, ts)
+    val probes = Seq.tabulate(200)(i => (next(25).toLong, next(1100).toLong, 10000L + i))
+    val got = Temporal.asofJoin(
+      probes.toDF("k", "pt", "pid"), "pt", refs.toDF("k", "rt", "rid"), "rt", "k")
+      .collect()
+      .map(r => r.getAs[Long]("pid") -> Option(r.getAs[Any]("rid")).map(_.asInstanceOf[Long]))
+      .toMap
+    val refsByKey = refs.groupBy(_._1)
+    val want = probes.map { case (k, pt, pid) =>
+      pid -> refsByKey.getOrElse(k, Seq.empty).filter(_._2 <= pt)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+    }.toMap
+    assert(got == want, {
+      val diff = want.keySet.filter(k => got.get(k) != want.get(k)).take(5)
+      s"mismatch on ${diff.map(k => s"$k: got ${got.get(k)} want ${want.get(k)}")}"
+    })
+  }
+
   test("point-in-interval join: inclusive bounds, gaps dropped, keys isolated") {
     val iv = Seq((1L, 10L, 100L, 200L), (1L, 11L, 300L, 400L)).toDF("k", "iv_id", "s", "e")
     val pts = Seq((1L, 150L, 1000L), (1L, 250L, 1001L), (1L, 300L, 1002L),
