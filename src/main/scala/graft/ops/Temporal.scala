@@ -63,4 +63,27 @@ object Temporal {
       startCol: String, endCol: String, key: String): DataFrame =
     asofJoin(points, pointTs, intervals, startCol, key)
       .where(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
+
+  /** Range join for OVERLAPPING intervals — the general case
+    * `pointInInterval` refuses: replicate each interval to every
+    * `binWidth`-sized bucket it touches, equi-join points on
+    * (key, bucket), then filter exact containment. A matching pair
+    * meets in exactly one bucket (the point's), so no distinct is
+    * needed and the cost is |intervals|·(width/binWidth) replication
+    * plus one hash join — instead of the per-key nested loop a BETWEEN
+    * theta-join plans. Pick binWidth near the typical interval width:
+    * wider bins raise false candidates, narrower bins raise
+    * replication. Bounds are numeric (cast timestamps to epoch first)
+    * and inclusive on both ends.
+    * Output: every point column, then every non-key interval column. */
+  def rangeJoinBinned(points: DataFrame, pointTs: String, intervals: DataFrame,
+      startCol: String, endCol: String, key: String, binWidth: Long): DataFrame = {
+    val iv = intervals.withColumn("__bin", explode(sequence(
+      floor(col(startCol) / binWidth).cast("long"),
+      floor(col(endCol) / binWidth).cast("long"))))
+    points.withColumn("__bin", floor(col(pointTs) / binWidth).cast("long"))
+      .join(iv, Seq(key, "__bin"))
+      .where(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
+      .drop("__bin")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -171,6 +171,25 @@ object Relational {
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       graft.ops.Temporal.pointInInterval(purchases, "ts", sessions, "t_start", "t_end", "user_id")
         .select(col("event_id"), col("user_id"), col("session_id"), col("value"))
+    }),
+
+    // OVERLAPPING-interval range join (binned): attribute each purchase
+    // to every view whose [ts, ts + value·3600 s] attention window
+    // contains it (windows up to ~40 h overlap heavily per user).
+    // Interval replication to 1-hour bins + equi-join — the scale path
+    // where a BETWEEN theta-join nests per key
+    "q14_range_join_overlap" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val epochS = (c: Column) => floor(c.cast("timestamp").cast("double")).cast("long")
+      val points = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), epochS(col("ts")).as("p_ts"))
+      val windows = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          epochS(col("ts")).as("w_start"),
+          (epochS(col("ts")) + floor(col("value") * 3600).cast("long")).as("w_end"))
+      graft.ops.Temporal.rangeJoinBinned(points, "p_ts", windows,
+        "w_start", "w_end", "user_id", 3600L)
+        .select(col("event_id"), col("user_id"), col("view_id"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -262,5 +281,16 @@ object Relational {
         |       FROM sessions GROUP BY 1, 2),
         |p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
         |SELECT p.event_id, p.user_id, iv.session_id, p.value
-        |FROM p JOIN iv ON p.user_id = iv.user_id AND p.ts BETWEEN iv.t_start AND iv.t_end""".stripMargin)
+        |FROM p JOIN iv ON p.user_id = iv.user_id AND p.ts BETWEEN iv.t_start AND iv.t_end""".stripMargin,
+
+    "q14_range_join_overlap" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |iv AS (
+        |  SELECT user_id, event_id AS view_id, floor(epoch(ts))::BIGINT AS w_start,
+        |         floor(epoch(ts))::BIGINT + floor(value * 3600)::BIGINT AS w_end
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, iv.view_id
+        |FROM p JOIN iv ON p.user_id = iv.user_id AND p.p_ts BETWEEN iv.w_start AND iv.w_end""".stripMargin)
 }

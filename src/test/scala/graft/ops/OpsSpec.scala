@@ -380,6 +380,21 @@ class OpsSpec extends AnyFunSuite {
       s"got $out: 250 is in the gap, key 2 has no intervals, 300/400 are inclusive bounds")
   }
 
+  test("binned range join handles overlapping intervals exactly once per pair") {
+    val iv = Seq((1L, 20L, 100L, 300L), (1L, 21L, 150L, 500L), (1L, 22L, 280L, 290L))
+      .toDF("k", "iv_id", "s", "e")
+    val pts = Seq((1L, 160L, 1L), (1L, 285L, 2L), (1L, 400L, 3L), (1L, 99L, 4L))
+      .toDF("k", "pt", "pid")
+    // binWidth far smaller than intervals forces heavy replication —
+    // every (point, interval) match must still appear exactly once
+    for (bin <- Seq(10L, 50L, 1000L)) {
+      val got = Temporal.rangeJoinBinned(pts, "pt", iv, "s", "e", "k", bin).collect()
+        .map(r => (r.getAs[Long]("pid"), r.getAs[Long]("iv_id"))).sorted.toSeq
+      assert(got == Seq((1L, 20L), (1L, 21L), (2L, 20L), (2L, 21L), (2L, 22L), (3L, 21L)),
+        s"binWidth=$bin: $got")
+    }
+  }
+
   test("magic-byte sniffing detects real container headers") {
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
     assert(Multimodal.sniffFormat(b(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)) == "png")
