@@ -18,7 +18,8 @@ object SparkEntry {
     * exercises extraction, linking, canonicalization, and the nodes
     * table in one query. */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.KgQueries.kgRun(spark, "/root/testdata/sf0.001")._2.nodes
+    spark.read.parquet(
+        graft.queries.KgQueries.kgRun(spark, "/root/testdata/sf0.001") + "/nodes")
       .where(col("n_urls") >= 2)
       .select(col("canonical_name"), col("kind"), col("n_urls"), col("n_mentions"))
       .orderBy(col("n_urls").desc, col("canonical_name").asc)
@@ -37,7 +38,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     base ++ graft.queries.Relational.queries ++ graft.queries.DataOps.queries ++
-      graft.queries.Extractors.queries ++ graft.queries.KgQueries.queries
+      graft.queries.Extractors.queries ++ graft.queries.KgQueries.queries ++
+      graft.queries.StreamingQueries.queries
 
   private def base: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C1 — the byte-identity kernel (SURVEY §2.3), via the NATIVE Catalyst
@@ -67,5 +69,6 @@ object SparkEntry {
         "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue, " +
         "count(*) AS n_rows FROM lineitem GROUP BY 1, 2")
   ) ++ graft.queries.Relational.oracles ++ graft.queries.DataOps.oracles ++
-    graft.queries.Extractors.oracles ++ graft.queries.KgQueries.oracles
+    graft.queries.Extractors.oracles ++ graft.queries.KgQueries.oracles ++
+    graft.queries.StreamingQueries.oracles
 }

@@ -27,18 +27,29 @@ object ConnectedComponents {
   val DriverSolveMaxEdges: Long = 2000000L
 
   /** Edge budget for the driver fast path derived from the ACTUAL driver
-    * heap, not a constant: a union-find entry costs ~100 bytes (boxed
-    * longs + HashMap node + collect row), and the collect may use at most
-    * `heapFraction` of max heap — so a small driver degrades to the
-    * distributed loop instead of OOMing, and a big driver solves bigger
-    * alias graphs in one job. Callers with a real budget (Pipeline) pass
-    * this. Purely heap-derived — flooring at a constant would reintroduce
-    * exactly the small-driver OOM this exists to prevent. */
+    * heap, not a constant. Bytes/edge is MEASURED, not estimated:
+    * tools/CcBudget builds the exact collect-array + boxed union-find
+    * HashMap this path allocates and reports 283.7 B/edge at 2M random
+    * edges (56 B tuple array + 227 B map — a random graph adds ~2 boxed
+    * entries per edge, the worst case; alias graphs that reuse vertices
+    * cost less). Budget = heapFraction of max heap / 300 B (measurement
+    * rounded up), so a small driver degrades to the distributed loop
+    * instead of OOMing, and a big driver solves bigger alias graphs in
+    * one job. Purely heap-derived — flooring at a constant would
+    * reintroduce exactly the small-driver OOM this exists to prevent. */
   def driverEdgeBudget(heapFraction: Double = 0.05): Long =
-    (Runtime.getRuntime.maxMemory * heapFraction / 100).toLong
+    (Runtime.getRuntime.maxMemory * heapFraction / 300).toLong
 
   def run(spark: SparkSession, edges: DataFrame, maxIterations: Int = 25,
-      driverSolveThreshold: Long = DriverSolveMaxEdges): DataFrame = {
+      driverSolveThreshold: Long = DriverSolveMaxEdges): DataFrame =
+    runWithStats(spark, edges, maxIterations, driverSolveThreshold)._1
+
+  /** Like `run`, but also returns the number of distributed rounds
+    * executed (0 = the driver fast path solved it) — the at-scale
+    * evidence hook: tools/CcBench forces the distributed loop and
+    * records rounds + wall for BENCH/BASELINE.md. */
+  def runWithStats(spark: SparkSession, edges: DataFrame, maxIterations: Int = 25,
+      driverSolveThreshold: Long = DriverSolveMaxEdges): (DataFrame, Int) = {
     import spark.implicits._
 
     val cnt = edges.count()
@@ -66,8 +77,8 @@ object ConnectedComponents {
       val ids = parent.keys.toArray
       val comp = ids.map(i => i -> find(i)).toMap
       val minOf = comp.groupMapReduce(_._2)(_._1)(math.min)
-      return spark.createDataset(ids.toSeq.map(i => (i, minOf(comp(i)))))
-        .toDF("id", "component")
+      return (spark.createDataset(ids.toSeq.map(i => (i, minOf(comp(i)))))
+        .toDF("id", "component"), 0)
     }
 
     val sym = edges.select($"src", $"dst")
@@ -103,6 +114,6 @@ object ConnectedComponents {
       labels = jumped
       iter += 1
     }
-    labels
+    (labels, iter)
   }
 }

@@ -119,16 +119,27 @@ object EntityLinking {
       .select(col("exp_key"), col("kw"))
   }
 
+  /** resolve's outputs plus the exact DataFrames it persisted, so the
+    * caller can `unpersist()` precisely those after checkpointing —
+    * never a session-wide `clearCache()` that would wipe unrelated
+    * caches a co-resident caller (Bench/Verify) holds. */
+  final case class Resolved(
+      aliasEdges: DataFrame,
+      linked: Dataset[LinkedMention],
+      cached: Seq[DataFrame]) {
+    def unpersistCached(): Unit = cached.foreach(_.unpersist(false))
+  }
+
   /** Resolve every mention to an entity key: non-acronym mentions and
     * unambiguous acronyms keep their own key (CC merges the latter via
     * alias edges); ambiguous acronyms are resolved per url. */
-  def resolve(spark: SparkSession, triples: Dataset[Triple]): (DataFrame, Dataset[LinkedMention]) = {
+  def resolve(spark: SparkSession, triples: Dataset[Triple]): Resolved = {
     import spark.implicits._
     // both returned plans (alias edges AND resolved mentions) hang off
     // this groupByKey shuffle; persisted so the caller's two stage writes
     // (run concurrently in Pipeline.run) compute it once, not three times
-    // (isEmpty probe + each write). Caller drops it via clearCache after
-    // checkpointing.
+    // (isEmpty probe + each write). The handle is returned in `cached`
+    // for the caller to drop after checkpointing.
     val pairs = urlAliasPairs(spark, triples)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (unambiguous, ambiguous) = splitAmbiguity(pairs)
@@ -136,7 +147,7 @@ object EntityLinking {
       .filter(_.pred == "mentionsEntity")
       .map(t => LinkedMention(t.url, t.pred, Py.lower(t.obj), t.surface, t.kind, t.weight))
 
-    if (ambiguous.isEmpty) return (unambiguous, mentions)
+    if (ambiguous.isEmpty) return Resolved(unambiguous, mentions, Seq(pairs))
 
     val profiles = expansionProfiles(spark, triples, ambiguous)
     val urlKw = triples.filter(_.pred == "hasKeyword").map(t => (t.url, t.obj)).toDF("url", "kw")
@@ -182,6 +193,8 @@ object EntityLinking {
         Seq("entity_key"), "left_anti")
       .select(cols: _*)
 
-    (unambiguous, untouched.union(resolved.toDF().select(cols: _*)).as[LinkedMention])
+    Resolved(unambiguous,
+      untouched.union(resolved.toDF().select(cols: _*)).as[LinkedMention],
+      Seq(pairs))
   }
 }

@@ -43,7 +43,7 @@ object Pipeline {
       try {
         val s = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
         Py.strip(Py.collapseWs(s.replaceAll("<[^>]+>", " ")))
-      } catch { case _: Throwable => "" }
+      } catch { case scala.util.control.NonFatal(_) => "" }
     } else ""
 
   /** Stable url-hash partitioning (north_rule): every per-url operation
@@ -167,26 +167,42 @@ object Pipeline {
     * member with the highest total mention weight (ties → lexicographic).
     * All aggregations two-phase over (entity, url) to defuse hot-key skew
     * before the final per-component reduction. */
-  def canonicalize(
-      spark: SparkSession,
-      linked: Dataset[LinkedMention],
-      aliases: DataFrame): (DataFrame, DataFrame) = {
-    import spark.implicits._
+  /** canonicalize's outputs plus the exact DataFrame it persisted (the
+    * CC-labeled mention table both outputs read) — callers unpersist
+    * precisely that after checkpointing, never a session-wide
+    * clearCache. */
+  final case class Canonical(nodes: DataFrame, edges: DataFrame, cached: Seq[DataFrame]) {
+    def unpersistCached(): Unit = cached.foreach(_.unpersist(false))
+  }
 
-    val keyId = (c: org.apache.spark.sql.Column) => xxhash64(c)
+  private val keyId = (c: org.apache.spark.sql.Column) => xxhash64(c)
 
+  /** The CC input graph: acronym-alias edges ∪ MinHash-LSH name-blocking
+    * edges over concept surface forms, keys hashed to longs. Factored
+    * out so tools/CcBench can run the REAL alias graph through the
+    * distributed CC loop (driverSolveThreshold = 0) for at-scale
+    * evidence. */
+  def ccEdges(linked: DataFrame, aliases: DataFrame): DataFrame = {
     // MinHash-LSH blocking over concept names (north_star): near-identical
     // surface forms (plural/singular variants) join the acronym-alias
     // edges as CC input — bucketed candidates + exact-Jaccard verify,
     // never all-pairs, over the (vocabulary-sized) distinct key set
     val nameSim = EntityLinking.nameSimilarityEdges(
-      linked.toDF().where($"kind" === "concept").select($"entity_key"))
-    val ccEdges = aliases.select($"key_a", $"key_b")
-      .union(nameSim.select($"key_a", $"key_b"))
+      linked.where(col("kind") === "concept").select(col("entity_key")))
+    aliases.select(col("key_a"), col("key_b"))
+      .union(nameSim.select(col("key_a"), col("key_b")))
+      .select(keyId(col("key_a")).as("src"), keyId(col("key_b")).as("dst"))
+  }
+
+  def canonicalize(
+      spark: SparkSession,
+      linked: Dataset[LinkedMention],
+      aliases: DataFrame): Canonical = {
+    import spark.implicits._
 
     val ccLabels = ConnectedComponents.run(
       spark,
-      ccEdges.select(keyId($"key_a").as("src"), keyId($"key_b").as("dst")),
+      ccEdges(linked.toDF(), aliases),
       // fast-path budget from the driver's real heap, not a constant
       driverSolveThreshold = ConnectedComponents.driverEdgeBudget())
 
@@ -256,7 +272,7 @@ object Pipeline {
         $"canonical_name_e".as("dst_name"),
         $"weight")
 
-    (nodes, edges)
+    Canonical(nodes, edges, Seq(labeled))
   }
 
   // ---------------------------------------------------------- orchestration
@@ -353,13 +369,13 @@ object Pipeline {
         (spark.read.parquet(aliasPath), spark.read.parquet(linkedPath))
       } else {
         val t0 = System.nanoTime()
-        val (edges, linked) = EntityLinking.resolve(spark, triples)
+        val resolved = EntityLinking.resolve(spark, triples)
         // independent outputs sharing resolve's persisted pairs shuffle —
         // overlapped like the stage-1/2 and nodes/edges write pairs
         inParallel(Seq(
-          () => writeStage(edges, aliasPath),
-          () => writeStage(linked.toDF(), linkedPath)))
-        spark.catalog.clearCache() // drop resolve's internal pairs persist
+          () => writeStage(resolved.aliasEdges, aliasPath),
+          () => writeStage(resolved.linked.toDF(), linkedPath)))
+        resolved.unpersistCached() // exactly resolve's pairs persist
         metrics += (("entity_linking", -1L, (System.nanoTime() - t0) / 1000000L))
         (spark.read.parquet(aliasPath), spark.read.parquet(linkedPath))
       }
@@ -367,12 +383,12 @@ object Pipeline {
     if (!(cfg.resume && stageDone(spark, nodesPath) && stageDone(spark, edgesPath))) {
       val linked = linkedDf.as[Schema.LinkedMention]
       val t0 = System.nanoTime()
-      val (n, e) = canonicalize(spark, linked, aliasDf)
+      val canonical = canonicalize(spark, linked, aliasDf)
       // nodes and edges both read canonicalize's persisted label table —
       // two independent writes, overlapped
-      inParallel(Seq(() => writeCounted(n, nodesPath, "nodes"),
-        () => writeCounted(e, edgesPath, "edges")))
-      spark.catalog.clearCache() // drop canonicalize's internal persist
+      inParallel(Seq(() => writeCounted(canonical.nodes, nodesPath, "nodes"),
+        () => writeCounted(canonical.edges, edgesPath, "edges")))
+      canonical.unpersistCached() // exactly canonicalize's label persist
       metrics += (("canonicalize", -1L, (System.nanoTime() - t0) / 1000000L))
     }
     val nodesDf = spark.read.parquet(nodesPath)

@@ -32,17 +32,7 @@ object StreamingPipeline {
     * streaming and batch results are identical by construction. */
   def streamTriples(spark: SparkSession, pages: Dataset[Page]): Dataset[Triple] = {
     import spark.implicits._
-    pages.flatMap { p =>
-      val raw =
-        if (p.text != null) p.text
-        else if (p.html != null) {
-          try {
-            val s = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
-            Py.strip(Py.collapseWs(s.replaceAll("<[^>]+>", " ")))
-          } catch { case _: Throwable => "" }
-        } else ""
-      Pipeline.triplesForDoc(p.url, raw)
-    }
+    pages.flatMap(p => Pipeline.triplesForDoc(p.url, Pipeline.rawText(p)))
   }
 
   /** Watermarked sliding-window mention counts per entity — the

@@ -85,10 +85,30 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
           x => x.getField("minhash").cast("string")))).as("bucket"))
 
-  /** Candidate pairs: ids sharing any band bucket (id1 < id2). */
-  def candidatePairs(bands: DataFrame, id: String): DataFrame = {
-    val l = bands.select(col("band"), col("bucket"), col(id).as("id1"))
-    val r = bands.select(col("band"), col("bucket"), col(id).as("id2"))
+  /** Candidate pairs: ids sharing any band bucket (id1 < id2).
+    *
+    * Scale guard: a (band, bucket) group larger than `maxBucketSize` is
+    * dropped before the self-join — its pair count is quadratic in the
+    * bucket size, and on a boilerplate-heavy crawl millions of
+    * near-identical pages collapse into ONE band signature, turning the
+    * join into a silent all-pairs. Dropped-bucket count and the max
+    * observed bucket size surface as the "minhash_buckets" `observe`
+    * metric so the cap is never silent (same pattern as
+    * `simhashPairs` / `Similarity.bandedCandidates`). Members of a
+    * capped bucket can still pair through their other bands. */
+  def candidatePairs(bands: DataFrame, id: String,
+      maxBucketSize: Long = 100000L): DataFrame = {
+    val keptBuckets = bands
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .observe("minhash_buckets",
+        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("capped_buckets"),
+        max(col("bucket_n")).as("max_bucket"))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val inBuckets = bands.join(keptBuckets, Seq("band", "bucket"))
+    val l = inBuckets.select(col("band"), col("bucket"), col(id).as("id1"))
+    val r = inBuckets.select(col("band"), col("bucket"), col(id).as("id2"))
     l.join(r, Seq("band", "bucket"))
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
@@ -198,7 +218,16 @@ object Dedup {
     * shuffle: one tight loop per row (distinct n-grams → md5 → 64 sign
     * counters). The explode→distinct→array-fold formulation shuffles
     * ~64× the corpus bytes and spent 74 s at sf0.1 where this runs in
-    * ~2 s; at 100 TB fingerprinting must stay embarrassingly parallel. */
+    * ~2 s; at 100 TB fingerprinting must stay embarrassingly parallel.
+    *
+    * NULL-text contract (also applies to `minhashShingles`): the kernel
+    * treats a NULL text as "" and emits the empty-string fingerprint,
+    * whereas the column formulation propagates the null through
+    * `charShingles` as a single null shingle, yielding the DEGENERATE
+    * fingerprint (all-zeros simhash; Long.MaxValue minhash sentinels) —
+    * the one input class where the two paths differ (OpsSpec pins both
+    * behaviors). Filter nulls first when exact equivalence with the
+    * column path matters. */
   def simhashShingles(df: DataFrame, id: String, text: String, n: Int = 8): DataFrame = {
     val f = udf { (s: String) =>
       val md = java.security.MessageDigest.getInstance("MD5")

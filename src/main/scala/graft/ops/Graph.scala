@@ -26,11 +26,30 @@ object Graph {
     * DataFrame PageRank shape. The unrolled lineage is fine for fixed
     * small `iters`; a production run checkpoints ranks per iteration
     * (the kg.Pipeline parquet-ledger pattern) to cut lineage growth.
-    * Output: (vertex, pr) for every vertex. */
+    * Output: (vertex, pr) for every vertex.
+    *
+    * Preconditions (enforced): the weight column must be an integral
+    * type — a float weight would make `div` coerce and break the
+    * bit-exact determinism that is this operator's contract — and
+    * `scale * max(weight)` must stay below 2^63 (r ≤ SCALE, so the
+    * per-edge product r·w is bounded by SCALE·max(w); with the default
+    * SCALE=1e9 that caps weights at ~9.2e9). The weight bound is checked
+    * lazily in-plan via `assert_true` (zero extra pass — it rides the
+    * degree aggregation), so an overflowing weight fails the job loudly
+    * instead of wrapping silently. */
   def pageRank(edges: DataFrame, src: String, dst: String, weight: String,
       iters: Int = 5, scale: Long = 1000000000L): DataFrame = {
-    val ed = edges.select(col(src).as("src"), col(dst).as("dst"), col(weight).as("w"))
-      .unionAll(edges.select(col(dst).as("src"), col(src).as("dst"), col(weight).as("w")))
+    val wType = edges.schema(weight).dataType
+    require(Seq("byte", "short", "integer", "long").contains(wType.typeName),
+      s"pageRank: weight column '$weight' must be integral, got ${wType.typeName} — " +
+        "integer arithmetic is the operator's bit-exactness contract")
+    val maxW = Long.MaxValue / scale
+    val wGuarded = when(col(weight).cast("long") > maxW,
+      raise_error(concat(lit(s"pageRank: weight exceeds ${maxW} (scale*w overflows int64): "),
+        col(weight).cast("string"))))
+      .otherwise(col(weight).cast("long"))
+    val ed = edges.select(col(src).as("src"), col(dst).as("dst"), wGuarded.as("w"))
+      .unionAll(edges.select(col(dst).as("src"), col(src).as("dst"), wGuarded.as("w")))
     val deg = ed.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
     val edeg = ed.join(deg, "src")
     val verts = ed.select(col("src").as("v")).distinct()

@@ -4,12 +4,18 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video travel as opaque
-  * `binary` columns with typed metadata. The decode step is STUBBED with
-  * a deterministic fake (the real codec libraries are not in this
-  * container — clearly marked below); everything Spark-side — schema,
-  * batching, partition-local iteration, output shape — is real and
-  * tested. At scale this is the `mapPartitions`-with-batched-decoder
-  * pattern (the Scala analog of Python's mapInPandas batches).
+  * `binary` columns with typed metadata
+  * (/root/reference/app_enhanced.py:621-692 extracts embedded images and
+  * records their pixel dimensions). Raster image decode (PNG/JPEG/GIF) is
+  * REAL — `javax.imageio.ImageIO` ships in the JDK, no external codec
+  * jars needed — yielding true width/height for every format
+  * `sniffFormat` detects as a raster. Only the non-raster codecs
+  * genuinely absent from this container (audio/video) and the feature
+  * EMBEDDING (which needs a vision model) remain deterministic stubs,
+  * clearly marked below. Everything Spark-side — schema, batching,
+  * partition-local iteration, output shape — is real and tested. At
+  * scale this is the `mapPartitions`-with-batched-decoder pattern (the
+  * Scala analog of Python's mapInPandas batches).
   */
 object Multimodal {
 
@@ -44,16 +50,42 @@ object Multimodal {
     else "bin"
   }
 
-  /** ==== STUB ==== deterministic fake decoder: the `format` column comes
-    * from REAL magic-byte sniffing (sniffFormat); width/height/frames/
-    * embedding are pseudo-values derived from the bytes. A production
-    * build replaces ONLY the pseudo part with a real codec call; the
-    * operator around it is unchanged. */
+  /** REAL raster decode: pixel dimensions via `javax.imageio.ImageIO`
+    * (in the JDK). Returns None when the bytes aren't a decodable image
+    * — caller falls back to the stub. */
+  def imageDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (bytes == null || bytes.length == 0) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None else Some((img.getWidth, img.getHeight))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** ==== STUB ==== deterministic fake decoder for NON-raster payloads:
+    * the `format` column comes from REAL magic-byte sniffing
+    * (sniffFormat); width/height/frames/embedding are pseudo-values
+    * derived from the bytes. A production build replaces ONLY the pseudo
+    * part with a real codec call; the operator around it is unchanged. */
   def stubDecode(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val n = if (bytes == null) 0 else bytes.length
     def at(i: Int): Int = if (n == 0) 0 else bytes(((i % n) + n) % n) & 0xff
     val emb = (0 until 8).map(i => (at(i * 7) - 128) / 128.0f)
     MediaFeatures(id, n, sniffFormat(bytes), 16 + at(1) % 64, 16 + at(2) % 64, 1 + at(3) % 8, emb)
+  }
+
+  /** Decode one payload: REAL ImageIO dimensions for sniffed raster
+    * formats (png/jpeg/gif — n_frames 1), stub pseudo-values for
+    * everything else. The embedding stays a deterministic stub (a real
+    * build plugs a vision model into the same slot). */
+  def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val stub = stubDecode(id, bytes)
+    stub.format match {
+      case "png" | "jpeg" | "gif" =>
+        imageDims(bytes) match {
+          case Some((w, h)) => stub.copy(width = w, height = h, n_frames = 1)
+          case None => stub // corrupt/truncated raster: keep the fallback
+        }
+      case _ => stub
+    }
   }
 
   /** Batched partition-local decode: one decoder instance per partition,
@@ -64,9 +96,32 @@ object Multimodal {
     df.select(col(id).cast("long"), col(bin))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition decoder setup would go here (STUB: none needed)
-        rows.map { case (i, b) => stubDecode(i, b) }
+        // per-partition decoder setup would go here (ImageIO is
+        // stateless; a codec-handle or model-session decoder would be
+        // constructed once per partition at this point)
+        rows.map { case (i, b) => decode(i, b) }
       }
+  }
+
+  /** Deterministic synthetic PNG (REAL encoder — `ImageIO.write`): a
+    * seeded RGB gradient at the given dimensions. Used by tests and the
+    * `mm_decode_real` driver query to close the loop encode→sniff→decode
+    * with dimensions an oracle can predict arithmetically. */
+  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((x * 31 + y * 17 + seed) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Byte-level "frame sampling": every strideBytes-th byte, first

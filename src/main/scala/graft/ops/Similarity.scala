@@ -208,41 +208,115 @@ object Similarity {
       .select(col("vid"), col("cid"))
   }
 
+  private def md5HexOf(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Deterministic farthest-point (k-means++-style) seeding over a
+    * deterministic md5-bucket SAMPLE of the corpus (the `Curation
+    * .hashSample` idiom — `sampleBp` basis points): seed 1 is the
+    * md5-minimal sampled id (a pseudo-random but engine-reproducible
+    * pick); each next seed is the sampled vector MINIMIZING its max
+    * cosine to the chosen set (the farthest point), ties broken by
+    * (md5(id), id). Min-id seeding (the old scheme) could land every
+    * seed in one dense region; farthest-point spreads them, which is
+    * what lifts recall at small nProbe.
+    *
+    * Seeding is sequential by nature (step j needs seeds 1..j-1), so it
+    * runs where k-means++ always runs at scale: ON A SAMPLE, driver-side
+    * — one distributed filter+collect, then k in-memory passes. At
+    * 100 TB the operator tunes `sampleBp` so the sample fits the driver
+    * (the seeding sample needs only ≫ k·nProbe vectors, not the
+    * corpus); the Lloyd refinements that follow are fully distributed.
+    * All arithmetic is the same exact-integer dot + IEEE double
+    * divide/sqrt the distributed side uses, so the DuckDB oracle
+    * reproduces the seeds bit-for-bit. */
+  private def farthestPointSeeds(q: DataFrame, nClusters: Int,
+      sampleBp: Int = 2000): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val bucket = pmod(conv(substring(md5(col("vid").cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(10000L))
+    val samp = q.where(bucket < sampleBp).select(col("vid"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    require(samp.length >= nClusters,
+      s"farthestPointSeeds: sample of ${samp.length} < $nClusters clusters — raise sampleBp")
+    val md5Of = samp.map { case (vid, _) => vid -> md5HexOf(vid.toString) }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dab = 0L; var daa = 0L; var dbb = 0L; var i = 0
+      while (i < a.length) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
+      dab.toDouble / (math.sqrt(daa.toDouble) * math.sqrt(dbb.toDouble))
+    }
+    val first = samp.minBy { case (vid, _) => (md5Of(vid), vid) }
+    var chosen = Vector(first)
+    // maxc(v) = max cosine of v to the chosen set, updated incrementally
+    val maxc = scala.collection.mutable.HashMap.empty[Long, Double]
+    samp.foreach { case (vid, qv) => maxc(vid) = cos(qv, first._2) }
+    for (_ <- 2 to nClusters) {
+      val next = samp.minBy { case (vid, _) => (maxc(vid), md5Of(vid), vid) }
+      chosen = chosen :+ next
+      samp.foreach { case (vid, qv) => maxc(vid) = math.max(maxc(vid), cos(qv, next._2)) }
+    }
+    chosen.map { case (vid, qv) => (vid, qv.toSeq) }.toDF("cid", "cv")
+  }
+
   /** IVF-flat approximate nearest neighbors — the coarse-quantizer
-    * alternative to banded LSH (`annTopK`): seed centroids = the
-    * nClusters smallest ids, ONE distributed Lloyd refinement (assign →
-    * per-cluster elementwise sum — cosine is scale-invariant, so the SUM
-    * vector ≡ the mean centroid and stays integer-exact), final inverted
-    * lists, then each probe searches only its nProbe nearest lists with
-    * an exact cosine re-rank. At 100 TB the probe side reads ~nProbe /
-    * nClusters of the corpus instead of all of it; the Lloyd step is one
+    * alternative to banded LSH (`annTopK`): deterministic farthest-point
+    * seeding (spread seeds, not the min-id corner), `lloydSteps`
+    * distributed Lloyd refinements (assign → per-cluster elementwise sum
+    * — cosine is scale-invariant, so the SUM vector ≡ the mean centroid
+    * and stays integer-exact), final inverted lists, then each probe
+    * searches only its nProbe nearest lists with an exact cosine
+    * re-rank. At 100 TB the probe side reads ~nProbe / nClusters of the
+    * corpus instead of all of it; each Lloyd step is one
     * partial-aggregated shuffle of nClusters×dim cells.
     *
-    * The lazy composition recomputes the quantized corpus per stage
-    * (assign0 / Lloyd / assign1) — at production scale the assignment
-    * table is a checkpointed stage table (the `kg.Pipeline` parquet-
-    * ledger pattern, exactly how Spark ML's KMeans persists between
-    * iterations); at query-test scale lazy recompute is cheaper than
-    * materialization, so this function stays composition-pure.
+    * `ledgerDir`: when set, every Lloyd step's centroid table is
+    * checkpointed to parquet (`centroids_<step>`) and read back — the
+    * `kg.Pipeline` parquet-ledger pattern (exactly how Spark ML's KMeans
+    * persists between iterations). This truncates the growing seed+Lloyd
+    * lineage, makes each step restartable, and at production scale is
+    * mandatory: without it step s recomputes all steps < s. When None
+    * (small/test scale) the composition stays lazy and pure.
     * Output: (probe_id, neighbor_id, cos_sim, rank). */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, id: String, vec: String, k: Int,
-      nClusters: Int = 8, nProbe: Int = 2): DataFrame = {
+      nClusters: Int = 8, nProbe: Int = 2, lloydSteps: Int = 2,
+      ledgerDir: Option[String] = None): DataFrame = {
+    require(lloydSteps >= 1, "ivfTopK: need at least one Lloyd step")
+    // persisted through the EAGER phase (k seeding argmin jobs + the
+    // ledger's checkpoint writes all rescan it); released before the
+    // lazy serve plan is returned
     val q = corpus.select(col(id).as("vid"), quant(col(vec)).as("qv"))
-    val seeds = q.orderBy(col("vid").asc).limit(nClusters)
-      .select(col("vid").as("cid"), col("qv").as("cv"))
-    val a0 = assignClusters(q, seeds, 1)
-    // one Lloyd step; the "centroid" is the per-cluster elementwise sum
-    // (exact longs), never a float mean
-    val sums = q.join(a0, "vid")
-      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
-      .groupBy(col("cid"), col("pos")).agg(sum(col("x")).as("sx"))
-      .groupBy(col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
-        s => s.getField("sx")).as("cv"))
-    val a1 = assignClusters(q, sums, 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def checkpoint(df: DataFrame, step: String): DataFrame = ledgerDir match {
+      case None => df
+      case Some(dir) =>
+        val path = s"$dir/centroids_$step"
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+        corpus.sparkSession.read.parquet(path)
+    }
+    var cents = checkpoint(farthestPointSeeds(q, nClusters), "seed")
+    for (step <- 1 to lloydSteps) {
+      val a = assignClusters(q, cents, 1)
+      // the "centroid" is the per-cluster elementwise sum (exact longs),
+      // never a float mean
+      cents = checkpoint(
+        q.join(a, "vid")
+          .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos")).agg(sum(col("x")).as("sx"))
+          .groupBy(col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
+            s => s.getField("sx")).as("cv")),
+        step.toString)
+    }
+    q.unpersist(false)
+    val aFinal = assignClusters(q, cents, 1)
     val pq = probes.select(col(id).as("vid"), quant(col(vec)).as("qv"))
-    val plists = assignClusters(pq, sums, nProbe).withColumnRenamed("vid", "probe_id")
-    val cands = plists.join(a1.withColumnRenamed("vid", "neighbor_id"), "cid")
+    val plists = assignClusters(pq, cents, nProbe).withColumnRenamed("vid", "probe_id")
+    val cands = plists.join(aFinal.withColumnRenamed("vid", "neighbor_id"), "cid")
       .where(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"))
     val pv = probes.select(col(id).as("probe_id"), col(vec).as("probe_vec"))

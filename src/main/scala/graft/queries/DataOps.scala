@@ -162,11 +162,20 @@ object DataOps {
         "vec_id", "embedding", 8)
     }),
 
-    // IVF-flat ANN: coarse-quantizer scale path (8 lists, probe 2);
+    // IVF-flat ANN: coarse-quantizer scale path (8 lists, probe 2,
+    // farthest-point seeding, 2 Lloyd steps, parquet centroid ledger);
     // integer-exact assignment math — the oracle recomputes it verbatim
     "sim_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.ivfTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", 5, 8, 2)
+      // exercise the REAL ledger path: centroids checkpoint to parquet
+      // between Lloyd steps exactly as a production run would
+      val base = if (new java.io.File("/dev/shm").isDirectory)
+        java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp")
+      val ledger = java.nio.file.Files.createTempDirectory(base, "ivf").toString
+      sys.addShutdownHook(
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ledger)))
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", 5,
+        nClusters = 8, nProbe = 2, lloydSteps = 2, ledgerDir = Some(ledger))
     }),
 
     // int8 embedding compression (4 B → 1 B per dim at 100 TB)
@@ -231,7 +240,104 @@ object DataOps {
         .select(col("id"), col("n_bytes"), col("format"), col("width"),
           col("height"), col("n_frames"),
           concat_ws(",", transform(col("embedding"), e => (e * 128).cast("int"))).as("emb_q"))
+    }),
+
+    // REAL image decode, end to end: encode a deterministic PNG per doc
+    // with dimensions derived from doc_id (ImageIO.write), then run the
+    // production decodeFeatures path — magic-byte sniff dispatches to the
+    // REAL ImageIO decoder, whose pixel dimensions must round-trip to the
+    // arithmetic the oracle predicts. A stubbed decoder cannot pass this:
+    // the stub's pseudo-dimensions are functions of the PNG byte stream,
+    // not of the encoded image.
+    "mm_decode_real" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (16 + id % 32).toInt
+          val h = (16 + (id + 7) % 32).toInt
+          (id, Multimodal.syntheticPng(w, h, id))
+        })
+        .toDF("doc_id", "img")
+      Multimodal.decodeFeatures(s, pngs, "doc_id", "img").toDF()
+        .select(col("id"), col("format"), col("width"), col("height"), col("n_frames"))
     }))
+
+  /** IVF oracle generator — mirrors `Similarity.ivfTopK` step for step:
+    * ×1000 integer quantization, farthest-point seeding over the
+    * deterministic md5-bucket sample (one argmin CTE pair per seed),
+    * `lloydSteps` unrolled Lloyd refinements (integer centroid sums),
+    * probe lists from the final assignment ranking, exact float
+    * re-rank. All dots are BIGINT sums (< 2^53) and every double is
+    * derived from them by the same IEEE ops in the same order as the
+    * Spark side, so seeds and assignments are bit-identical. Probes are
+    * `vec_id < 10` (the driver query's probe set). */
+  private def ivfSql(nClusters: Int, nProbe: Int, lloydSteps: Int, k: Int,
+      sampleBp: Int = 2000): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH qd AS MATERIALIZED (
+         |  SELECT vec_id, i, round(x * 1000)::BIGINT AS q FROM (
+         |    SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         |           generate_subscripts(embedding, 1) - 1 AS i
+         |    FROM embeddings)),
+         |vnorm AS MATERIALIZED (SELECT vec_id, sqrt((sum(q*q))::DOUBLE) AS nrm FROM qd GROUP BY 1),
+         |samp AS MATERIALIZED (
+         |  SELECT vec_id FROM vnorm
+         |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 10000 < $sampleBp),
+         |alld AS MATERIALIZED (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2, (sum(a.q * b.q))::BIGINT AS dot
+         |  FROM qd a JOIN qd b USING (i)
+         |  WHERE b.vec_id IN (SELECT vec_id FROM samp) GROUP BY 1, 2),
+         |allc AS MATERIALIZED (
+         |  SELECT d.v1, d.v2, d.dot::DOUBLE / (n1.nrm * n2.nrm) AS c
+         |  FROM alld d JOIN vnorm n1 ON n1.vec_id = d.v1 JOIN vnorm n2 ON n2.vec_id = d.v2),
+         |s1 AS (SELECT vec_id AS cid FROM samp ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1),
+         |""".stripMargin)
+    for (j <- 2 to nClusters) {
+      val prev = (1 until j).map(x => s"SELECT cid FROM s$x").mkString(" UNION ALL ")
+      sb.append(s"t$j AS (SELECT v1 AS vec_id, max(c) AS maxc FROM allc " +
+        s"WHERE v1 IN (SELECT vec_id FROM samp) AND v2 IN ($prev) GROUP BY 1),\n")
+      sb.append(s"s$j AS (SELECT vec_id AS cid FROM t$j " +
+        s"ORDER BY maxc ASC, md5(vec_id::VARCHAR), vec_id LIMIT 1),\n")
+    }
+    val allSeeds = (1 to nClusters).map(x => s"SELECT cid FROM s$x").mkString(" UNION ALL ")
+    sb.append(s"seeds AS ($allSeeds),\n")
+    // seed assignment: a seed's centroid vector IS its own quantized
+    // vector, so the pairwise table already holds every needed cosine
+    sb.append(
+      """a0 AS (SELECT v1 AS vec_id, v2 AS cid FROM (
+        |  SELECT c.v1, c.v2, row_number() OVER (PARTITION BY c.v1 ORDER BY c.c DESC, c.v2 ASC) AS rn
+        |  FROM allc c JOIN seeds s ON s.cid = c.v2) WHERE rn = 1),
+        |""".stripMargin)
+    for (step <- 1 to lloydSteps) {
+      val prevA = s"a${step - 1}"
+      sb.append(s"cs$step AS (SELECT $prevA.cid, qd.i, (sum(qd.q))::BIGINT AS cq\n")
+      sb.append(s"       FROM qd JOIN $prevA ON $prevA.vec_id = qd.vec_id GROUP BY 1, 2),\n")
+      sb.append(s"cn$step AS (SELECT cid, sqrt((sum(cq*cq))::DOUBLE) AS cnrm FROM cs$step GROUP BY 1),\n")
+      sb.append(s"d$step AS (SELECT qd.vec_id, cs$step.cid, (sum(qd.q * cs$step.cq))::BIGINT AS dot\n")
+      sb.append(s"       FROM qd JOIN cs$step USING (i) GROUP BY 1, 2),\n")
+      sb.append(s"r$step AS (SELECT d$step.vec_id, d$step.cid,\n")
+      sb.append(s"              row_number() OVER (PARTITION BY d$step.vec_id\n")
+      sb.append(s"                ORDER BY d$step.dot::DOUBLE / (v.nrm * c.cnrm) DESC, d$step.cid ASC) AS rn\n")
+      sb.append(s"       FROM d$step JOIN vnorm v ON v.vec_id = d$step.vec_id " +
+        s"JOIN cn$step c ON c.cid = d$step.cid),\n")
+      sb.append(s"a$step AS (SELECT vec_id, cid FROM r$step WHERE rn = 1),\n")
+    }
+    sb.append(
+      s"""pl AS (SELECT vec_id AS probe_id, cid FROM r$lloydSteps WHERE vec_id < 10 AND rn <= $nProbe),
+         |cand AS (SELECT pl.probe_id, a$lloydSteps.vec_id AS neighbor_id
+         |         FROM pl JOIN a$lloydSteps USING (cid) WHERE a$lloydSteps.vec_id <> pl.probe_id),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |scored AS (
+         |  SELECT c.probe_id, c.neighbor_id,
+         |         round(list_dot_product(p.e, n.e) /
+         |               (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(n.e, n.e))), 4) + 0 AS cos_sim
+         |  FROM cand c JOIN v p ON p.vec_id = c.probe_id JOIN v n ON n.vec_id = c.neighbor_id)
+         |SELECT probe_id, neighbor_id, cos_sim, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored) WHERE rank <= $k""".stripMargin)
+    sb.toString
+  }
 
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
@@ -449,46 +555,7 @@ object DataOps {
     // (cosine is scale-invariant → sum ≡ mean, integer-exact), probe 2
     // lists, exact float re-rank. All dots are BIGINT sums (< 2^53) so
     // assignments are bit-identical to Spark's.
-    "sim_ivf_topk" ->
-      """WITH qd AS (
-        |  SELECT vec_id, i, round(x * 1000)::BIGINT AS q FROM (
-        |    SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
-        |           generate_subscripts(embedding, 1) - 1 AS i
-        |    FROM embeddings)),
-        |vnorm AS (SELECT vec_id, sqrt((sum(q*q))::DOUBLE) AS nrm FROM qd GROUP BY 1),
-        |seeds AS (SELECT vec_id AS cid FROM embeddings ORDER BY vec_id LIMIT 8),
-        |sd AS (SELECT s.cid, qd.i, qd.q AS cq FROM qd JOIN seeds s ON qd.vec_id = s.cid),
-        |snorm AS (SELECT cid, sqrt((sum(cq*cq))::DOUBLE) AS cnrm FROM sd GROUP BY 1),
-        |d0 AS (SELECT qd.vec_id, sd.cid, (sum(qd.q * sd.cq))::BIGINT AS dot
-        |       FROM qd JOIN sd USING (i) GROUP BY 1, 2),
-        |a0 AS (SELECT vec_id, cid FROM (
-        |         SELECT d0.vec_id, d0.cid,
-        |                row_number() OVER (PARTITION BY d0.vec_id
-        |                  ORDER BY d0.dot::DOUBLE / (v.nrm * s.cnrm) DESC, d0.cid ASC) AS rn
-        |         FROM d0 JOIN vnorm v ON v.vec_id = d0.vec_id JOIN snorm s ON s.cid = d0.cid)
-        |       WHERE rn = 1),
-        |cs AS (SELECT a0.cid, qd.i, (sum(qd.q))::BIGINT AS cq
-        |       FROM qd JOIN a0 ON a0.vec_id = qd.vec_id GROUP BY 1, 2),
-        |cnorm AS (SELECT cid, sqrt((sum(cq*cq))::DOUBLE) AS cnrm FROM cs GROUP BY 1),
-        |d1 AS (SELECT qd.vec_id, cs.cid, (sum(qd.q * cs.cq))::BIGINT AS dot
-        |       FROM qd JOIN cs USING (i) GROUP BY 1, 2),
-        |r1 AS (SELECT d1.vec_id, d1.cid,
-        |              row_number() OVER (PARTITION BY d1.vec_id
-        |                ORDER BY d1.dot::DOUBLE / (v.nrm * c.cnrm) DESC, d1.cid ASC) AS rn
-        |       FROM d1 JOIN vnorm v ON v.vec_id = d1.vec_id JOIN cnorm c ON c.cid = d1.cid),
-        |a1 AS (SELECT vec_id, cid FROM r1 WHERE rn = 1),
-        |pl AS (SELECT vec_id AS probe_id, cid FROM r1 WHERE vec_id < 10 AND rn <= 2),
-        |cand AS (SELECT pl.probe_id, a1.vec_id AS neighbor_id
-        |         FROM pl JOIN a1 USING (cid) WHERE a1.vec_id <> pl.probe_id),
-        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |scored AS (
-        |  SELECT c.probe_id, c.neighbor_id,
-        |         round(list_dot_product(p.e, n.e) /
-        |               (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(n.e, n.e))), 4) + 0 AS cos_sim
-        |  FROM cand c JOIN v p ON p.vec_id = c.probe_id JOIN v n ON n.vec_id = c.neighbor_id)
-        |SELECT probe_id, neighbor_id, cos_sim, rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "sim_ivf_topk" -> ivfSql(nClusters = 8, nProbe = 2, lloydSteps = 2, k = 5),
 
     "sim_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -592,6 +659,13 @@ object DataOps {
         |            ELSE array_to_string(list_transform(generate_series(0, 7),
         |              i -> (ascii(substr(text, ((i * 7) % n)::INT + 1, 1)) - 128)::VARCHAR), ',')
         |       END AS emb_q
-        |FROM b""".stripMargin)
+        |FROM b""".stripMargin,
+
+    "mm_decode_real" ->
+      """SELECT doc_id AS id, 'png' AS format,
+        |       (16 + doc_id % 32)::INT AS width,
+        |       (16 + (doc_id + 7) % 32)::INT AS height,
+        |       1 AS n_frames
+        |FROM documents""".stripMargin)
     // dd_minhash_pairs included above
 }

@@ -149,8 +149,13 @@ object KgQueries {
 
   // --------------------------------------------------------------- pipeline
   /** One pipeline run per sfDir, shared by all kg_* queries (Verify calls
-    * every query; the pipeline must not run five times). */
-  private val kgCache = scala.collection.concurrent.TrieMap.empty[String, (String, Pipeline.Result)]
+    * every query; the pipeline must not run five times). The cache holds
+    * ONLY the work-dir path — never session-bound DataFrames: a second
+    * SparkSession in the same JVM (tests/tools that stop() and restart)
+    * would otherwise get back dead plans bound to the stopped session.
+    * Each query re-reads the parquet checkpoints with the CALLER's
+    * session. */
+  private val kgCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
   def kgPages(s: SparkSession, dir: String): Dataset[Schema.Page] = {
     import s.implicits._
@@ -164,7 +169,9 @@ object KgQueries {
       .as[Schema.Page]
   }
 
-  def kgRun(s: SparkSession, dir: String): (String, Pipeline.Result) =
+  /** Run (or reuse) the pipeline for `dir`; returns the checkpoint
+    * work-dir. All stage outputs live there as parquet. */
+  def kgRun(s: SparkSession, dir: String): String =
     kgCache.getOrElseUpdate(dir, {
       // tmpfs when available, like Bench.kgBuild: the sandbox has one
       // virtual disk whose contention is a box artifact, not the plan's
@@ -175,7 +182,8 @@ object KgQueries {
       // run would leak a full pipeline output into RAM-backed /dev/shm
       sys.addShutdownHook(
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work)))
-      (work, Pipeline.run(s, kgPages(s, dir), Pipeline.Config(work, nPartitions = 16)))
+      Pipeline.run(s, kgPages(s, dir), Pipeline.Config(work, nPartitions = 16))
+      work
     })
 
   // ---------------------------------------------------------------- queries
@@ -184,31 +192,35 @@ object KgQueries {
     // checkpoints + resume ledger + linking + CC); projections exclude
     // engine-specific hash ids (canonical_name is the identity)
     "kg_triples" -> ((s, dir) =>
-      s.read.parquet(kgRun(s, dir)._1 + "/triples")
+      s.read.parquet(kgRun(s, dir) + "/triples")
         .select(col("url"), col("pred"), col("obj"), col("kind"), col("weight"))),
 
     "kg_nodes" -> ((s, dir) =>
-      kgRun(s, dir)._2.nodes
+      s.read.parquet(kgRun(s, dir) + "/nodes")
         .select(col("canonical_name"), col("kind"),
           concat_ws("|", col("aliases")).as("aliases"),
           col("n_mentions"), col("n_urls"))),
 
     "kg_edges" -> ((s, dir) =>
-      kgRun(s, dir)._2.edges
+      s.read.parquet(kgRun(s, dir) + "/edges")
         .select(col("src_url"), col("pred"), col("dst_name"), col("weight"))),
 
-    // per-partition lineage + stage metrics (north_rule artifact;
-    // partition layout is engine-specific → rows-only)
+    // per-partition lineage rolled up to its engine-portable invariant:
+    // the partition-row sum per stage must equal the independently
+    // re-derived stage output count (the partition LAYOUT is engine-
+    // specific, but conservation of rows across the lineage ledger is
+    // not — a lost or double-counted partition breaks the hash here)
     "kg_metrics" -> ((s, dir) => {
-      val work = kgRun(s, dir)._1
+      val work = kgRun(s, dir)
       s.read.parquet(s"$work/metrics_partition")
-        .select(col("stage"), col("partition_id"), col("rows"))
+        .groupBy(col("stage"))
+        .agg(sum(col("rows")).as("total_rows"))
     }),
 
     // the SQL-expressible slice of the lineage metrics: per-stage output
     // row counts, oracle-checked against re-derived counts of each stage
     "kg_stage_rows" -> ((s, dir) => {
-      val work = kgRun(s, dir)._1
+      val work = kgRun(s, dir)
       s.read.parquet(s"$work/metrics_stage")
         .where(col("stage").isin("extract_clean_rows", "triples_rows", "nodes", "edges"))
         .select(col("stage"), col("rows"))
@@ -231,7 +243,8 @@ object KgQueries {
     // sinks), top 20 vertices — the oracle replays the same integer
     // recurrence as mechanically unrolled CTEs over the kg_edges oracle
     "kg_pagerank" -> ((s, dir) =>
-      graft.ops.Graph.pageRank(kgRun(s, dir)._2.edges, "src_url", "dst_name", "weight", 5)
+      graft.ops.Graph.pageRank(s.read.parquet(kgRun(s, dir) + "/edges"),
+          "src_url", "dst_name", "weight", 5)
         .orderBy(col("pr").desc, col("vertex").asc).limit(20)))
 
   // ---------------------------------------------------------------- oracles
@@ -460,6 +473,12 @@ object KgQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the per-partition lineage ledger's conservation invariant: the sum
+    // of per-partition rows for the triples stage equals the full
+    // independently re-derived triples count
+    "kg_metrics" ->
+      s"""SELECT 'triples' AS stage,
+         |       (SELECT count(*) FROM ($kgTriplesSql))::BIGINT AS total_rows""".stripMargin,
     "kg_triples" -> kgTriplesSql,
     "kg_nodes" -> kgNodesSql,
     "kg_edges" -> kgEdgesSql,

@@ -1,0 +1,95 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.Curation
+
+/** Structured Streaming under the DRIVER contract (not just ScalaTest):
+  * each query runs a real bounded micro-batch stream — file source split
+  * into one micro-batch per file (`maxFilesPerTrigger=1`, so state
+  * genuinely crosses batch boundaries), `Trigger.AvailableNow` to drain
+  * it, memory sink — and returns the sink table, which the driver then
+  * hash-compares against a DuckDB batch oracle. Stream ≡ batch is the
+  * exact equivalence a lambda-style 100-TB pipeline needs: the streaming
+  * lane must land the same rows the batch lane would.
+  */
+object StreamingQueries {
+
+  private val sinkSeq = new AtomicInteger(0)
+
+  /** Drain a bounded stream into a memory sink; return the sink table. */
+  private def runToSink(s: SparkSession, df: DataFrame, outputMode: String): DataFrame = {
+    val name = s"graft_st_sink_${sinkSeq.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Streaming read of a parquet table, one micro-batch per file. The
+    * file-stream source only accepts a DIRECTORY; the testdata tables
+    * are single parquet files, so a file input is exposed through a
+    * temp directory holding a symlink to it (zero copy). */
+  private def streamTbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$dir/$name.parquet")
+    val streamDir =
+      if (Files.isDirectory(src)) src.toString
+      else {
+        val base = if (new java.io.File("/dev/shm").isDirectory)
+          Paths.get("/dev/shm") else Paths.get("/tmp")
+        val tmp = Files.createTempDirectory(base, s"st_$name")
+        Files.createSymbolicLink(tmp.resolve(s"$name.parquet"), src)
+        sys.addShutdownHook(
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile))
+        tmp.toString
+      }
+    s.readStream
+      .schema(s.read.parquet(src.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // stateless curation on a stream: hashSample is a pure column
+    // program, so it applies to a streaming DataFrame unchanged — the
+    // same operator object serves both lanes (append mode, no state)
+    "st_hash_sample" -> ((s, dir) =>
+      runToSink(s,
+        Curation.hashSample(streamTbl(s, dir, "documents"), "doc_id", "lang",
+          Seq("en" -> 10000, "de" -> 2500), 500),
+        "append")),
+
+    // stateful streaming aggregation: hourly per-type event rollup whose
+    // running state accumulates ACROSS micro-batches (files arrive in
+    // arbitrary hour order, so nearly every batch touches old windows);
+    // complete mode emits the final converged table — which must equal
+    // the batch q9 aggregation row for row
+    "st_events_hourly" -> ((s, dir) =>
+      runToSink(s,
+        streamTbl(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")),
+        "complete")))
+
+  val oracles: Map[String, String] = Map(
+    // identical to the batch cu_hash_sample / q9_events_hourly oracles —
+    // the POINT: the streaming lane must reproduce the batch lane
+    "st_hash_sample" ->
+      """SELECT doc_id, stratum, bucket FROM (
+        |  SELECT doc_id, lang AS stratum,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bucket
+        |  FROM documents)
+        |WHERE bucket < CASE stratum WHEN 'en' THEN 10000 WHEN 'de' THEN 2500 ELSE 500 END""".stripMargin,
+    "st_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin)
+}

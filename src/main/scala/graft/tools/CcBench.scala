@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev tool: at-scale evidence for the DISTRIBUTED connected-components
+  * loop (the path a 10^12-page vocabulary would take). Forces
+  * `driverSolveThreshold = 0` so the large-star/pointer-jump loop runs:
+  *  1. on the REAL sf alias graph (Pipeline.ccEdges over the pipeline's
+  *     own linked_mentions + alias_edges checkpoints), and
+  *  2. on synthetic chain graphs of diameter 256 and 4096 — the
+  *     worst-case depth — to show rounds grow O(log d), not O(d).
+  * Results go into BENCH/BASELINE.md. Run:
+  * `sbt "runMain graft.tools.CcBench [sfDir]"`. */
+object CcBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.Bench.newSession(cpus)
+    import graft.kg.{ConnectedComponents, Pipeline}
+
+    // real alias graph from the pipeline's own checkpoints
+    val work = graft.queries.KgQueries.kgRun(spark, sfDir)
+    val linked = spark.read.parquet(s"$work/linked_mentions")
+    val aliases = spark.read.parquet(s"$work/alias_edges")
+    // materialize inputs first so the timed region is CC alone
+    val edges = Pipeline.ccEdges(linked, aliases).localCheckpoint(true)
+    val nEdges = edges.count()
+    var t0 = System.nanoTime()
+    val (labels, rounds) = ConnectedComponents.runWithStats(
+      spark, edges, driverSolveThreshold = 0L)
+    val nVerts = labels.count()
+    val nComps = labels.select(countDistinct(col("component"))).head.getLong(0)
+    println(f"[ccbench] alias-graph($sfDir): edges=$nEdges verts=$nVerts comps=$nComps " +
+      f"rounds=$rounds wall=${(System.nanoTime() - t0) / 1e9}%.2f s (cpus=$cpus)")
+
+    // worst-case chains: rounds must track log2(d), not d
+    for (d <- Seq(256, 4096)) {
+      val chain = spark.range(d - 1)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        .localCheckpoint(true)
+      t0 = System.nanoTime()
+      val (lab, r) = ConnectedComponents.runWithStats(spark, chain, driverSolveThreshold = 0L)
+      val ok = lab.where(col("component") =!= 0L).isEmpty
+      println(f"[ccbench] chain(d=$d): rounds=$r log2(d)=${(math.log(d) / math.log(2)).toInt} " +
+        f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s singleComponent=$ok")
+    }
+    spark.stop()
+  }
+}

@@ -8,9 +8,10 @@ object KgProfile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.Bench.newSession(cpus)
     val t0 = System.nanoTime()
-    val (_, res) = graft.queries.KgQueries.kgRun(spark, sfDir)
+    val work = graft.queries.KgQueries.kgRun(spark, sfDir)
     println(f"[kgprofile] total ${(System.nanoTime() - t0) / 1e9}%.2f s (cpus=$cpus)")
-    res.metrics.collect().foreach(r => println(s"[kgprofile] $r"))
+    spark.read.parquet(s"$work/metrics_stage").collect()
+      .foreach(r => println(s"[kgprofile] $r"))
     spark.stop()
   }
 }

@@ -81,15 +81,17 @@ class PlanSpec extends AnyFunSuite {
       val old = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
       conf.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
-        val (alias, linked) = EntityLinking.resolve(spark, triples)
-        val (_, edges) = Pipeline.canonicalize(spark, linked, alias)
+        val resolved = EntityLinking.resolve(spark, triples)
+        val canonical = Pipeline.canonicalize(spark, resolved.linked, resolved.aliasEdges)
+        val edges = canonical.edges
         val rows = edges.orderBy($"src_url", $"dst_name").collect()
           .map(r => r.mkString("|"))
         (plan(edges), rows)
       } finally {
-        // canonicalize persists its label table; the cache is keyed by
-        // logical plan and would leak the FIRST run's physical plan
-        // (with its broadcast joins) into the second run's explain
+        // the cache is keyed by logical plan and would leak the FIRST
+        // run's physical plan (with its broadcast joins) into the second
+        // run's explain; clearCache here is deliberate — this test owns
+        // the session and resets ALL cached state between configs
         spark.catalog.clearCache()
         old.foreach {
           case (k, Some(v)) => spark.conf.set(k, v)
