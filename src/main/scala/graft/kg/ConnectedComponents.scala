@@ -95,22 +95,30 @@ object ConnectedComponents {
     var converged = labels.isEmpty
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // (a) adopt min label among direct neighbors
+      // (a) adopt min label among direct neighbors; the pre-round label
+      // rides along as `prev` so convergence is decided INSIDE this
+      // round's job (an observe'd changed-count) instead of a separate
+      // join + isEmpty pass per round — at 10^8-edge graphs that extra
+      // pass per round is a full shuffle of the label table
       val nbrMin = sym
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy($"dst".as("id")).agg(min($"component").as("nbr_min"))
-      val adopted = labels.join(nbrMin, Seq("id"), "left")
-        .select($"id", least($"component", coalesce($"nbr_min", $"component")).as("component"))
+      val adopted = labels.withColumnRenamed("component", "prev")
+        .join(nbrMin, Seq("id"), "left")
+        .select($"id", $"prev",
+          least($"prev", coalesce($"nbr_min", $"prev")).as("component"))
 
       // (b) pointer jump: component := label(component)
       val parents = adopted.select($"id".as("component"), $"component".as("parent"))
+      val obs = org.apache.spark.sql.Observation()
       val jumped = adopted.join(parents, Seq("component"), "left")
-        .select($"id", least($"component", coalesce($"parent", $"component")).as("component"))
+        .select($"id", $"prev",
+          least($"component", coalesce($"parent", $"component")).as("component"))
+        .observe(obs, sum(when($"component" =!= $"prev", 1L).otherwise(0L)).as("changed"))
+        .select($"id", $"component")
         .localCheckpoint(true)
 
-      converged = jumped.join(labels.withColumnRenamed("component", "prev"), Seq("id"))
-        .where($"component" =!= $"prev")
-        .isEmpty
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = jumped
       iter += 1
     }

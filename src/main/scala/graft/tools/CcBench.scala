@@ -44,6 +44,20 @@ object CcBench {
       println(f"[ccbench] chain(d=$d): rounds=$r log2(d)=${(math.log(d) / math.log(2)).toInt} " +
         f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s singleComponent=$ok")
     }
+
+    // volume case: a 4M-vertex binary tree (4M-1 edges, depth 21) — the
+    // distributed loop at millions of edges, the scale where the driver
+    // fast path stops being an option
+    val n = 1 << 22
+    val tree = spark.range(1, n)
+      .select(col("id").as("src"), (col("id") / 2).cast("long").as("dst"))
+      .repartition(32)
+      .localCheckpoint(true)
+    t0 = System.nanoTime()
+    val (lab, r) = ConnectedComponents.runWithStats(spark, tree, driverSolveThreshold = 0L)
+    val ok = lab.where(col("component") =!= 0L).isEmpty
+    println(f"[ccbench] tree(n=$n edges=${n - 1}): rounds=$r " +
+      f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s singleComponent=$ok")
     spark.stop()
   }
 }
