@@ -337,6 +337,31 @@ object Dedup {
       s"transform(sequence(1, greatest(0, length($text) - ${n - 1})), i -> substring($text, i, $n))")))
       .as("shingle"))
 
+  /** End-to-end near-duplicate CLUSTERING — the artifact a dedup
+    * pipeline actually ships: verified near-dup pairs (from ANY scheme:
+    * MinHash-LSH, SimHash, embedding cosine — anything emitting
+    * (id1, id2)) → connected components over the pair graph (transitive
+    * closure: A≈B≈C is one cluster even when A,C never paired) → one
+    * canonical doc per cluster (min id). Docs in no pair are their own
+    * singleton cluster. Reuses the KG `ConnectedComponents` loop:
+    * driver union-find under the measured heap budget, distributed
+    * large-star/pointer-jump above it — pair graphs are near-dup-sized
+    * (≪ corpus), the same shape as alias graphs. Requires a LONG id
+    * (CC labels are longs). Output: (id, cluster, is_canonical) for
+    * every input doc; training keeps `is_canonical`. */
+  def dedupClusters(df: DataFrame, id: String, pairs: DataFrame): DataFrame = {
+    val labels = graft.kg.ConnectedComponents.run(
+      df.sparkSession,
+      pairs.select(col("id1").as("src"), col("id2").as("dst")),
+      driverSolveThreshold = graft.kg.ConnectedComponents.driverEdgeBudget())
+    df.select(col(id))
+      .join(labels.withColumnRenamed("id", id), Seq(id), "left")
+      .select(col(id), coalesce(col("component"), col(id)).as("cluster"))
+      // CC labels components by their min member id, so the canonical
+      // doc is exactly the one whose id equals its cluster label
+      .withColumn("is_canonical", col(id) === col("cluster"))
+  }
+
   /** Blocked all-pairs n-gram (token) Jaccard — for small blocks; LSH is
     * the scale path. Block key = any low-cardinality column. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String,

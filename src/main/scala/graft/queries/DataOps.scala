@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Curation, Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
+import graft.ops.{Curation, Dedup, Multimodal, Packing, Retrieval, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as driver-contract queries with
   * DuckDB oracles: deduplication (exact / MinHash-LSH / SimHash /
@@ -86,6 +86,29 @@ object DataOps {
       |                               i -> substr(text, i::int, 8))) AS shingle
       |  FROM dd_input)""".stripMargin
 
+  /** MinHash-LSH candidate + shingle-intersection CTEs (sigs → bands →
+    * cands → sizes/inter), shared by the dd_minhash_pairs and
+    * dd_dedup_clusters oracles. */
+  private val minhashPairCtes: String =
+    s"""sigs AS (
+       |  SELECT doc_id, seed, min(${minhashHashSql("shingle")}) AS minhash
+       |  FROM shingles, generate_series(0, 7) AS t(seed) GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, (seed // 4)::INT AS band,
+       |         md5(string_agg(minhash::VARCHAR, ':' ORDER BY seed)) AS bucket
+       |  FROM sigs GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b USING (band, bucket)
+       |  WHERE a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+       |inter AS (
+       |  SELECT c.id1, c.id2, count(*) AS i
+       |  FROM cands c
+       |  JOIN shingles s1 ON s1.doc_id = c.id1
+       |  JOIN shingles s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
+       |  GROUP BY 1, 2)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----
     "dd_exact" -> ((s, dir) =>
@@ -104,6 +127,24 @@ object DataOps {
         .withColumnRenamed("shingle", "token")
       Dedup.jaccardVerify(pairs, sh, "doc_id").where(col("jaccard") >= 0.5)
     }),
+
+    // end-to-end dedup artifact: verified LSH pairs → CC over the pair
+    // graph → min-id cluster labels + the canonical-doc flag training
+    // actually filters on (same pair scheme as dd_minhash_pairs)
+    "dd_dedup_clusters" -> ((s, dir) => {
+      val input = ddInput(s, dir)
+      val sigs = Dedup.minhashShingles(input, "doc_id", "text", 8, 8)
+      val cand = Dedup.candidatePairs(Dedup.minhashBands(sigs, "doc_id", 4), "doc_id")
+      val sh = Dedup.charShingles(input, "doc_id", "text", 8)
+        .withColumnRenamed("shingle", "token")
+      val pairs = Dedup.jaccardVerify(cand, sh, "doc_id").where(col("jaccard") >= 0.5)
+      Dedup.dedupClusters(input, "doc_id", pairs)
+    }),
+
+    // training-sequence packing: per-shard concat-and-chunk layout into
+    // 1024-token context windows
+    "pk_pack" -> ((s, dir) =>
+      Packing.packSequences(docs(s, dir), "doc_id", "text", 1024L, 8)),
 
     "dd_simhash" -> ((s, dir) =>
       Dedup.simhash(ddInput(s, dir), "doc_id", "text")),
@@ -352,28 +393,30 @@ object DataOps {
          |GROUP BY 1, 2""".stripMargin,
 
     "dd_minhash_pairs" ->
-      s"""WITH $ddInputSql, $shinglesSql,
-         |sigs AS (
-         |  SELECT doc_id, seed, min(${minhashHashSql("shingle")}) AS minhash
-         |  FROM shingles, generate_series(0, 7) AS t(seed) GROUP BY 1, 2),
-         |bands AS (
-         |  SELECT doc_id, (seed // 4)::INT AS band,
-         |         md5(string_agg(minhash::VARCHAR, ':' ORDER BY seed)) AS bucket
-         |  FROM sigs GROUP BY 1, 2),
-         |cands AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM bands a JOIN bands b USING (band, bucket)
-         |  WHERE a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
-         |inter AS (
-         |  SELECT c.id1, c.id2, count(*) AS i
-         |  FROM cands c
-         |  JOIN shingles s1 ON s1.doc_id = c.id1
-         |  JOIN shingles s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
-         |  GROUP BY 1, 2)
+      s"""WITH $ddInputSql, $shinglesSql, $minhashPairCtes
          |SELECT id1, id2, round(i * 1.0 / (z1.sz + z2.sz - i), 4) AS jaccard
          |FROM inter JOIN sizes z1 ON z1.doc_id = id1 JOIN sizes z2 ON z2.doc_id = id2
          |WHERE round(i * 1.0 / (z1.sz + z2.sz - i), 4) >= 0.5""".stripMargin,
+
+    // near-dup clusters: verified pairs → transitive closure (recursive
+    // CTE) → min-id cluster labels; every input doc appears, canonical
+    // iff its id IS the cluster label
+    "dd_dedup_clusters" ->
+      s"""WITH RECURSIVE $ddInputSql, $shinglesSql, $minhashPairCtes,
+         |vpairs AS (
+         |  SELECT id1, id2
+         |  FROM inter JOIN sizes z1 ON z1.doc_id = id1 JOIN sizes z2 ON z2.doc_id = id2
+         |  WHERE round(i * 1.0 / (z1.sz + z2.sz - i), 4) >= 0.5),
+         |esym AS (SELECT id1 AS a, id2 AS b FROM vpairs
+         |         UNION SELECT id2, id1 FROM vpairs),
+         |walk(a, b) AS (
+         |  SELECT a, b FROM esym
+         |  UNION
+         |  SELECT w.a, e.b FROM walk w JOIN esym e ON w.b = e.a),
+         |cc AS (SELECT a AS doc_id, least(a, min(b)) AS comp FROM walk GROUP BY 1)
+         |SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS cluster,
+         |       (d.doc_id = coalesce(cc.comp, d.doc_id)) AS is_canonical
+         |FROM dd_input d LEFT JOIN cc USING (doc_id)""".stripMargin,
 
     "dd_simhash" ->
       s"""WITH $ddInputSql,
@@ -660,6 +703,21 @@ object DataOps {
         |              i -> (ascii(substr(text, ((i * 7) % n)::INT + 1, 1)) - 128)::VARCHAR), ',')
         |       END AS emb_q
         |FROM b""".stripMargin,
+
+    "pk_pack" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |         len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |            ROWS UNBOUNDED PRECEDING))::BIGINT AS tok_end
+        |  FROM base)
+        |SELECT doc_id, shard, n_tokens, tok_end - n_tokens AS tok_start, tok_end,
+        |       (tok_end - n_tokens) // 1024 AS win_start,
+        |       greatest(tok_end - 1, tok_end - n_tokens) // 1024 AS win_end
+        |FROM cum""".stripMargin,
 
     "mm_decode_real" ->
       """SELECT doc_id AS id, 'png' AS format,

@@ -118,6 +118,26 @@ object Relational {
           min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
     }),
 
+    // full grouping-set lattice (CUBE): all four (flag, status) slices
+    "q15_cube" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n"))),
+
+    // pivot: per-user wide event-type counts (fixed pivot values so the
+    // output schema is static; absent combos filled 0 to match the
+    // oracle's conditional aggregation)
+    "q16_pivot" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
     // distinct + set-op coverage: union of two projections, deduped
     "q11_union_distinct" -> ((s, dir) => {
       val hi = tbl(s, dir, "orders").where(col("o_totalprice") > 200000)
@@ -213,6 +233,19 @@ object Relational {
         |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q15_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q16_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (event_type = 'click') AS click,
+        |       count(*) FILTER (event_type = 'view') AS "view",
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup') AS signup,
+        |       count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY 1""".stripMargin,
     "q6_global_topk" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,

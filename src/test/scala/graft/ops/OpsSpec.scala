@@ -567,6 +567,37 @@ class OpsSpec extends AnyFunSuite {
     assert(m.getAs[Long]("overlapping_intervals") == 1L, m.toString)
   }
 
+  test("dedupClusters: transitive closure, singletons, min-id canonical") {
+    val ids = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // A≈B and B≈C but never A≈C — the closure must still unify them
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val out = Dedup.dedupClusters(ids, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      4L -> (4L, true), 5L -> (5L, true)), out.toString)
+  }
+
+  test("packSequences: per-shard spans are contiguous and window math holds") {
+    val df = Seq(
+      (0L, "a b c"), (8L, "d e"), (16L, ""),     // shard 0: 3, 2, 0 tokens
+      (1L, "x y z w"), (9L, "v")                 // shard 1: 4, 1 tokens
+    ).toDF("doc_id", "text")
+    val out = Packing.packSequences(df, "doc_id", "text", 4L, 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // shard 0 stream: doc0 [0,3) → win 0; doc8 [3,5) → wins 0..1;
+    // doc16 [5,5) zero-width at position 5 → win 1
+    assert(out(0L) == (0L, 3L, 0L, 3L, 0L, 0L), out(0L).toString)
+    assert(out(8L) == (0L, 2L, 3L, 5L, 0L, 1L), out(8L).toString)
+    assert(out(16L) == (0L, 0L, 5L, 5L, 1L, 1L), out(16L).toString)
+    // shard 1 stream: doc1 [0,4) → win 0 only (end exclusive); doc9 [4,5) → win 1
+    assert(out(1L) == (1L, 4L, 0L, 4L, 0L, 0L), out(1L).toString)
+    assert(out(9L) == (1L, 1L, 4L, 5L, 1L, 1L), out(9L).toString)
+    // spans within a shard are contiguous by construction: end == next start
+  }
+
   test("shingle kernels vs column path: NULL text is the pinned divergence") {
     val df = Seq((1L, "hello world"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
     // kernels: null ≡ "" — the row keeps a REAL fingerprint
