@@ -350,10 +350,17 @@ object Dedup {
     * (CC labels are longs). Output: (id, cluster, is_canonical) for
     * every input doc; training keeps `is_canonical`. */
   def dedupClusters(df: DataFrame, id: String, pairs: DataFrame): DataFrame = {
+    // CC runs two actions on the edge plan (count, then collect or the
+    // loop's seed); without a persist the whole LSH pair pipeline
+    // upstream would execute twice. CC materializes everything it needs
+    // (driver collect / eager localCheckpoint), so the persist is
+    // released before returning.
+    val p = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val labels = graft.kg.ConnectedComponents.run(
-      df.sparkSession,
-      pairs.select(col("id1").as("src"), col("id2").as("dst")),
+      df.sparkSession, p,
       driverSolveThreshold = graft.kg.ConnectedComponents.driverEdgeBudget())
+    p.unpersist(false)
     df.select(col(id))
       .join(labels.withColumnRenamed("id", id), Seq(id), "left")
       .select(col(id), coalesce(col("component"), col(id)).as("cluster"))

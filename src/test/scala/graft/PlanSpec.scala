@@ -178,4 +178,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"blocking degenerated to all-pairs:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"blocking degenerated to NL join:\n$p")
   }
+
+  test("sequence packing shuffles once (the shard exchange) and never globally sorts") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ops.Packing.packSequences(docs, "doc_id", "text", 1024L, 8))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"packing must shuffle exactly once, on shard:\n$p")
+    // the sort under the window is per-shard (post-shuffle), which is the
+    // point: no single-task global ordering of the corpus
+    assert(!p.contains("Exchange SinglePartition"), s"packing went single-partition:\n$p")
+  }
+
+  test("minhash candidate pairs join on band buckets, never all-pairs") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
+    val sigs = graft.ops.Dedup.minhashShingles(docs, "doc_id", "text", 8, 8)
+    val p = plan(graft.ops.Dedup.candidatePairs(
+      graft.ops.Dedup.minhashBands(sigs, "doc_id", 4), "doc_id"))
+    assert(!p.contains("CartesianProduct"), s"LSH degenerated to all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"LSH degenerated to NL join:\n$p")
+  }
 }

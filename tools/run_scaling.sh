@@ -27,18 +27,22 @@ for CPUS in $SMALL $LARGE; do
 done
 
 python3 - "$DOCS" "$SMALL" "$LARGE" <<'EOF'
-import json, sys, re
+import json, sys, re, statistics
 docs, small, large = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
-best, steal = {}, {}
+best, steal, hw = {}, {}, {}
 for line in open('/tmp/scale_out.txt'):
     m = re.match(r'.*SCALE_RESULT (\{.*\}) STEAL=([0-9.]+)', line.strip())
     d = json.loads(m.group(1)); st = float(m.group(2))
+    hw.setdefault(d['cpus'], []).append(d['hw_scan_per_sec'])
     if d['cpus'] not in best or d['sec'] < best[d['cpus']]['sec']:
         best[d['cpus']] = d; steal[d['cpus']] = st
 s, l = best[small], best[large]
 ratio = large / small
 eff = (s['sec'] / l['sec']) / ratio
-hw_speedup = l['hw_scan_per_sec'] / s['hw_scan_per_sec']
+# hardware ceiling from the MEDIAN probe per level: the probe is a host
+# property measured once per rep; coupling it to whichever rep happened
+# to have the best wall makes the ceiling arbitrary rep noise
+hw_speedup = statistics.median(hw[large]) / statistics.median(hw[small])
 hw_eff = hw_speedup / ratio
 norm_eff = min(1.0, (s['sec'] / l['sec']) / hw_speedup)
 md = f"""# BENCH/BASELINE — KG-build scaling evidence
