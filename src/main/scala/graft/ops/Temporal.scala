@@ -45,7 +45,15 @@ object Temporal {
     * `last(ignoreNulls)` could mix rows when a payload field is null).
     * Output: every probe column, then every non-key ref column. */
   def asofJoin(probes: DataFrame, probeTs: String, refs: DataFrame, refTs: String,
-      key: String, debugChecks: Boolean = false): DataFrame = {
+      key: String, debugChecks: Boolean = false): DataFrame =
+    asofJoinNamed(probes, probeTs, refs, refTs, key, debugChecks, "asof_skew")
+
+  /** `asofJoin` with a caller-chosen skew-metric name — observed-metric
+    * names must be unique within one plan, and `asofJoinTimeSliced`
+    * composes TWO as-ofs into a single query. */
+  private def asofJoinNamed(probes: DataFrame, probeTs: String, refs: DataFrame,
+      refTs: String, key: String, debugChecks: Boolean,
+      skewMetric: String): DataFrame = {
     val shared = probes.columns.toSet.intersect(refs.columns.toSet)
     require(shared == Set(key),
       s"asofJoin: probe/ref columns must be disjoint apart from '$key'; shared: " +
@@ -72,7 +80,7 @@ object Temporal {
       // frameless count over the same key partitioning: rides the window
       // exchange, surfaces the largest key's row count for skew triage
       .withColumn("__kn", count(lit(1)).over(Window.partitionBy(col(key))))
-      .observe("asof_skew", max(col("__kn")).as("max_key_rows"))
+      .observe(skewMetric, max(col("__kn")).as("max_key_rows"))
     val checked =
       if (!debugChecks) base
       else base
@@ -86,6 +94,70 @@ object Temporal {
       .withColumn("__m", last(col("__ref"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .select(probes.columns.map(col) ++ refPayload.map(f => col(s"__m.$f").as(f)): _*)
+  }
+
+  /** The documented hot-key escape hatch for `asofJoin`, made concrete:
+    * identical semantics (left as-of, inclusive ≤), but no window
+    * partition ever holds more than one time slice of one key — a
+    * degenerate key (null-ish domain, bot user) whose rows would
+    * serialize through one task in `asofJoin` is spread across
+    * ceil(span / sliceWidth) tasks here.
+    *
+    * Shape: (1) an in-slice as-of on the composite (key, slice) window;
+    * (2) the per-(key, slice) LATEST ref — an aggregation, so hot keys
+    * partial-aggregate — as-of-joined on SLICE NUMBERS to each probe
+    * slice (this table has one row per key-slice, not per row, so its
+    * window partitions are bounded by the key's slice count); (3) every
+    * probe takes its in-slice match if any, else the carry from earlier
+    * slices. Three key shuffles instead of one — the price of bounding
+    * the partition; use plain `asofJoin` until the `asof_skew` metric
+    * says otherwise.
+    *
+    * Contract: `asofJoin`'s, plus both time columns NUMERIC and
+    * NONNEGATIVE (slicing uses integer division), and input columns may
+    * not use the `__`-prefixed internal names. */
+  def asofJoinTimeSliced(probes: DataFrame, probeTs: String, refs: DataFrame,
+      refTs: String, key: String, sliceWidth: Long): DataFrame = {
+    require(sliceWidth > 0, "asofJoinTimeSliced: sliceWidth must be positive")
+    val internal = Set("__ks", "__inpay", "__pslice", "__pt", "__slice", "__last", "__rt")
+    val hits = (probes.columns ++ refs.columns).filter(internal)
+    require(hits.isEmpty,
+      s"asofJoinTimeSliced: reserved internal column names in input: ${hits.mkString(", ")}")
+    val refPayload = refs.columns.filterNot(_ == key)
+
+    // (1) in-slice as-of on the composite key; ref payload rides as ONE
+    // struct so the final coalesce picks a whole row, never mixes two
+    val ps = probes.withColumn("__ks",
+      struct(col(key), expr(s"$probeTs div $sliceWidth")))
+    val rs = refs
+      .withColumn("__ks", struct(col(key), expr(s"$refTs div $sliceWidth")))
+      .withColumn("__inpay", struct(refPayload.map(col): _*))
+      .select(col("__ks"), col(refTs), col("__inpay"))
+    val inSlice = asofJoinNamed(ps, probeTs, rs.withColumnRenamed(refTs, "__rt"), "__rt",
+      "__ks", debugChecks = false, skewMetric = "asof_sliced_inslice")
+
+    // (2) latest ref per (key, slice) — hot keys partial-aggregate here —
+    // then an as-of over SLICE NUMBERS: probe slice s matches the
+    // greatest ref slice ≤ s-1
+    val lastPerSlice = refs
+      .withColumn("__slice", expr(s"$refTs div $sliceWidth"))
+      .groupBy(col(key), col("__slice"))
+      .agg(max_by(struct(refPayload.map(col): _*), col(refTs)).as("__last"))
+    val probeSlices = probes
+      .select(col(key), expr(s"$probeTs div $sliceWidth").as("__pslice"))
+      .distinct()
+      .withColumn("__pt", col("__pslice") - 1)
+    val carry = asofJoinNamed(probeSlices, "__pt", lastPerSlice, "__slice", key,
+        debugChecks = false, skewMetric = "asof_sliced_carry")
+      .select(col(key), col("__pslice"), col("__last"))
+
+    // (3) prefer the in-slice match, else the carried one
+    inSlice
+      .withColumn("__pslice", expr(s"$probeTs div $sliceWidth"))
+      .join(carry, Seq(key, "__pslice"), "left")
+      .withColumn("__inpay", coalesce(col("__inpay"), col("__last")))
+      .select(probes.columns.map(col) ++
+        refPayload.map(f => col(s"__inpay.$f").as(f)): _*)
   }
 
   /** Range (point-in-interval) join for NON-OVERLAPPING intervals per

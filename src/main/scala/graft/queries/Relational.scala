@@ -138,6 +138,23 @@ object Relational {
         .agg(count(lit(1)))
         .na.fill(0L)),
 
+    // salted equi-join under the hard gate: results must be IDENTICAL to
+    // the plain join (the oracle is the plain SQL join) while the salt
+    // spreads any hot key over nSalts reducers
+    "q17_salted_join" -> ((s, dir) =>
+      graft.ops.Skew.saltedJoin(
+        tbl(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        tbl(s, dir, "nation").select(col("n_nationkey").as("c_nationkey"), col("n_name")),
+        "c_nationkey", "c_custkey", 8)),
+
+    // two-phase salted aggregation ≡ plain GROUP BY (hot groups split
+    // across reducers in the partial phase)
+    "q18_salted_agg" -> ((s, dir) =>
+      graft.ops.Skew.saltedSum(
+        tbl(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity", "l_orderkey", 8)
+        .select(col("l_returnflag"), round(col("sum_l_quantity"), 2).as("sum_qty"))),
+
     // distinct + set-op coverage: union of two projections, deduped
     "q11_union_distinct" -> ((s, dir) => {
       val hi = tbl(s, dir, "orders").where(col("o_totalprice") > 200000)
@@ -164,6 +181,24 @@ object Relational {
           // to TIMESTAMP makes unix_micros == DuckDB epoch_us(naive)
           (unix_micros(col("ts").cast("timestamp")) -
             unix_micros(col("click_ts").cast("timestamp"))).as("gap_us"))
+    }),
+
+    // the hot-key-bounded as-of variant under the same independent
+    // oracle (DuckDB native ASOF): identical matches to q12, computed
+    // with per-slice window partitions over numeric epoch-micro times
+    "q19_asof_sliced" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      val probes = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val refs = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("click_us"),
+          col("event_id").as("click_id"))
+      // 1-day slices over the event horizon
+      graft.ops.Temporal.asofJoinTimeSliced(
+          probes, "ts_us", refs, "click_us", "user_id", 86400000000L)
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (col("ts_us") - col("click_us")).as("gap_us"))
     }),
 
     // range join: each purchase assigned to its containing 8-hour-gap
@@ -246,6 +281,12 @@ object Relational {
         |       count(*) FILTER (event_type = 'signup') AS signup,
         |       count(*) FILTER (event_type = 'error') AS error
         |FROM events GROUP BY 1""".stripMargin,
+    "q17_salted_join" ->
+      """SELECT c_custkey, c_name, c_nationkey, n_name
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey""".stripMargin,
+    "q18_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q6_global_topk" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
@@ -297,6 +338,17 @@ object Relational {
         |       epoch_us(p.ts) - epoch_us(r.click_ts) AS gap_us
         |FROM probes p ASOF LEFT JOIN refs r
         |  ON p.user_id = r.user_id AND p.ts >= r.click_ts""".stripMargin,
+
+    "q19_asof_sliced" ->
+      """WITH probes AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'error'),
+        |refs AS (
+        |  SELECT user_id, epoch_us(ts) AS click_us, event_id AS click_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, r.click_id, p.ts_us - r.click_us AS gap_us
+        |FROM probes p ASOF LEFT JOIN refs r
+        |  ON p.user_id = r.user_id AND p.ts_us >= r.click_us""".stripMargin,
 
     "q13_range_join" ->
       """WITH flagged AS (

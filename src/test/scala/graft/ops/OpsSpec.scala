@@ -558,6 +558,39 @@ class OpsSpec extends AnyFunSuite {
     assert(dup.getAs[Long]("max_dup_ref_rows") == 2L, dup.toString)
   }
 
+  test("time-sliced as-of join equals the plain as-of on a randomized instance") {
+    var state = 20260817L
+    def next(bound: Int): Int = { state = state * 6364136223846793005L + 1442695040888963407L
+      (math.abs(state >> 33) % bound).toInt }
+    val refs = Seq.tabulate(300)(i => (next(20).toLong, next(1000).toLong, i.toLong))
+      .distinctBy(r => (r._1, r._2))
+    val probes = Seq.tabulate(200)(i => (next(25).toLong, next(1100).toLong, 10000L + i))
+    def resultOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("pid") -> Option(r.getAs[Any]("rid")).map(_.asInstanceOf[Long]))
+      .toMap
+    val plain = resultOf(Temporal.asofJoin(
+      probes.toDF("k", "pt", "pid"), "pt", refs.toDF("k", "rt", "rid"), "rt", "k"))
+    for (slice <- Seq(1L, 7L, 100L, 5000L)) {
+      val sliced = resultOf(Temporal.asofJoinTimeSliced(
+        probes.toDF("k", "pt", "pid"), "pt", refs.toDF("k", "rt", "rid"), "rt", "k", slice))
+      assert(sliced == plain, s"sliceWidth=$slice diverged from plain as-of")
+    }
+  }
+
+  test("time-sliced as-of bounds the per-task rows of a degenerate hot key") {
+    // ONE key holds all 400 rows: plain as-of serializes them through a
+    // single window partition (asof_skew = 400); sliced at width 100
+    // over ts 0..999 bounds every in-slice partition to ~a slice's rows
+    val refs = (0 until 200).map(i => (1L, i.toLong * 5, i.toLong)).toDF("k", "rt", "rid")
+    val probes = (0 until 200).map(i => (1L, i.toLong * 5 + 1, 10000L + i)).toDF("k", "pt", "pid")
+    val plain = Temporal.asofJoin(probes, "pt", refs, "rt", "k")
+    assert(observedMetric(plain, "asof_skew").getAs[Long]("max_key_rows") == 400L)
+    val sliced = Temporal.asofJoinTimeSliced(probes, "pt", refs, "rt", "k", 100L)
+    val m = observedMetric(sliced, "asof_sliced_inslice")
+    assert(m.getAs[Long]("max_key_rows") <= 40L,
+      s"sliced partitions must be bounded by the slice width: $m")
+  }
+
   test("pointInInterval debug mode observes overlapping-interval contract breaks") {
     val iv = Seq((1L, 10L, 100L, 300L), (1L, 11L, 200L, 400L), (1L, 12L, 500L, 600L))
       .toDF("k", "iv_id", "s", "e")
@@ -596,6 +629,60 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L) == (1L, 4L, 0L, 4L, 0L, 0L), out(1L).toString)
     assert(out(9L) == (1L, 1L, 4L, 5L, 1L, 1L), out(9L).toString)
     // spans within a shard are contiguous by construction: end == next start
+  }
+
+  test("dedupClusters matches a brute-force union-find on randomized pair sets") {
+    var state = 20260817L
+    def next(bound: Int): Int = { state = state * 6364136223846793005L + 1442695040888963407L
+      (math.abs(state >> 33) % bound).toInt }
+    for (round <- 1 to 5) {
+      val n = 12 + next(20)
+      val ids = (0L until n.toLong).map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val rawPairs = Seq.fill(next(15))((next(n).toLong, next(n).toLong))
+        .filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+        .distinct
+      val pairs = (rawPairs :+ ((0L, 1L))).toDF("id1", "id2")
+      val got = Dedup.dedupClusters(ids, "doc_id", pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+      for ((a, b) <- rawPairs :+ ((0L, 1L))) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0L until n.toLong).map { i =>
+        val members = (0L until n.toLong).filter(j => find(j) == find(i))
+        i -> members.min
+      }.toMap
+      assert(got == want, s"round $round: got $got want $want pairs $rawPairs")
+    }
+  }
+
+  test("packSequences matches a per-shard sequential fold on randomized docs") {
+    var state = 99L
+    def next(bound: Int): Int = { state = state * 6364136223846793005L + 1442695040888963407L
+      (math.abs(state >> 33) % bound).toInt }
+    val docs = (0L until 120L).map { i =>
+      (i, Seq.fill(next(9))("w" + next(5)).mkString(" ")) // 0..8 tokens
+    }
+    val out = Packing.packSequences(docs.toDF("doc_id", "text"), "doc_id", "text", 7L, 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // reference: sequential fold per shard in id order
+    for (shard <- 0L until 5L) {
+      var cursor = 0L
+      for ((id, text) <- docs if id % 5 == shard) {
+        val nt = text.split(" ").count(_.nonEmpty).toLong
+        val (gShard, gNt, gStart, gEnd, gWs, gWe) = out(id)
+        assert(gShard == shard && gNt == nt, s"doc $id")
+        assert(gStart == cursor && gEnd == cursor + nt, s"doc $id span")
+        assert(gWs == gStart / 7 && gWe == math.max(gEnd - 1, gStart) / 7, s"doc $id windows")
+        cursor += nt
+      }
+    }
   }
 
   test("shingle kernels vs column path: NULL text is the pinned divergence") {
