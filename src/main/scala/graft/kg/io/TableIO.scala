@@ -45,6 +45,28 @@ final class ParquetTableIO(root: String, buckets: Int = 0, bucketCol: String = "
   }
 }
 
+/** Spark-native BUCKETED managed tables — the executable local analog
+  * of Iceberg's `bucket(N, col)` partition transform: `bucketBy` +
+  * `sortBy` through `saveAsTable` records bucketing metadata in the
+  * catalog, so a join or aggregation between two tables bucketed on the
+  * same key by the same bucket count plans ZERO exchanges (the
+  * co-located join the north rule's url-hash layout exists for;
+  * BucketedIoSpec asserts the exchange-free plan). Plain
+  * `.parquet(path)` writes keep NO such metadata — which is exactly why
+  * the pipeline's narrow stages avoid runtime repartitions and leave
+  * layout to the table format. */
+final class BucketedTableIO(buckets: Int, bucketCol: String) extends TableIO {
+  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+  def write(df: DataFrame, table: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+  def exists(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(table)
+}
+
 /** Iceberg deployment notes (cluster-only; jar absent here):
   *
   * {{{
