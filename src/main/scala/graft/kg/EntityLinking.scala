@@ -80,7 +80,11 @@ object EntityLinking {
     import graft.ops.Dedup
     val named = keys.select(col("entity_key")).distinct()
     val sigs = Dedup.minhashShingles(named, "entity_key", "entity_key", nHashes, shingleN)
-    val pairs = Dedup.candidatePairs(Dedup.minhashBands(sigs, "entity_key", rowsPerBand), "entity_key")
+    // distinct metric name: this candidate pass may share a plan with a
+    // dedup-side candidatePairs, and observed-metric names must be
+    // unique per query
+    val pairs = Dedup.candidatePairs(Dedup.minhashBands(sigs, "entity_key", rowsPerBand),
+      "entity_key", metricName = "namesim_buckets")
     val sh = Dedup.charShingles(named, "entity_key", "entity_key", shingleN)
       .withColumnRenamed("shingle", "token")
     Dedup.jaccardVerify(pairs, sh, "entity_key")

@@ -92,23 +92,36 @@ object Dedup {
     * bucket size, and on a boilerplate-heavy crawl millions of
     * near-identical pages collapse into ONE band signature, turning the
     * join into a silent all-pairs. Dropped-bucket count and the max
-    * observed bucket size surface as the "minhash_buckets" `observe`
-    * metric so the cap is never silent (same pattern as
-    * `simhashPairs` / `Similarity.bandedCandidates`). Members of a
-    * capped bucket can still pair through their other bands. */
+    * observed bucket size surface as the `metricName` `observe` metric
+    * so the cap is never silent (same cap semantics as `simhashPairs` /
+    * `Similarity.bandedCandidates`). Members of a capped bucket can
+    * still pair through their other bands.
+    *
+    * Shape: bucket sizes come from a WINDOW count over (band, bucket) —
+    * not a separate aggregate joined back — so both self-join branches
+    * are projections of ONE identical filtered subtree (its exchange is
+    * reusable, and the upstream signature pipeline is not re-derived
+    * once more for the bucket-size side; this operator often sits under
+    * multi-action consumers like `ConnectedComponents.run`).
+    * `metricName` must be unique per query plan (Spark rejects
+    * same-name observed metrics over different subplans); callers
+    * composing several candidate passes pass distinct names, as
+    * `EntityLinking.nameSimilarityEdges` does. */
   def candidatePairs(bands: DataFrame, id: String,
-      maxBucketSize: Long = 100000L): DataFrame = {
-    val keptBuckets = bands
-      .groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .observe("minhash_buckets",
-        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("capped_buckets"),
+      maxBucketSize: Long = 100000L,
+      metricName: String = "minhash_buckets"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
+    val counted = bands
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .withColumn("__first", row_number().over(w.orderBy(col(id).asc)))
+      .observe(metricName,
+        sum(when(col("bucket_n") > maxBucketSize && col("__first") === 1, 1L)
+          .otherwise(0L)).as("capped_buckets"),
         max(col("bucket_n")).as("max_bucket"))
       .where(col("bucket_n") <= maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val inBuckets = bands.join(keptBuckets, Seq("band", "bucket"))
-    val l = inBuckets.select(col("band"), col("bucket"), col(id).as("id1"))
-    val r = inBuckets.select(col("band"), col("bucket"), col(id).as("id2"))
+      .select(col("band"), col("bucket"), col(id))
+    val l = counted.select(col("band"), col("bucket"), col(id).as("id1"))
+    val r = counted.select(col("band"), col("bucket"), col(id).as("id2"))
     l.join(r, Seq("band", "bucket"))
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
@@ -364,9 +377,14 @@ object Dedup {
     df.select(col(id))
       .join(labels.withColumnRenamed("id", id), Seq(id), "left")
       .select(col(id), coalesce(col("component"), col(id)).as("cluster"))
-      // CC labels components by their min member id, so the canonical
-      // doc is exactly the one whose id equals its cluster label
-      .withColumn("is_canonical", col(id) === col("cluster"))
+      // canonical = the min id PRESENT IN df within the cluster — NOT
+      // simply id == cluster label: when pairs were computed on a wider
+      // corpus than df (pairs ids ⊄ df ids, a normal composition), the
+      // CC min label can be a doc df no longer contains, and the naive
+      // rule would leave that whole cluster with no canonical row
+      .withColumn("is_canonical",
+        col(id) === min(col(id)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))))
   }
 
   /** Blocked all-pairs n-gram (token) Jaccard — for small blocks; LSH is

@@ -44,16 +44,13 @@ object Temporal {
     * fields always come from the same reference row (per-column
     * `last(ignoreNulls)` could mix rows when a payload field is null).
     * Output: every probe column, then every non-key ref column. */
+  /** `skewMetric` names the observe metric: Spark rejects two observed
+    * metrics with the same name but different subplans in ONE query, so
+    * a caller composing several as-ofs into a single plan must give
+    * each a distinct name (as `asofJoinTimeSliced` does internally). */
   def asofJoin(probes: DataFrame, probeTs: String, refs: DataFrame, refTs: String,
-      key: String, debugChecks: Boolean = false): DataFrame =
-    asofJoinNamed(probes, probeTs, refs, refTs, key, debugChecks, "asof_skew")
-
-  /** `asofJoin` with a caller-chosen skew-metric name — observed-metric
-    * names must be unique within one plan, and `asofJoinTimeSliced`
-    * composes TWO as-ofs into a single query. */
-  private def asofJoinNamed(probes: DataFrame, probeTs: String, refs: DataFrame,
-      refTs: String, key: String, debugChecks: Boolean,
-      skewMetric: String): DataFrame = {
+      key: String, debugChecks: Boolean = false,
+      skewMetric: String = "asof_skew"): DataFrame = {
     val shared = probes.columns.toSet.intersect(refs.columns.toSet)
     require(shared == Set(key),
       s"asofJoin: probe/ref columns must be disjoint apart from '$key'; shared: " +
@@ -119,6 +116,13 @@ object Temporal {
   def asofJoinTimeSliced(probes: DataFrame, probeTs: String, refs: DataFrame,
       refTs: String, key: String, sliceWidth: Long): DataFrame = {
     require(sliceWidth > 0, "asofJoinTimeSliced: sliceWidth must be positive")
+    // the inner as-ofs see only projected ref columns, so enforce the
+    // outer contract HERE — otherwise shared payload names would surface
+    // as silently duplicated output columns instead of an error
+    val shared0 = probes.columns.toSet.intersect(refs.columns.toSet)
+    require(shared0 == Set(key),
+      s"asofJoinTimeSliced: probe/ref columns must be disjoint apart from '$key'; shared: " +
+        shared0.filterNot(_ == key).mkString(", "))
     val internal = Set("__ks", "__inpay", "__pslice", "__pt", "__slice", "__last", "__rt")
     val hits = (probes.columns ++ refs.columns).filter(internal)
     require(hits.isEmpty,
@@ -133,7 +137,7 @@ object Temporal {
       .withColumn("__ks", struct(col(key), expr(s"$refTs div $sliceWidth")))
       .withColumn("__inpay", struct(refPayload.map(col): _*))
       .select(col("__ks"), col(refTs), col("__inpay"))
-    val inSlice = asofJoinNamed(ps, probeTs, rs.withColumnRenamed(refTs, "__rt"), "__rt",
+    val inSlice = asofJoin(ps, probeTs, rs.withColumnRenamed(refTs, "__rt"), "__rt",
       "__ks", debugChecks = false, skewMetric = "asof_sliced_inslice")
 
     // (2) latest ref per (key, slice) — hot keys partial-aggregate here —
@@ -147,7 +151,7 @@ object Temporal {
       .select(col(key), expr(s"$probeTs div $sliceWidth").as("__pslice"))
       .distinct()
       .withColumn("__pt", col("__pslice") - 1)
-    val carry = asofJoinNamed(probeSlices, "__pt", lastPerSlice, "__slice", key,
+    val carry = asofJoin(probeSlices, "__pt", lastPerSlice, "__slice", key,
         debugChecks = false, skewMetric = "asof_sliced_carry")
       .select(col(key), col("__pslice"), col("__last"))
 

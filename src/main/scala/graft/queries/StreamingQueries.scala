@@ -33,24 +33,34 @@ object StreamingQueries {
     s.table(name)
   }
 
+  /** One prepared stream directory per (source dir, table) per JVM —
+    * repeated Bench/Verify invocations must not accumulate temp dirs
+    * and shutdown hooks. */
+  private val streamDirs = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
   /** Streaming read of a parquet table, one micro-batch per file. The
-    * file-stream source only accepts a DIRECTORY; the testdata tables
-    * are single parquet files, so a file input is exposed through a
-    * temp directory holding a symlink to it (zero copy). */
+    * file-stream source only accepts a DIRECTORY, and the testdata
+    * tables are SINGLE parquet files — which would also mean a single
+    * micro-batch, making "state crosses batch boundaries" vacuous. The
+    * table is therefore re-written once per JVM into a temp dir as 4
+    * parquet files, so `maxFilesPerTrigger=1` genuinely drives 4
+    * micro-batches through the stream (stateful queries accumulate
+    * across them; stateless ones are order-independent). */
   private def streamTbl(s: SparkSession, dir: String, name: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(s"$dir/$name.parquet")
     val streamDir =
       if (Files.isDirectory(src)) src.toString
-      else {
+      else streamDirs.getOrElseUpdate((dir, name), {
         val base = if (new java.io.File("/dev/shm").isDirectory)
           Paths.get("/dev/shm") else Paths.get("/tmp")
-        val tmp = Files.createTempDirectory(base, s"st_$name")
-        Files.createSymbolicLink(tmp.resolve(s"$name.parquet"), src)
+        val tmp = Files.createTempDirectory(base, s"st_$name").toString
         sys.addShutdownHook(
-          org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile))
-        tmp.toString
-      }
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)))
+        s.read.parquet(src.toString).repartition(4)
+          .write.mode("overwrite").parquet(tmp)
+        tmp
+      })
     s.readStream
       .schema(s.read.parquet(src.toString).schema)
       .option("maxFilesPerTrigger", 1)

@@ -558,6 +558,27 @@ class OpsSpec extends AnyFunSuite {
     assert(dup.getAs[Long]("max_dup_ref_rows") == 2L, dup.toString)
   }
 
+  test("two as-ofs and two candidate passes compose into one plan via metric names") {
+    // observed-metric names must be unique per plan; the operators take
+    // a name parameter exactly so compositions like this analyze
+    val refs1 = Seq((1L, 100L, "a")).toDF("k", "rt", "tag")
+    val refs2 = Seq((1L, 100L, "b")).toDF("k", "rt2", "tag2")
+    val probes = Seq((1L, 150L, 7L)).toDF("k", "pt", "pid")
+    val a = Temporal.asofJoin(probes, "pt", refs1, "rt", "k")
+    val b = Temporal.asofJoin(probes.select($"k", $"pt".as("pt2"), $"pid".as("pid2")),
+      "pt2", refs2, "rt2", "k", skewMetric = "asof_skew_b")
+    val joined = a.join(b.select($"pid2", $"tag2"), a("pid") === b("pid2")).collect()
+    assert(joined.length == 1 && joined.head.getAs[String]("tag") == "a"
+      && joined.head.getAs[String]("tag2") == "b")
+
+    val bands1 = Seq((0, "X", 1L), (0, "X", 2L)).toDF("band", "bucket", "doc_id")
+    val bands2 = Seq((0, "Y", 3L), (0, "Y", 4L)).toDF("band", "bucket", "doc_id")
+    val union = Dedup.candidatePairs(bands1, "doc_id")
+      .union(Dedup.candidatePairs(bands2, "doc_id", metricName = "minhash_buckets_b"))
+    assert(union.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      Seq((1L, 2L), (3L, 4L)))
+  }
+
   test("time-sliced as-of join equals the plain as-of on a randomized instance") {
     var state = 20260817L
     def next(bound: Int): Int = { state = state * 6364136223846793005L + 1442695040888963407L
@@ -609,6 +630,17 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(
       1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
       4L -> (4L, true), 5L -> (5L, true)), out.toString)
+  }
+
+  test("dedupClusters: a cluster whose min pair-id is absent from df still has a canonical") {
+    // pairs computed on a wider corpus than df (doc 1 was filtered out
+    // after pairing): the CC label is the foreign id 1, but the
+    // canonical flag must land on the min PRESENT member
+    val ids = Seq(2L, 3L, 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    val out = Dedup.dedupClusters(ids, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(2L -> (1L, true), 3L -> (1L, false), 9L -> (9L, true)), out.toString)
   }
 
   test("packSequences: per-shard spans are contiguous and window math holds") {

@@ -20,6 +20,8 @@ def load(p):
         return d["parsed"]
     tail = d["tail"]
     start = tail.find('"queries"')
+    if start < 0:
+        sys.exit(f"{p}: queries payload not recoverable from truncated 'tail'")
     obj = "{" + tail[start:]
     if not obj.endswith("}"):
         obj = obj[: obj.rfind("}") + 1]
@@ -59,4 +61,6 @@ def main(a_path, b_path):
     print("kg_docs_per_sec: %.0f -> %.0f" % (a["kg_docs_per_sec"], b["kg_docs_per_sec"]))
 
 if __name__ == "__main__":
+    if len(sys.argv) != 3:
+        sys.exit("usage: bench_delta.py <old_bench.json> <new_bench.json>")
     main(sys.argv[1], sys.argv[2])
