@@ -157,16 +157,20 @@ object KgQueries {
     * session. */
   private val kgCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** The documents→pages projection, shared by the batch pipeline and
+    * the streaming lane (StreamingQueries.st_kg_triples) — pure column
+    * expressions, so it applies to a streaming DataFrame unchanged. */
+  private[queries] def pageProjection(docs: DataFrame): DataFrame =
+    docs.select(
+      concat(lit("https://example.org/doc"), col("doc_id")).as("url"),
+      lit(new java.sql.Timestamp(1767225600000L)).as("warc_ts"), // 2026-01-01T00:00:00Z, fixed
+      lit(null).cast("binary").as("html"),
+      kgText.as("text"),
+      lit("en").as("lang"))
+
   def kgPages(s: SparkSession, dir: String): Dataset[Schema.Page] = {
     import s.implicits._
-    s.read.parquet(s"$dir/documents.parquet")
-      .select(
-        concat(lit("https://example.org/doc"), col("doc_id")).as("url"),
-        lit(new java.sql.Timestamp(1767225600000L)).as("warc_ts"), // 2026-01-01T00:00:00Z, fixed
-        lit(null).cast("binary").as("html"),
-        kgText.as("text"),
-        lit("en").as("lang"))
-      .as[Schema.Page]
+    pageProjection(s.read.parquet(s"$dir/documents.parquet")).as[Schema.Page]
   }
 
   /** Run (or reuse) the pipeline for `dir`; returns the checkpoint

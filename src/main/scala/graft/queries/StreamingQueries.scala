@@ -77,6 +77,23 @@ object StreamingQueries {
           Seq("en" -> 10000, "de" -> 2500), 500),
         "append")),
 
+    // the NORTH-STAR lane under streaming: the full triple-extraction
+    // stage (metadata/sections/figures/terms/equations/keywords/summary
+    // extractor families) runs on a live micro-batch stream of pages and
+    // must emit EXACTLY the batch pipeline's triples — the oracle is the
+    // same kg_triples SQL re-derivation. Extraction is per-row, so the
+    // streaming lane reuses the batch code verbatim (streamTriples →
+    // Pipeline.triplesForDoc)
+    "st_kg_triples" -> ((s, dir) => {
+      import s.implicits._
+      val pages = graft.queries.KgQueries.pageProjection(streamTbl(s, dir, "documents"))
+        .as[graft.kg.Schema.Page]
+      runToSink(s,
+        graft.kg.StreamingPipeline.streamTriples(s, pages).toDF()
+          .select(col("url"), col("pred"), col("obj"), col("kind"), col("weight")),
+        "append")
+    }),
+
     // stateful streaming aggregation: hourly per-type event rollup whose
     // running state accumulates ACROSS micro-batches (files arrive in
     // arbitrary hour order, so nearly every batch touches old windows);
@@ -90,8 +107,10 @@ object StreamingQueries {
         "complete")))
 
   val oracles: Map[String, String] = Map(
-    // identical to the batch cu_hash_sample / q9_events_hourly oracles —
-    // the POINT: the streaming lane must reproduce the batch lane
+    // identical to the batch kg_triples / cu_hash_sample /
+    // q9_events_hourly oracles — the POINT: the streaming lane must
+    // reproduce the batch lane
+    "st_kg_triples" -> graft.queries.KgQueries.oracles("kg_triples"),
     "st_hash_sample" ->
       """SELECT doc_id, stratum, bucket FROM (
         |  SELECT doc_id, lang AS stratum,
