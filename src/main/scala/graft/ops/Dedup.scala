@@ -97,31 +97,33 @@ object Dedup {
     * `Similarity.bandedCandidates`). Members of a capped bucket can
     * still pair through their other bands.
     *
-    * Shape: bucket sizes come from a WINDOW count over (band, bucket) —
-    * not a separate aggregate joined back — so both self-join branches
-    * are projections of ONE identical filtered subtree (its exchange is
-    * reusable, and the upstream signature pipeline is not re-derived
-    * once more for the bucket-size side; this operator often sits under
-    * multi-action consumers like `ConnectedComponents.run`).
-    * `metricName` must be unique per query plan (Spark rejects
-    * same-name observed metrics over different subplans); callers
-    * composing several candidate passes pass distinct names, as
-    * `EntityLinking.nameSimilarityEdges` does. */
+    * Shape: bucket sizes come from a partial-aggregated groupBy joined
+    * back — deliberately NOT a window count: a window over
+    * (band, bucket) must SORT each bucket in one un-splittable task, so
+    * the adversarial mega-bucket this cap exists for would become a
+    * straggler before the filter could drop it, and AQE cannot split a
+    * Window partition. The groupBy's map-side partials keep the
+    * mega-bucket's reducer input at one row per distinct key, and both
+    * self-join branches project the SAME `inBuckets` plan (identical
+    * subtrees — the exchange is reusable). `metricName` must be unique
+    * per query plan (Spark rejects same-name observed metrics over
+    * different subplans); callers composing several candidate passes
+    * pass distinct names, as `EntityLinking.nameSimilarityEdges`
+    * does. */
   def candidatePairs(bands: DataFrame, id: String,
       maxBucketSize: Long = 100000L,
       metricName: String = "minhash_buckets"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
-    val counted = bands
-      .withColumn("bucket_n", count(lit(1)).over(w))
-      .withColumn("__first", row_number().over(w.orderBy(col(id).asc)))
+    val keptBuckets = bands
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
       .observe(metricName,
-        sum(when(col("bucket_n") > maxBucketSize && col("__first") === 1, 1L)
-          .otherwise(0L)).as("capped_buckets"),
+        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("capped_buckets"),
         max(col("bucket_n")).as("max_bucket"))
       .where(col("bucket_n") <= maxBucketSize)
-      .select(col("band"), col("bucket"), col(id))
-    val l = counted.select(col("band"), col("bucket"), col(id).as("id1"))
-    val r = counted.select(col("band"), col("bucket"), col(id).as("id2"))
+      .select(col("band"), col("bucket"))
+    val inBuckets = bands.join(keptBuckets, Seq("band", "bucket"))
+    val l = inBuckets.select(col("band"), col("bucket"), col(id).as("id1"))
+    val r = inBuckets.select(col("band"), col("bucket"), col(id).as("id2"))
     l.join(r, Seq("band", "bucket"))
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
@@ -374,17 +376,25 @@ object Dedup {
       df.sparkSession, p,
       driverSolveThreshold = graft.kg.ConnectedComponents.driverEdgeBudget())
     p.unpersist(false)
-    df.select(col(id))
+    // canonical = the min id PRESENT IN df within the cluster — NOT
+    // simply id == cluster label: when pairs were computed on a wider
+    // corpus than df (pairs ids ⊄ df ids, a normal composition), the CC
+    // min label can be a doc df no longer contains, and the naive rule
+    // would leave that whole cluster with no canonical row. Computed
+    // from the LABELED rows only (pair-graph-sized, broadcastable) —
+    // a window over the full corpus would shuffle billions of singleton
+    // rows to decide what is trivially true for them.
+    val withCluster = df.select(col(id))
       .join(labels.withColumnRenamed("id", id), Seq(id), "left")
-      .select(col(id), coalesce(col("component"), col(id)).as("cluster"))
-      // canonical = the min id PRESENT IN df within the cluster — NOT
-      // simply id == cluster label: when pairs were computed on a wider
-      // corpus than df (pairs ids ⊄ df ids, a normal composition), the
-      // CC min label can be a doc df no longer contains, and the naive
-      // rule would leave that whole cluster with no canonical row
-      .withColumn("is_canonical",
-        col(id) === min(col(id)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))))
+      .select(col(id), col("component"))
+    val minPresent = withCluster.where(col("component").isNotNull)
+      .groupBy(col("component")).agg(min(col(id)).as("__minp"))
+    withCluster
+      .join(minPresent, Seq("component"), "left")
+      .select(col(id),
+        coalesce(col("component"), col(id)).as("cluster"),
+        when(col("component").isNull, lit(true))
+          .otherwise(col(id) === col("__minp")).as("is_canonical"))
   }
 
   /** Blocked all-pairs n-gram (token) Jaccard — for small blocks; LSH is

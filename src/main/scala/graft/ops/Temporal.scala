@@ -43,8 +43,9 @@ object Temporal {
     * The ref payload rides the sort as ONE struct column, so all its
     * fields always come from the same reference row (per-column
     * `last(ignoreNulls)` could mix rows when a payload field is null).
-    * Output: every probe column, then every non-key ref column. */
-  /** `skewMetric` names the observe metric: Spark rejects two observed
+    * Output: every probe column, then every non-key ref column.
+    *
+    * `skewMetric` names the observe metric: Spark rejects two observed
     * metrics with the same name but different subplans in ONE query, so
     * a caller composing several as-ofs into a single plan must give
     * each a distinct name (as `asofJoinTimeSliced` does internally). */

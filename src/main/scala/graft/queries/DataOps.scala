@@ -24,8 +24,6 @@ object DataOps {
   private val nearDupTail = " additional tail content for near duplicate testing"
   private val decontTail = " extra trailing content appended after the contaminated span"
 
-  /** One IVF centroid-ledger dir per source dir per JVM. */
-  private val ivfLedgers = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** documents ∪ planted exact dups ∪ planted near dups. */
   private def ddInput(s: SparkSession, dir: String): DataFrame = {
@@ -215,14 +213,7 @@ object DataOps {
       // between Lloyd steps exactly as a production run would; ONE
       // ledger dir per source dir per JVM (repeat invocations overwrite
       // it rather than leaking tempdirs + shutdown hooks)
-      val ledger = ivfLedgers.getOrElseUpdate(dir, {
-        val base = if (new java.io.File("/dev/shm").isDirectory)
-          java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp")
-        val d = java.nio.file.Files.createTempDirectory(base, "ivf").toString
-        sys.addShutdownHook(
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
-        d
-      })
+      val ledger = TmpDirs.cached(s"ivf:$dir", "ivf")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", 5,
         nClusters = 8, nProbe = 2, lloydSteps = 2, ledgerDir = Some(ledger))
     }),

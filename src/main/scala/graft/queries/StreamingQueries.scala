@@ -33,11 +33,6 @@ object StreamingQueries {
     s.table(name)
   }
 
-  /** One prepared stream directory per (source dir, table) per JVM —
-    * repeated Bench/Verify invocations must not accumulate temp dirs
-    * and shutdown hooks. */
-  private val streamDirs = scala.collection.concurrent.TrieMap.empty[(String, String), String]
-
   /** Streaming read of a parquet table, one micro-batch per file. The
     * file-stream source only accepts a DIRECTORY, and the testdata
     * tables are SINGLE parquet files — which would also mean a single
@@ -51,16 +46,15 @@ object StreamingQueries {
     val src = Paths.get(s"$dir/$name.parquet")
     val streamDir =
       if (Files.isDirectory(src)) src.toString
-      else streamDirs.getOrElseUpdate((dir, name), {
-        val base = if (new java.io.File("/dev/shm").isDirectory)
-          Paths.get("/dev/shm") else Paths.get("/tmp")
-        val tmp = Files.createTempDirectory(base, s"st_$name").toString
-        sys.addShutdownHook(
-          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp)))
-        s.read.parquet(src.toString).repartition(4)
-          .write.mode("overwrite").parquet(tmp)
+      else {
+        val tmp = TmpDirs.cached(s"st:$dir/$name", s"st_$name")
+        // idempotent per JVM: the _SUCCESS marker says the 4-file
+        // rewrite already ran for this key
+        if (!Files.exists(Paths.get(tmp, "_SUCCESS")))
+          s.read.parquet(src.toString).repartition(4)
+            .write.mode("overwrite").parquet(tmp)
         tmp
-      })
+      }
     s.readStream
       .schema(s.read.parquet(src.toString).schema)
       .option("maxFilesPerTrigger", 1)
