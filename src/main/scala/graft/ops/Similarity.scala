@@ -234,12 +234,21 @@ object Similarity {
     * divide/sqrt the distributed side uses, so the DuckDB oracle
     * reproduces the seeds bit-for-bit. */
   private def farthestPointSeeds(q: DataFrame, nClusters: Int,
-      sampleBp: Int = 2000): DataFrame = {
+      sampleBp: Int = 2000, maxSampleRows: Long = 1000000L): DataFrame = {
     val spark = q.sparkSession
     import spark.implicits._
     val bucket = pmod(conv(substring(md5(col("vid").cast("string")), 1, 8), 16, 10)
       .cast("long"), lit(10000L))
-    val samp = q.where(bucket < sampleBp).select(col("vid"), col("qv")).collect()
+    val sampDf = q.where(bucket < sampleBp).select(col("vid"), col("qv"))
+    // fail LOUDLY before the collect, not with a driver OOM during it:
+    // a fixed basis-point fraction cannot bound the absolute sample size
+    // on its own, and at corpus scale the caller must lower sampleBp
+    // (seeding only needs ≫ k vectors, not a fixed fraction)
+    val sampN = sampDf.count()
+    require(sampN <= maxSampleRows,
+      s"farthestPointSeeds: sample of $sampN rows exceeds maxSampleRows=$maxSampleRows " +
+        s"— lower sampleBp (currently $sampleBp bp) for this corpus size")
+    val samp = sampDf.collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
     require(samp.length >= nClusters,
@@ -284,7 +293,8 @@ object Similarity {
     * Output: (probe_id, neighbor_id, cos_sim, rank). */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, id: String, vec: String, k: Int,
       nClusters: Int = 8, nProbe: Int = 2, lloydSteps: Int = 2,
-      ledgerDir: Option[String] = None): DataFrame = {
+      ledgerDir: Option[String] = None,
+      seedSampleBp: Int = 2000, maxSeedSampleRows: Long = 1000000L): DataFrame = {
     require(lloydSteps >= 1, "ivfTopK: need at least one Lloyd step")
     // persisted through the EAGER phase (k seeding argmin jobs + the
     // ledger's checkpoint writes all rescan it); released before the
@@ -298,7 +308,8 @@ object Similarity {
         df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
         corpus.sparkSession.read.parquet(path)
     }
-    var cents = checkpoint(farthestPointSeeds(q, nClusters), "seed")
+    var cents = checkpoint(
+      farthestPointSeeds(q, nClusters, seedSampleBp, maxSeedSampleRows), "seed")
     for (step <- 1 to lloydSteps) {
       val a = assignClusters(q, cents, 1)
       // the "centroid" is the per-cluster elementwise sum (exact longs),

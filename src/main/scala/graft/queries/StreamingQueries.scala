@@ -21,7 +21,11 @@ object StreamingQueries {
 
   private val sinkSeq = new AtomicInteger(0)
 
-  /** Drain a bounded stream into a memory sink; return the sink table. */
+  /** Drain a bounded stream into a memory sink; return the sink table.
+    * The memory sink materializes on the driver — right for the
+    * driver-contract compare at test scale; a production stream lands
+    * in a parquet/Iceberg file sink instead (same transforms, different
+    * `format`). */
   private def runToSink(s: SparkSession, df: DataFrame, outputMode: String): DataFrame = {
     val name = s"graft_st_sink_${sinkSeq.incrementAndGet()}"
     val q = df.writeStream
