@@ -401,10 +401,18 @@ object Pipeline {
     val stageMetrics = metrics.toSeq.toDF("stage", "rows", "wall_ms")
     if (cfg.writeMetrics) {
       // per-partition lineage metrics for the triples stage
-      val partMetrics = triplesDf
-        .groupBy(spark_partition_id().as("partition_id"))
-        .agg(count(lit(1)).as("rows"))
-        .withColumn("stage", lit("triples"))
+      // per-partition lineage for every MATERIALIZED stage table
+      // (north_rule: per-partition lineage + metrics); row conservation
+      // per stage — Σ partition rows ≡ stage count — is the oracle-
+      // checked invariant (kg_metrics)
+      val partMetrics = Seq(
+        ("triples", triplesDf), ("nodes", nodesDf), ("edges", edgesDf))
+        .map { case (st, df) =>
+          df.groupBy(spark_partition_id().as("partition_id"))
+            .agg(count(lit(1)).as("rows"))
+            .withColumn("stage", lit(st))
+        }
+        .reduce(_ unionByName _)
       writeStage(stageMetrics, s"${cfg.workDir}/metrics_stage")
       writeStage(partMetrics, s"${cfg.workDir}/metrics_partition")
     }

@@ -478,11 +478,15 @@ object KgQueries {
 
   val oracles: Map[String, String] = Map(
     // the per-partition lineage ledger's conservation invariant: the sum
-    // of per-partition rows for the triples stage equals the full
-    // independently re-derived triples count
+    // of per-partition rows for EVERY materialized stage equals that
+    // stage's independently re-derived count
     "kg_metrics" ->
       s"""SELECT 'triples' AS stage,
-         |       (SELECT count(*) FROM ($kgTriplesSql))::BIGINT AS total_rows""".stripMargin,
+         |       (SELECT count(*) FROM ($kgTriplesSql))::BIGINT AS total_rows
+         |UNION ALL SELECT 'nodes',
+         |       (SELECT count(*) FROM ($kgNodesSql))::BIGINT
+         |UNION ALL SELECT 'edges',
+         |       (SELECT count(*) FROM ($kgEdgesSql))::BIGINT""".stripMargin,
     "kg_triples" -> kgTriplesSql,
     "kg_nodes" -> kgNodesSql,
     "kg_edges" -> kgEdgesSql,
