@@ -103,6 +103,77 @@ object Multimodal {
       }
   }
 
+  /** Typed audio metadata a real WAV header parse emits. */
+  final case class WavMeta(
+      id: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_frames: Int,
+      duration_ms: Long)
+
+  /** REAL WAV (RIFF/WAVE PCM) metadata decode — pure header byte math,
+    * no codec needed: walks the chunk list, reads channels/sample-rate/
+    * bit-depth from `fmt ` and frame count from `data` size. Returns
+    * None for non-WAV or truncated bytes. */
+  def wavInfo(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 44 || sniffFormat(bytes) != "wav") return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12 // past RIFF<size>WAVE
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var dataLen = -1
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
+      val cid = new String(bytes, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val clen = bb.getInt(pos + 4)
+      if (clen < 0 || pos + 8 + clen > bytes.length) return None
+      if (cid == "fmt " && clen >= 16)
+        fmt = Some((bb.getShort(pos + 10).toInt, bb.getInt(pos + 12), bb.getShort(pos + 22).toInt))
+      else if (cid == "data") dataLen = clen
+      pos += 8 + clen + (clen & 1) // chunks are word-aligned
+    }
+    fmt.collect { case (ch, rate, bits) if ch > 0 && rate > 0 && bits > 0 && dataLen >= 0 =>
+      (ch, rate, bits, dataLen / (ch * bits / 8))
+    }
+  }
+
+  /** Deterministic synthetic PCM-16 WAV (a REAL, spec-conformant RIFF
+    * byte stream): header + sawtooth samples. Used by tests and the
+    * `mm_wav_meta` driver query to close the encode→sniff→parse loop
+    * with metadata an oracle predicts arithmetically. */
+  def syntheticWav(sampleRate: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    val bits = 16
+    val blockAlign = channels * bits / 8
+    val dataLen = nFrames * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(36 + dataLen); buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1) // PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * blockAlign)
+    buf.putShort(blockAlign.toShort)
+    buf.putShort(bits.toShort)
+    buf.put("data".getBytes); buf.putInt(dataLen)
+    var i = 0
+    while (i < dataLen / 2) { buf.putShort(((i * 257) % 32768).toShort); i += 1 }
+    buf.array
+  }
+
+  /** Batched partition-local WAV metadata extraction (same
+    * mapPartitions shape as `decodeFeatures`); undecodable payloads are
+    * dropped (per-row failure isolation). */
+  def wavFeatures(spark: SparkSession, df: DataFrame, id: String, bin: String): Dataset[WavMeta] = {
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(bin))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (i, b) =>
+        wavInfo(b).map { case (ch, rate, bits, frames) =>
+          WavMeta(i, rate, ch, bits, frames, frames * 1000L / rate)
+        }
+      })
+  }
+
   /** Deterministic synthetic PNG (REAL encoder — `ImageIO.write`): a
     * seeded RGB gradient at the given dimensions. Used by tests and the
     * `mm_decode_real` driver query to close the loop encode→sniff→decode

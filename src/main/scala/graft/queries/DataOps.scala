@@ -289,6 +289,24 @@ object DataOps {
     // arithmetic the oracle predicts. A stubbed decoder cannot pass this:
     // the stub's pseudo-dimensions are functions of the PNG byte stream,
     // not of the encoded image.
+    // REAL audio metadata, end to end: encode a spec-conformant PCM WAV
+    // per doc with parameters derived from doc_id, then run the
+    // production header parse — sniff + RIFF chunk walk must round-trip
+    // channels/rate/bits/frames to the oracle's arithmetic
+    "mm_wav_meta" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val rate = (8000 + (id % 5) * 4000).toInt
+          val channels = (1 + id % 2).toInt
+          val frames = (1000 + id % 500).toInt
+          (id, Multimodal.syntheticWav(rate, channels, frames))
+        })
+        .toDF("doc_id", "audio")
+      Multimodal.wavFeatures(s, wavs, "doc_id", "audio").toDF()
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "mm_decode_real" -> ((s, dir) => {
       import s.implicits._
       val pngs = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
@@ -717,6 +735,15 @@ object DataOps {
         |       (tok_end - n_tokens) // 1024 AS win_start,
         |       greatest(tok_end - 1, tok_end - n_tokens) // 1024 AS win_end
         |FROM cum""".stripMargin,
+
+    "mm_wav_meta" ->
+      """SELECT doc_id,
+        |       (8000 + (doc_id % 5) * 4000)::INT AS sample_rate,
+        |       (1 + doc_id % 2)::INT AS channels,
+        |       16 AS bits,
+        |       (1000 + doc_id % 500)::INT AS n_frames,
+        |       ((1000 + doc_id % 500) * 1000) // (8000 + (doc_id % 5) * 4000) AS duration_ms
+        |FROM documents""".stripMargin,
 
     "mm_decode_real" ->
       """SELECT doc_id AS id, 'png' AS format,

@@ -472,6 +472,19 @@ class OpsSpec extends AnyFunSuite {
     assert(a.forall(_.n_bytes > 0))
   }
 
+  test("REAL WAV metadata: header parse round-trips encode parameters") {
+    val wav = Multimodal.syntheticWav(16000, 2, 1234)
+    assert(Multimodal.sniffFormat(wav) == "wav")
+    assert(Multimodal.wavInfo(wav).contains((2, 16000, 16, 1234)))
+    // truncated header / non-wav bytes → None, row dropped downstream
+    assert(Multimodal.wavInfo(wav.take(30)).isEmpty)
+    assert(Multimodal.wavInfo("RIFFxxxxWEBPdata".getBytes).isEmpty)
+    val df = Seq((1L, Multimodal.syntheticWav(8000, 1, 8000)),
+      (2L, "not audio".getBytes)).toDF("id", "audio")
+    val out = Multimodal.wavFeatures(spark, df, "id", "audio").collect()
+    assert(out.length == 1 && out.head.duration_ms == 1000L, out.mkString(";"))
+  }
+
   test("REAL image decode: ImageIO round-trips true pixel dimensions") {
     val png = Multimodal.syntheticPng(23, 41, 5L)
     assert(Multimodal.sniffFormat(png) == "png")
