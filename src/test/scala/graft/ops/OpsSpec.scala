@@ -483,6 +483,19 @@ class OpsSpec extends AnyFunSuite {
       (2L, "not audio".getBytes)).toDF("id", "audio")
     val out = Multimodal.wavFeatures(spark, df, "id", "audio").collect()
     assert(out.length == 1 && out.head.duration_ms == 1000L, out.mkString(";"))
+    // real-world WAVs interleave extra chunks (LIST/INFO metadata, odd
+    // lengths word-padded) — the chunk walk must skip them, not assume
+    // the canonical fmt-then-data layout syntheticWav emits
+    val base = Multimodal.syntheticWav(44100, 1, 10)
+    val fmtChunk = base.slice(12, 12 + 8 + 16)
+    val dataChunk = base.drop(12 + 8 + 16)
+    val list = "LIST".getBytes ++ Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes ++ Array[Byte](0)
+    val riffBody = fmtChunk ++ list ++ dataChunk
+    val bb = java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4 + riffBody.length)
+    val padded = "RIFF".getBytes ++ bb.array() ++ "WAVE".getBytes ++ riffBody
+    assert(Multimodal.wavInfo(padded).contains((1, 44100, 16, 10)),
+      s"chunk walk must skip the word-padded LIST chunk: ${Multimodal.wavInfo(padded)}")
   }
 
   test("REAL image decode: ImageIO round-trips true pixel dimensions") {
