@@ -400,7 +400,6 @@ object Pipeline {
 
     val stageMetrics = metrics.toSeq.toDF("stage", "rows", "wall_ms")
     if (cfg.writeMetrics) {
-      // per-partition lineage metrics for the triples stage
       // per-partition lineage for every MATERIALIZED stage table
       // (north_rule: per-partition lineage + metrics); row conservation
       // per stage — Σ partition rows ≡ stage count — is the oracle-

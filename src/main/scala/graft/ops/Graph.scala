@@ -33,10 +33,13 @@ object Graph {
     * bit-exact determinism that is this operator's contract — and
     * `scale * max(weight)` must stay below 2^63 (r ≤ SCALE, so the
     * per-edge product r·w is bounded by SCALE·max(w); with the default
-    * SCALE=1e9 that caps weights at ~9.2e9). The weight bound is checked
-    * lazily in-plan via `assert_true` (zero extra pass — it rides the
-    * degree aggregation), so an overflowing weight fails the job loudly
-    * instead of wrapping silently. */
+    * SCALE=1e9 that caps weights at ~9.2e9). Weights must also be
+    * POSITIVE — a zero/negative weight corrupts the weighted-degree
+    * semantics (and a large negative one would wrap scale·w just like a
+    * large positive one). Both bounds are checked lazily in-plan via
+    * `raise_error` (zero extra pass — the check rides the degree
+    * aggregation), so a bad weight fails the job loudly instead of
+    * wrapping silently. */
   def pageRank(edges: DataFrame, src: String, dst: String, weight: String,
       iters: Int = 5, scale: Long = 1000000000L): DataFrame = {
     val wType = edges.schema(weight).dataType
@@ -44,8 +47,10 @@ object Graph {
       s"pageRank: weight column '$weight' must be integral, got ${wType.typeName} — " +
         "integer arithmetic is the operator's bit-exactness contract")
     val maxW = Long.MaxValue / scale
-    val wGuarded = when(col(weight).cast("long") > maxW,
-      raise_error(concat(lit(s"pageRank: weight exceeds ${maxW} (scale*w overflows int64): "),
+    val wGuarded = when(col(weight).cast("long") > maxW || col(weight).cast("long") < 1L,
+      raise_error(concat(
+        lit(s"pageRank: weight must be in [1, ${maxW}] " +
+          "(non-positive corrupts weighted degrees; larger overflows scale*w): "),
         col(weight).cast("string"))))
       .otherwise(col(weight).cast("long"))
     val ed = edges.select(col(src).as("src"), col(dst).as("dst"), wGuarded.as("w"))

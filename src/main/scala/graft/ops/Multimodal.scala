@@ -131,8 +131,14 @@ object Multimodal {
       else if (cid == "data") dataLen = clen
       pos += 8 + clen + (clen & 1) // chunks are word-aligned
     }
-    fmt.collect { case (ch, rate, bits) if ch > 0 && rate > 0 && bits > 0 && dataLen >= 0 =>
-      (ch, rate, bits, dataLen / (ch * bits / 8))
+    // block-align must be a whole positive byte count: sub-byte depths
+    // (e.g. 4-bit IMA ADPCM) would make the divisor 0 and throw — this
+    // parser only understands whole-byte PCM frames, so such rows are
+    // None (dropped by wavFeatures), never a job-killing exception.
+    fmt.collect {
+      case (ch, rate, bits) if ch > 0 && rate > 0 && bits > 0 &&
+          bits % 8 == 0 && dataLen >= 0 =>
+        (ch, rate, bits, dataLen / (ch * bits / 8))
     }
   }
 

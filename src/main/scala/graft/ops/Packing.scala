@@ -29,11 +29,31 @@ object Packing {
   def packSequences(df: DataFrame, id: String, text: String,
       windowTokens: Long, nShards: Int): DataFrame = {
     require(windowTokens > 0 && nShards > 0)
+    // pmod needs a numeric id — fail loudly up front instead of the
+    // opaque cast/analysis error a string url id would produce three
+    // operators deeper (hash a non-numeric id to a long first, e.g.
+    // xxhash64, if that's what you have)
+    val idType = df.schema(id).dataType.typeName
+    require(Seq("byte", "short", "integer", "long", "decimal").exists(idType.startsWith),
+      s"packSequences: id column '$id' must be numeric for pmod sharding, got $idType — " +
+        "hash string ids to a long (xxhash64) before packing")
     val nToks = size(filter(split(col(text), " "), t => t =!= "")).cast("long")
     val w = Window.partitionBy(col("shard")).orderBy(col(id).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // shard-skew observe (the asof_skew idiom): a per-shard token total
+    // via an unbounded window over the SAME partitioning — it rides the
+    // shard exchange already paid for the running sum, zero extra
+    // shuffle — then max/sum observed. At scale a shard is one training
+    // file; max_shard_tokens ≫ total/nShards means pmod sharding is
+    // skewed and the biggest file straggles.
+    val wAll = Window.partitionBy(col("shard"))
     df.select(col(id), pmod(col(id), lit(nShards.toLong)).as("shard"), nToks.as("n_tokens"))
       .withColumn("tok_end", sum(col("n_tokens")).over(w))
+      .withColumn("__shard_toks", sum(col("n_tokens")).over(wAll))
+      .observe("pack_shards",
+        max(col("__shard_toks")).as("max_shard_tokens"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .drop("__shard_toks")
       .withColumn("tok_start", col("tok_end") - col("n_tokens"))
       .withColumn("win_start", floor(col("tok_start") / windowTokens))
       .withColumn("win_end",

@@ -301,15 +301,15 @@ object Similarity {
     // lazy serve plan is returned
     val q = corpus.select(col(id).as("vid"), quant(col(vec)).as("qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def checkpoint(df: DataFrame, step: String): DataFrame = ledgerDir match {
+    def checkpoint(df: DataFrame, name: String): DataFrame = ledgerDir match {
       case None => df
       case Some(dir) =>
-        val path = s"$dir/centroids_$step"
+        val path = s"$dir/$name"
         df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
         corpus.sparkSession.read.parquet(path)
     }
     var cents = checkpoint(
-      farthestPointSeeds(q, nClusters, seedSampleBp, maxSeedSampleRows), "seed")
+      farthestPointSeeds(q, nClusters, seedSampleBp, maxSeedSampleRows), "centroids_seed")
     for (step <- 1 to lloydSteps) {
       val a = assignClusters(q, cents, 1)
       // the "centroid" is the per-cluster elementwise sum (exact longs),
@@ -321,10 +321,17 @@ object Similarity {
           .groupBy(col("cid"))
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("sx")))),
             s => s.getField("sx")).as("cv")),
-        step.toString)
+        s"centroids_$step")
     }
-    q.unpersist(false)
-    val aFinal = assignClusters(q, cents, 1)
+    // the final inverted lists feed the LAZY serve plan, which runs
+    // after this function returns — so either checkpoint them to the
+    // ledger (then q is safe to release: the serve plan reads parquet,
+    // never re-quantizes the corpus) or keep q persisted for the serve
+    // actions (small/test scale; MEMORY_AND_DISK evicts via LRU).
+    // Unpersisting BEFORE the serve plan materializes would silently
+    // recompute the corpus quantization on every serve action.
+    val aFinal = checkpoint(assignClusters(q, cents, 1), "assignments")
+    if (ledgerDir.isDefined) q.unpersist(false)
     val pq = probes.select(col(id).as("vid"), quant(col(vec)).as("qv"))
     val plists = assignClusters(pq, cents, nProbe).withColumnRenamed("vid", "probe_id")
     val cands = plists.join(aFinal.withColumnRenamed("vid", "neighbor_id"), "cid")

@@ -180,14 +180,19 @@ object Temporal {
     val iv =
       if (!debugChecks) intervals
       else {
-        // overlap detector: an interval starting before its predecessor
-        // (by start, per key) ended violates the non-overlap contract —
-        // this operator would silently match points only to the LATEST
-        // containing interval. Count surfaces as "interval_overlap".
+        // overlap detector: an interval starting before ANY earlier
+        // interval (by start, per key) ended violates the non-overlap
+        // contract — this operator would silently match points only to
+        // the LATEST containing interval. A running max of end over ALL
+        // preceding rows (not lag(end), which only sees the immediate
+        // predecessor and misses an early long interval spanning a
+        // non-adjacent later one) rides the same per-key sort. Count
+        // surfaces as "interval_overlap".
         val w = Window.partitionBy(col(key)).orderBy(col(startCol).asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
         intervals
           .withColumn("__ov",
-            when(lag(col(endCol), 1).over(w) >= col(startCol), 1L).otherwise(0L))
+            when(max(col(endCol)).over(w) >= col(startCol), 1L).otherwise(0L))
           .observe("interval_overlap", sum(col("__ov")).as("overlapping_intervals"))
           .drop("__ov")
       }

@@ -96,7 +96,12 @@ object StreamingQueries {
     // running state accumulates ACROSS micro-batches (files arrive in
     // arbitrary hour order, so nearly every batch touches old windows);
     // complete mode emits the final converged table — which must equal
-    // the batch q9 aggregation row for row
+    // the batch q9 aggregation row for row. NOTE complete-mode state
+    // grows with key cardinality (every (hour, type) ever seen stays in
+    // the store) — fine for this bounded driver-contract compare; the
+    // production shape for an unbounded run is a watermark on ts +
+    // update mode to a file/kafka sink, which EVICTS windows older than
+    // the watermark (the `runToSink` doc's append-mode analog)
     "st_events_hourly" -> ((s, dir) =>
       runToSink(s,
         streamTbl(s, dir, "events")

@@ -368,6 +368,17 @@ class OpsSpec extends AnyFunSuite {
     assert(total <= 1000000000L && total > 900000000L, s"mass off: $total")
   }
 
+  test("integer PageRank: non-positive weight fails loudly, never wraps silently") {
+    // a large NEGATIVE weight would pass a one-sided `> maxW` guard and
+    // wrap scale*w silently — the magnitude guard must reject it, and
+    // zero/negative weights corrupt weighted degrees regardless of size
+    val neg = Seq(("a", "b", -5L), ("b", "c", 1L)).toDF("s", "d", "w")
+    val e = intercept[Exception] {
+      Graph.pageRank(neg, "s", "d", "w", 2).collect()
+    }
+    assert(e.getMessage.contains("weight must be in"), e.getMessage)
+  }
+
   test("as-of join: inclusive at equal time, null when nothing precedes, latest wins") {
     val refs = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 500L, "c")).toDF("k", "rt", "tag")
     val probes = Seq((1L, 150L, 10L), (1L, 200L, 11L), (1L, 50L, 12L),
@@ -496,6 +507,12 @@ class OpsSpec extends AnyFunSuite {
     val padded = "RIFF".getBytes ++ bb.array() ++ "WAVE".getBytes ++ riffBody
     assert(Multimodal.wavInfo(padded).contains((1, 44100, 16, 10)),
       s"chunk walk must skip the word-padded LIST chunk: ${Multimodal.wavInfo(padded)}")
+    // sub-byte bit depth (real-world 4-bit IMA ADPCM): block-align would
+    // be 0 — must return None (row dropped), never ArithmeticException
+    val adpcm = Multimodal.syntheticWav(16000, 1, 100).clone()
+    adpcm(34) = 4 // fmt chunk's bits-per-sample field
+    assert(Multimodal.wavInfo(adpcm).isEmpty,
+      "sub-byte bit depth must be None, not a divide-by-zero job failure")
   }
 
   test("REAL image decode: ImageIO round-trips true pixel dimensions") {
@@ -645,6 +662,15 @@ class OpsSpec extends AnyFunSuite {
     val out = Temporal.pointInInterval(pts, "pt", iv, "s", "e", "k", debugChecks = true)
     val m = observedMetric(out, "interval_overlap")
     assert(m.getAs[Long]("overlapping_intervals") == 1L, m.toString)
+    // non-adjacent overlap: an early LONG interval spans intervals that
+    // are not its immediate successor — lag(end) would miss (500,600),
+    // the running max of end must count both later intervals
+    val iv2 = Seq((1L, 20L, 0L, 1000L), (1L, 21L, 10L, 20L), (1L, 22L, 500L, 600L))
+      .toDF("k", "iv_id", "s", "e")
+    val out2 = Temporal.pointInInterval(pts, "pt", iv2, "s", "e", "k", debugChecks = true)
+    val m2 = observedMetric(out2, "interval_overlap")
+    assert(m2.getAs[Long]("overlapping_intervals") == 2L,
+      s"running-max detector must see the non-adjacent overlap: $m2")
   }
 
   test("dedupClusters: transitive closure, singletons, min-id canonical") {
@@ -687,6 +713,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L) == (1L, 4L, 0L, 4L, 0L, 0L), out(1L).toString)
     assert(out(9L) == (1L, 1L, 4L, 5L, 1L, 1L), out(9L).toString)
     // spans within a shard are contiguous by construction: end == next start
+  }
+
+  test("packSequences: string id fails loudly; shard-skew metrics observed") {
+    val e = intercept[IllegalArgumentException] {
+      Packing.packSequences(
+        Seq(("http://a", "x y")).toDF("url", "text"), "url", "text", 4L, 2)
+    }
+    assert(e.getMessage.contains("must be numeric"), e.getMessage)
+    // everything lands in shard 1 (odd ids, nShards=2) — max == total
+    val skewed = Seq((1L, "a b c"), (3L, "d e"), (5L, "f")).toDF("doc_id", "text")
+    val out = Packing.packSequences(skewed, "doc_id", "text", 4L, 2)
+    val m = observedMetric(out, "pack_shards")
+    assert(m.getAs[Long]("total_tokens") == 6L, m.toString)
+    assert(m.getAs[Long]("max_shard_tokens") == 6L,
+      s"all-one-shard skew must be visible: $m")
   }
 
   test("dedupClusters matches a brute-force union-find on randomized pair sets") {
