@@ -61,11 +61,21 @@ object Bench {
     (sec, nDocs / sec, nTriples / sec, nTriples)
   }
 
+  /** Median of timings: middle value (odd n) or mean of the two middle
+    * values (even n). The bench reports MEDIANS over reps so one
+    * host-throttled rep cannot poison the committed artifact — this box
+    * shows ±50% swings on identical code (BENCH/BASELINE.md). */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     // big enough that per-doc compute dominates stage-fixed overhead
     val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "20000").toLong
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = newSession(cpus)
 
     // the headline metric (BASELINE.json docs/sec) runs FIRST, in a clean
@@ -76,28 +86,52 @@ object Bench {
     // steady-state cluster job runs compiled code; timing C2 compilation
     // of the regex kernels underreported the engine 2.6× at 20k docs.
     kgBuild(spark, 2000L, cpus * 2)
-    val (kgSec, docsPerSec, triplesPerSec, nTriples) = kgBuild(spark, kgDocs, cpus * 2)
+    val builds = (1 to reps).map(_ => kgBuild(spark, kgDocs, cpus * 2))
+    // the headline tuple comes from the lower-median rep BY WALL so
+    // docs/sec, triples/sec and wall stay mutually consistent (a
+    // per-field median could pair rep A's wall with rep B's rate)
+    val (kgSec, docsPerSec, triplesPerSec, nTriples) =
+      builds.sortBy(_._1).apply((reps - 1) / 2)
     spark.catalog.clearCache()
 
-    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // a failed query must NOT masquerade as a fast success: record it
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        errors += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // full sweep × reps; between sweeps the kg pipeline cache is evicted
+    // so every rep pays the build cold (rep-identical protocol). The
+    // streaming queries' rewritten multi-file inputs stay cached across
+    // reps — a one-time setup cost that rep 1 absorbs and the median
+    // correctly excludes.
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    val sweeps: Seq[Seq[(String, Double)]] = (1 to reps).map { r =>
+      if (r > 1) {
+        graft.queries.KgQueries.resetRunCache()
+        spark.catalog.clearCache()
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // a failed query must NOT masquerade as a fast success: record it
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          errors += name
+          System.err.println(s"[bench] $name failed (rep $r): ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
+    val names = sweeps.head.map(_._1)
+    val byName = sweeps.flatten.groupBy(_._1).view.mapValues(v => median(v.map(_._2)))
+    val results = names.map(n => n -> byName(n))
 
     val qs = (("kg_build" -> kgSec) +: results)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // total = sum of per-query medians + median build: the robust
+    // "steady-host sweep" estimate, directly comparable round-to-round
     val total = results.map(_._2).sum + kgSec
+    val repTotals = sweeps.map(_.map(_._2).sum).mkString("[", ",", "]")
+    val buildReps = builds.map(_._1).mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""kg_docs":$kgDocs,"kg_triples":$nTriples,"kg_docs_per_sec":$docsPerSec,""" +
-        s""""kg_triples_per_sec":$triplesPerSec,"errors":$errJson,"cpus":$cpus,"sf":"$sfDir"}""")
+        s""""kg_triples_per_sec":$triplesPerSec,"errors":$errJson,"cpus":$cpus,""" +
+        s""""reps":$reps,"rep_totals":$repTotals,"kg_build_reps":$buildReps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

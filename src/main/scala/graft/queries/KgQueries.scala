@@ -190,6 +190,18 @@ object KgQueries {
       work
     })
 
+  /** Evict the per-dir pipeline cache and delete its work dirs.
+    * Benchmark repetitions call this between sweeps so every rep pays
+    * the pipeline build cold — a warm rep would hide host throttle in
+    * exactly the expensive kg_* queries that medians exist to protect.
+    * (The shutdown hooks registered at creation tolerate the early
+    * delete — deleteQuietly on a gone dir is a no-op.) */
+  def resetRunCache(): Unit = {
+    kgCache.values.foreach(w =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(w)))
+    kgCache.clear()
+  }
+
   // ---------------------------------------------------------------- queries
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // north-star outputs, all from the REAL pipeline run (parquet
