@@ -25,13 +25,33 @@ import graft.kg.Schema._
   */
 object Pipeline {
 
+  /** `buckets > 0` switches stage checkpoints from plain parquet
+    * directories to url-hash BUCKETED managed tables
+    * (`bucketBy(buckets, url)` + `sortBy` — the executable local analog
+    * of the north rule's Iceberg `bucket(N, url)` partition spec,
+    * kg.io.BucketedTableIO). The bucketing shuffle is paid once, at
+    * write time, on the SLIM projected stage rows (never the html-fat
+    * source), and pays back in the build itself: canonicalize's
+    * per-(component, url) partial aggregation reads a url-clustered
+    * mention table (hashpartitioning(url) satisfies the clustering —
+    * no exchange when the CC label join broadcasts), and every
+    * downstream per-url join/aggregation over the materialized tables
+    * is exchange-free (BucketedIoSpec). Default 0 = plain parquet, the
+    * layout-agnostic mode Bench uses on tmpfs. */
   final case class Config(
       workDir: String,
       nPartitions: Int = 32,
       resume: Boolean = true,
-      writeMetrics: Boolean = true)
+      writeMetrics: Boolean = true,
+      buckets: Int = 0)
 
   final case class Result(nodes: DataFrame, edges: DataFrame, metrics: DataFrame)
+
+  /** Managed-table name for a stage checkpoint in bucketed mode — the
+    * workDir hash keeps concurrent runs collision-free; exposed so tests
+    * and tools can locate/drop the tables a run registered. */
+  def stageTable(workDir: String, stage: String): String =
+    s"kg_${java.lang.Integer.toHexString(workDir.hashCode)}_$stage"
 
   // ------------------------------------------------------------ stage 1
   /** Raw text per page: html→text when text is null (S1), with per-row
@@ -308,11 +328,35 @@ object Pipeline {
     // serialized job (4 extra jobs per run); on resume (no write this
     // run) the reader falls back to counting the checkpoint
     val observed = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+    // ---- checkpoint surface: plain parquet dirs (default), or bucketed
+    // managed tables when cfg.buckets > 0 (see Config scaladoc). Table
+    // names carry a workDir hash so concurrent runs don't collide; the
+    // bucket column is the stage's join/aggregation key. alias_edges and
+    // metrics stay parquet — key-pair/diagnostic rows with no url.
+    val bucketCols = Map(
+      "extract_clean" -> "url", "triples" -> "url", "linked_mentions" -> "url",
+      "edges" -> "src_url", "nodes" -> "entity_id")
+    def tbl(stage: String): String = stageTable(cfg.workDir, stage)
+    def useBuckets(stage: String): Boolean =
+      cfg.buckets > 0 && bucketCols.contains(stage)
+    def ckWrite(df: DataFrame, stage: String, path: String): Unit =
+      if (useBuckets(stage))
+        df.write.mode(SaveMode.Overwrite)
+          .bucketBy(cfg.buckets, bucketCols(stage)).sortBy(bucketCols(stage))
+          .format("parquet").saveAsTable(tbl(stage))
+      else writeStage(df, path)
+    def ckDone(stage: String, path: String): Boolean =
+      if (useBuckets(stage)) spark.catalog.tableExists(tbl(stage))
+      else stageDone(spark, path)
+    def ckRead(stage: String, path: String): DataFrame =
+      if (useBuckets(stage)) spark.table(tbl(stage)) else spark.read.parquet(path)
+
     def writeCounted(df: DataFrame, path: String, name: String): Unit =
-      if (!cfg.writeMetrics) writeStage(df, path)
+      if (!cfg.writeMetrics) ckWrite(df, name, path)
       else {
         val obs = org.apache.spark.sql.Observation()
-        writeStage(df.observe(obs, count(lit(1)).as("n")), path)
+        ckWrite(df.observe(obs, count(lit(1)).as("n")), name, path)
         observed(name) = obs.get("n").asInstanceOf[Long]
       }
     def rowsOf(name: String, reader: => DataFrame): Long =
@@ -332,8 +376,8 @@ object Pipeline {
     // persisted (memory, spill to disk) only when both writes actually
     // run; concurrent Spark jobs dedupe cached partition computation at
     // the block level, so the corpus is scanned once.
-    val needDocs = !(cfg.resume && stageDone(spark, docsPath))
-    val needTriples = !(cfg.resume && stageDone(spark, triplesPath))
+    val needDocs = !(cfg.resume && ckDone("extract_clean", docsPath))
+    val needTriples = !(cfg.resume && ckDone("triples", triplesPath))
     if (needDocs || needTriples) {
       val t0 = System.nanoTime()
       val raw = pages.map(p => Schema.RawDoc(p.url, p.warc_ts, p.lang, rawText(p)))
@@ -353,8 +397,8 @@ object Pipeline {
       for ((name, _) <- work)
         metrics += ((name, -1L, (System.nanoTime() - t0) / 1000000L))
     }
-    val docsDf = spark.read.parquet(docsPath)
-    val triplesDf = spark.read.parquet(triplesPath)
+    val docsDf = ckRead("extract_clean", docsPath)
+    val triplesDf = ckRead("triples", triplesPath)
     if (cfg.writeMetrics) {
       metrics += (("extract_clean_rows", rowsOf("extract_clean", docsDf), 0L))
       metrics += (("triples_rows", rowsOf("triples", triplesDf), 0L))
@@ -365,8 +409,8 @@ object Pipeline {
     // similarity resolution (EntityLinking); both outputs checkpointed
     val linkedPath = s"${cfg.workDir}/linked_mentions"
     val (aliasDf, linkedDf) =
-      if (cfg.resume && stageDone(spark, aliasPath) && stageDone(spark, linkedPath)) {
-        (spark.read.parquet(aliasPath), spark.read.parquet(linkedPath))
+      if (cfg.resume && stageDone(spark, aliasPath) && ckDone("linked_mentions", linkedPath)) {
+        (spark.read.parquet(aliasPath), ckRead("linked_mentions", linkedPath))
       } else {
         val t0 = System.nanoTime()
         val resolved = EntityLinking.resolve(spark, triples)
@@ -374,13 +418,13 @@ object Pipeline {
         // overlapped like the stage-1/2 and nodes/edges write pairs
         inParallel(Seq(
           () => writeStage(resolved.aliasEdges, aliasPath),
-          () => writeStage(resolved.linked.toDF(), linkedPath)))
+          () => ckWrite(resolved.linked.toDF(), "linked_mentions", linkedPath)))
         resolved.unpersistCached() // exactly resolve's pairs persist
         metrics += (("entity_linking", -1L, (System.nanoTime() - t0) / 1000000L))
-        (spark.read.parquet(aliasPath), spark.read.parquet(linkedPath))
+        (spark.read.parquet(aliasPath), ckRead("linked_mentions", linkedPath))
       }
 
-    if (!(cfg.resume && stageDone(spark, nodesPath) && stageDone(spark, edgesPath))) {
+    if (!(cfg.resume && ckDone("nodes", nodesPath) && ckDone("edges", edgesPath))) {
       val linked = linkedDf.as[Schema.LinkedMention]
       val t0 = System.nanoTime()
       val canonical = canonicalize(spark, linked, aliasDf)
@@ -391,8 +435,8 @@ object Pipeline {
       canonical.unpersistCached() // exactly canonicalize's label persist
       metrics += (("canonicalize", -1L, (System.nanoTime() - t0) / 1000000L))
     }
-    val nodesDf = spark.read.parquet(nodesPath)
-    val edgesDf = spark.read.parquet(edgesPath)
+    val nodesDf = ckRead("nodes", nodesPath)
+    val edgesDf = ckRead("edges", edgesPath)
     if (cfg.writeMetrics) {
       metrics += (("nodes", rowsOf("nodes", nodesDf), 0L))
       metrics += (("edges", rowsOf("edges", edgesDf), 0L))

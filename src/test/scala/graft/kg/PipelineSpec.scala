@@ -122,4 +122,47 @@ class PipelineSpec extends AnyFunSuite {
       .nodes.orderBy("entity_id").collect().toSeq.map(_.toString)
     assert(nodes1 == nodes2)
   }
+
+  test("bucketed-layout build: identical results, exchange-free per-url consumption") {
+    val dir = Files.createTempDirectory("kgbkt").toString
+    val stages = Seq("extract_clean", "triples", "linked_mentions", "nodes", "edges")
+    def drop(): Unit = stages.foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS ${Pipeline.stageTable(dir, s)}"))
+    drop()
+    try {
+      // the REAL build path running ON the url-bucketed layout — not a
+      // standalone BucketedTableIO demo
+      val r2 = Pipeline.run(spark, PagesGen.pages(spark, nDocs),
+        Pipeline.Config(dir, nPartitions = 7, buckets = 8))
+      def proj(df: org.apache.spark.sql.DataFrame, cols: String*) =
+        df.select(cols.map(col): _*).collect().map(_.mkString("|")).toSet
+      // layout must not change results: same nodes and edges as the
+      // plain-parquet run over the same corpus
+      assert(proj(r2.nodes, "canonical_name", "kind", "n_mentions", "n_urls")
+        == proj(result.nodes, "canonical_name", "kind", "n_mentions", "n_urls"))
+      assert(proj(r2.edges, "src_url", "dst_name", "weight")
+        == proj(result.edges, "src_url", "dst_name", "weight"))
+      // the layout the build ran on is the one consumers inherit: a
+      // per-url aggregation and a url join across two BUILD tables plan
+      // zero exchanges once broadcast is off (the 100-TB case)
+      val oldBc = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val linked = spark.table(Pipeline.stageTable(dir, "linked_mentions"))
+        val triples = spark.table(Pipeline.stageTable(dir, "triples"))
+        val agg = linked.groupBy("url").agg(count(lit(1)).as("n"))
+        assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+          s"per-url agg over the build's bucketed table must not shuffle:\n${agg.queryExecution.executedPlan}")
+        val j = triples.select(col("url"), col("pred"))
+          .join(linked.select(col("url"), col("entity_key")), "url")
+        assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+          s"co-bucketed url join between build tables must not shuffle:\n${j.queryExecution.executedPlan}")
+      } finally {
+        oldBc match {
+          case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+          case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        }
+      }
+    } finally drop()
+  }
 }
