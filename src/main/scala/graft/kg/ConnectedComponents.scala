@@ -124,4 +124,33 @@ object ConnectedComponents {
     }
     (labels, iter)
   }
+
+  /** INCREMENTAL connected components: fold new edges into an existing
+    * labeling without re-walking history. Prior labels enter the loop
+    * as star edges (member ↔ component representative — diameter ≤ 2 by
+    * construction), so convergence cost is driven by the DELTA's
+    * structure: a streaming canonicalizer's periodic re-canonicalize
+    * pays O(log d(Δ)) rounds over |labels| + |Δ| rows, never for the
+    * 10^12-edge past it already resolved (ConnectedComponentsSpec
+    * measures the round collapse). Semantics are monotone — merges are
+    * never undone — and the result equals a full rebuild whenever the
+    * upstream edge derivation is itself monotone (append-only alias
+    * discovery is; an LSH bucket cap newly binding is the documented
+    * exception). Component ids stay min-reachable-id: representatives
+    * are themselves min ids of their prior partition, so seeding adds
+    * no new minima. */
+  def incremental(spark: SparkSession, prevLabels: DataFrame, newEdges: DataFrame,
+      maxIterations: Int = 25,
+      driverSolveThreshold: Long = DriverSolveMaxEdges): DataFrame =
+    incrementalWithStats(spark, prevLabels, newEdges, maxIterations,
+      driverSolveThreshold)._1
+
+  /** `incremental` + distributed-round count (0 = driver fast path). */
+  def incrementalWithStats(spark: SparkSession, prevLabels: DataFrame,
+      newEdges: DataFrame, maxIterations: Int = 25,
+      driverSolveThreshold: Long = DriverSolveMaxEdges): (DataFrame, Int) = {
+    val stars = prevLabels.select(col("id").as("src"), col("component").as("dst"))
+    runWithStats(spark, newEdges.select(col("src"), col("dst")).union(stars),
+      maxIterations, driverSolveThreshold)
+  }
 }

@@ -191,7 +191,8 @@ object Pipeline {
     * CC-labeled mention table both outputs read) — callers unpersist
     * precisely that after checkpointing, never a session-wide
     * clearCache. */
-  final case class Canonical(nodes: DataFrame, edges: DataFrame, cached: Seq[DataFrame]) {
+  final case class Canonical(nodes: DataFrame, edges: DataFrame,
+      labels: DataFrame, cached: Seq[DataFrame]) {
     def unpersistCached(): Unit = cached.foreach(_.unpersist(false))
   }
 
@@ -217,14 +218,24 @@ object Pipeline {
   def canonicalize(
       spark: SparkSession,
       linked: Dataset[LinkedMention],
-      aliases: DataFrame): Canonical = {
+      aliases: DataFrame,
+      seedLabels: Option[DataFrame] = None): Canonical = {
     import spark.implicits._
 
-    val ccLabels = ConnectedComponents.run(
-      spark,
-      ccEdges(linked.toDF(), aliases),
-      // fast-path budget from the driver's real heap, not a constant
-      driverSolveThreshold = ConnectedComponents.driverEdgeBudget())
+    // seedLabels (incremental re-canonicalization over a stream): the
+    // previous run's CC labels enter as star edges, so the loop pays
+    // for the new edges' structure, not for merges already resolved
+    // (ConnectedComponents.incremental)
+    val graph = ccEdges(linked.toDF(), aliases)
+    val ccLabels = seedLabels match {
+      case Some(prev) => ConnectedComponents.incremental(
+        spark, prev, graph,
+        driverSolveThreshold = ConnectedComponents.driverEdgeBudget())
+      case None => ConnectedComponents.run(
+        spark, graph,
+        // fast-path budget from the driver's real heap, not a constant
+        driverSolveThreshold = ConnectedComponents.driverEdgeBudget())
+    }
 
     // entity_key -> component (keys not in any alias edge are their own
     // component). Persisted: nodes AND edges both derive from it, and the
@@ -292,7 +303,7 @@ object Pipeline {
         $"canonical_name_e".as("dst_name"),
         $"weight")
 
-    Canonical(nodes, edges, Seq(labeled))
+    Canonical(nodes, edges, ccLabels, Seq(labeled))
   }
 
   // ---------------------------------------------------------- orchestration

@@ -1,17 +1,18 @@
 package graft.kg
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.kg.Schema._
 
 /** Streaming ingest path: the KG extract→clean→triples stages are narrow
   * per-row transforms, so they apply unchanged to a streaming
-  * Dataset[Page] (Structured Streaming micro-batches). Canonicalization
-  * stays batch (iterative CC has no incremental form — SURVEY §2.10);
-  * the streaming path lands triples continuously and the batch
-  * canonicalizer folds them in on its cadence — the standard
-  * lambda-ish split for KG builds.
+  * Dataset[Page] (Structured Streaming micro-batches). The STATEFUL half
+  * — linking + canonicalization — runs on a periodic cadence inside the
+  * same stream via [[runIncremental]]: accumulated triples re-link, and
+  * connected components fold the delta into the previous labeling
+  * (ConnectedComponents.incremental) instead of re-walking history —
+  * the lambda shape for a continuous 100-TB/day KG build.
   */
 object StreamingPipeline {
 
@@ -69,6 +70,114 @@ object StreamingPipeline {
       .withColumn("text_md5", md5(col("raw_text")))
       .withWatermark("warc_ts", watermark)
       .dropDuplicatesWithinWatermark("text_md5")
+  }
+
+  // ------------------------------------------------- incremental KG build
+  /** The STATEFUL half of the KG build on a stream — linking +
+    * canonicalization, not just extraction. Extraction runs inside each
+    * micro-batch (stateless, batch code verbatim) and APPENDS to an
+    * accumulated triples table; every `recanonEvery` batches (and always
+    * on the final one) the accumulated triples are re-linked and
+    * re-canonicalized, with connected components SEEDED by the previous
+    * labeling ([[ConnectedComponents.incremental]]) so the CC loop pays
+    * for the delta's structure, never the resolved past. This is the
+    * lambda shape a 100-TB/day feed needs: the expensive per-row
+    * extraction is never redone (streams once), linking re-derives from
+    * slim accumulated triples, and the canonicalizer is incremental.
+    * `foreachBatch` is the sanctioned sink for batch-side effects; the
+    * stream checkpoint + parquet append make the whole lane restartable.
+    * The reference analog is the per-upload FULL reprocess at
+    * /root/reference/app.py:53-122 — which re-extracts everything; here
+    * only the canonicalization folds, over already-extracted triples.
+    *
+    * Per-batch lineage (north_rule): (batch_id, partition_id, rows)
+    * appended to `stream_lineage` — the streaming lane's per-partition
+    * ledger, conservation-checkable against the triples table. */
+  def runIncremental(spark: SparkSession, pages: Dataset[Page], workDir: String,
+      recanonEvery: Int = 2, extractParallelism: Int = 0): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val triplesPath = s"$workDir/triples_stream"
+    val lineagePath = s"$workDir/stream_lineage"
+    // a micro-batch is as parallel as its FILE COUNT (one scan split per
+    // small file), so a 1-file trigger runs the regex-heavy extraction
+    // nearly single-core. extractParallelism > 0 repartitions the pages
+    // WITHIN each micro-batch before extraction — cheap when the page
+    // projection is slim (html already dropped/null); for a fat-row
+    // corpus prefer more files per trigger over this shuffle.
+    val src = if (extractParallelism > 0) pages.repartition(extractParallelism) else pages
+    @volatile var pendingSinceRecanon = false
+    val q = streamTriples(spark, src).toDF()
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // two actions read the batch (append + lineage): persist so the
+        // regex-heavy extraction runs once per row, not twice
+        batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        batch.write.mode(SaveMode.Append).parquet(triplesPath)
+        batch.groupBy(spark_partition_id().as("partition_id"))
+          .agg(count(lit(1)).as("rows"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Append).parquet(lineagePath)
+        batch.unpersist(false)
+        pendingSinceRecanon = true
+        if (recanonEvery > 0 && (batchId + 1) % recanonEvery == 0) {
+          recanonicalize(spark, workDir)
+          pendingSinceRecanon = false
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // fold in the tail of the stream since the last cadence hit; skipped
+    // when the cadence already covered the final batch (no wasted
+    // relink) or the stream was empty (nothing to read)
+    if (pendingSinceRecanon) recanonicalize(spark, workDir)
+  }
+
+  /** One re-canonicalization pass over the accumulated streamed triples:
+    * link → canonicalize (CC seeded by the previous labeling when one
+    * exists) → overwrite `nodes_stream`/`edges_stream`, append a new
+    * labels version. Labels are VERSIONED directories (`cc_labels/v<n>`)
+    * because overwriting the parquet a lazy plan is still reading is the
+    * classic self-overwrite corruption; versioning also gives the resume
+    * story — a crashed pass leaves the previous version intact. */
+  def recanonicalize(spark: SparkSession, workDir: String): Unit = {
+    import spark.implicits._
+    val triples = spark.read.parquet(s"$workDir/triples_stream").as[Triple]
+    val labelsRoot = new java.io.File(s"$workDir/cc_labels")
+    def versions: Seq[Int] = Option(labelsRoot.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.drop(1).toInt)
+    val prev = versions.sorted.lastOption
+      .map(v => spark.read.parquet(s"$workDir/cc_labels/v$v"))
+
+    val resolved = EntityLinking.resolve(spark, triples)
+    // materialize linking ONCE: canonicalize drives ~5 actions (CC count
+    // + solve, labels/nodes/edges writes) and without this each one
+    // would re-execute the whole linking DAG — the batch path gets the
+    // same discipline from its parquet stage checkpoints (the durable
+    // choice at 100 TB; here the triples table is already durable, so a
+    // crashed pass just reruns from it)
+    val linkedP = resolved.linked.toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aliasP = resolved.aliasEdges
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canonical = Pipeline.canonicalize(
+      spark, linkedP.as[Schema.LinkedMention], aliasP, prev)
+    val next = versions.sorted.lastOption.getOrElse(0) + 1
+    // labels first (nodes/edges derive from the same plan; any failure
+    // here leaves the previous version live), then the two outputs
+    canonical.labels.write.mode(SaveMode.Overwrite)
+      .parquet(s"$workDir/cc_labels/v$next")
+    canonical.nodes.write.mode(SaveMode.Overwrite).parquet(s"$workDir/nodes_stream")
+    canonical.edges.write.mode(SaveMode.Overwrite).parquet(s"$workDir/edges_stream")
+    canonical.unpersistCached()
+    linkedP.unpersist(false)
+    aliasP.unpersist(false)
+    resolved.unpersistCached()
   }
 
   /** Per-entity running state over the stream. */

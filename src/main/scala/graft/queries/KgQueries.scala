@@ -160,7 +160,7 @@ object KgQueries {
   /** The documents→pages projection, shared by the batch pipeline and
     * the streaming lane (StreamingQueries.st_kg_triples) — pure column
     * expressions, so it applies to a streaming DataFrame unchanged. */
-  private[queries] def pageProjection(docs: DataFrame): DataFrame =
+  def pageProjection(docs: DataFrame): DataFrame =
     docs.select(
       concat(lit("https://example.org/doc"), col("doc_id")).as("url"),
       lit(new java.sql.Timestamp(1767225600000L)).as("warc_ts"), // 2026-01-01T00:00:00Z, fixed

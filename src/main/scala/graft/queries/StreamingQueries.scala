@@ -92,6 +92,27 @@ object StreamingQueries {
         "append")
     }),
 
+    // the STATEFUL half of the north-star lane under streaming: the
+    // full incremental KG build — micro-batched extraction appending to
+    // an accumulated triples table, linking + CC canonicalization
+    // re-folding on a 2-batch cadence with the previous labeling as the
+    // CC seed (ConnectedComponents.incremental) — must land EXACTLY the
+    // batch pipeline's nodes table; the oracle is the same kg_nodes SQL
+    // re-derivation. A fresh work dir per call: resuming a previous
+    // run's checkpoint would skip the stream and misprice the evidence
+    "st_kg_nodes" -> ((s, dir) => {
+      import s.implicits._
+      val pages = graft.queries.KgQueries.pageProjection(streamTbl(s, dir, "documents"))
+        .as[graft.kg.Schema.Page]
+      val work = TmpDirs.fresh("st_kg_inc")
+      graft.kg.StreamingPipeline.runIncremental(s, pages, work, recanonEvery = 2,
+        extractParallelism = s.sparkContext.defaultParallelism)
+      s.read.parquet(s"$work/nodes_stream")
+        .select(col("canonical_name"), col("kind"),
+          concat_ws("|", col("aliases")).as("aliases"),
+          col("n_mentions"), col("n_urls"))
+    }),
+
     // stateful streaming aggregation: hourly per-type event rollup whose
     // running state accumulates ACROSS micro-batches (files arrive in
     // arbitrary hour order, so nearly every batch touches old windows);
@@ -114,6 +135,7 @@ object StreamingQueries {
     // q9_events_hourly oracles — the POINT: the streaming lane must
     // reproduce the batch lane
     "st_kg_triples" -> graft.queries.KgQueries.oracles("kg_triples"),
+    "st_kg_nodes" -> graft.queries.KgQueries.oracles("kg_nodes"),
     "st_hash_sample" ->
       """SELECT doc_id, stratum, bucket FROM (
         |  SELECT doc_id, lang AS stratum,

@@ -18,4 +18,14 @@ private[queries] object TmpDirs {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
       d
     })
+
+  /** A FRESH scratch dir every call (still tmpfs-backed + exit-cleaned).
+    * For stateful-on-disk work like the incremental streaming build: a
+    * cached dir would make a repeat invocation resume from the previous
+    * run's checkpoint and skip the stream entirely — correct for resume,
+    * wrong for pricing the evidence in a bench rep. */
+  def fresh(prefix: String): String = {
+    val n = dirs.size
+    cached(s"fresh:$prefix:$n:${System.nanoTime}", prefix)
+  }
 }

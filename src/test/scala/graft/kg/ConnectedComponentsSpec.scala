@@ -48,4 +48,26 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   test("empty edge set") {
     assert(cc(Seq.empty).isEmpty)
   }
+
+  test("incremental CC: seeded delta == full rebuild, rounds collapse") {
+    // history: two resolved 256-chains; delta: one bridge edge
+    def chain(base: Long): Seq[(Long, Long)] =
+      (0L until 255L).map(i => (base + i, base + i + 1))
+    val history = chain(0L) ++ chain(1000L)
+    val delta = Seq((255L, 1000L))
+    val prev = ConnectedComponents.run(spark, history.toDF("src", "dst"))
+
+    val (inc, incRounds) = ConnectedComponents.incrementalWithStats(
+      spark, prev, delta.toDF("src", "dst"), driverSolveThreshold = -1L)
+    val (full, fullRounds) = ConnectedComponents.runWithStats(
+      spark, (history ++ delta).toDF("src", "dst"), driverSolveThreshold = -1L)
+
+    // identical labels, INCLUDING component ids (representatives are min
+    // ids of the prior partition, so seeding adds no new minima)
+    assert(inc.as[(Long, Long)].collect().toMap == full.as[(Long, Long)].collect().toMap)
+    // the seeded loop pays for the delta's structure (stars + 1 edge,
+    // diameter ≤ 5), not for re-contracting two 256-chains
+    assert(fullRounds >= 9, s"full rebuild rounds: $fullRounds")
+    assert(incRounds <= 4, s"incremental rounds: $incRounds (full: $fullRounds)")
+  }
 }

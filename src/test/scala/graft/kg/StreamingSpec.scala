@@ -108,4 +108,41 @@ class StreamingSpec extends AnyFunSuite {
       "threshold crossing must fire exactly on the second batch: " + sgd.mkString(";"))
     assert(sgd(1).first_seen_ms == ts.getTime)
   }
+
+  test("incremental streaming KG build: linking + canonicalization stream == batch") {
+    val nDocs = 120L
+    val dir = Files.createTempDirectory("pages_inc").toString
+    // 4 files + maxFilesPerTrigger=1 → 4 real micro-batches, so the
+    // re-canonicalize cadence (every 2) fires mid-stream with a seed
+    PagesGen.pages(spark, nDocs).repartition(4).write.mode("overwrite").parquet(dir)
+    val pages = spark.readStream.schema(StreamingPipeline.pageSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir).as[Schema.Page]
+    val work = Files.createTempDirectory("kginc").toString
+    StreamingPipeline.runIncremental(spark, pages, work, recanonEvery = 2)
+
+    val batchDir = Files.createTempDirectory("kgincb").toString
+    val batchRes = Pipeline.run(spark, PagesGen.pages(spark, nDocs),
+      Pipeline.Config(batchDir, nPartitions = 4))
+
+    def proj(df: org.apache.spark.sql.DataFrame, cols: String*) =
+      df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.mkString("|")).toSet
+    val streamNodes = spark.read.parquet(s"$work/nodes_stream")
+    val streamEdges = spark.read.parquet(s"$work/edges_stream")
+    // the STATEFUL half (linking + CC canonicalization), not just
+    // extraction, must land exactly the batch pipeline's graph
+    assert(proj(streamNodes, "canonical_name", "kind", "n_mentions", "n_urls")
+      == proj(batchRes.nodes, "canonical_name", "kind", "n_mentions", "n_urls"))
+    assert(proj(streamEdges, "src_url", "dst_name", "weight")
+      == proj(batchRes.edges, "src_url", "dst_name", "weight"))
+    // mid-stream cadence + seeded final pass → ≥ 2 label versions
+    val versions = new java.io.File(s"$work/cc_labels").listFiles()
+      .filter(_.getName.startsWith("v")).map(_.getName).sorted
+    assert(versions.length >= 2, versions.mkString(","))
+    // per-batch lineage conserves rows: Σ lineage == triples landed
+    val lineage = spark.read.parquet(s"$work/stream_lineage")
+    assert(lineage.select("batch_id").distinct().count() == 4L)
+    val lSum = lineage.agg(org.apache.spark.sql.functions.sum("rows")).head.getLong(0)
+    assert(lSum == spark.read.parquet(s"$work/triples_stream").count())
+  }
 }
