@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video travel as opaque
   * `binary` columns with typed metadata
   * (/root/reference/app_enhanced.py:621-692 extracts embedded images and
-  * records their pixel dimensions). Raster image decode (PNG/JPEG/GIF) is
-  * REAL — `javax.imageio.ImageIO` ships in the JDK, no external codec
-  * jars needed — yielding true width/height for every format
-  * `sniffFormat` detects as a raster. Only the non-raster codecs
-  * genuinely absent from this container (audio/video) and the feature
-  * EMBEDDING (which needs a vision model) remain deterministic stubs,
-  * clearly marked below. Everything Spark-side — schema, batching,
+  * records their pixel dimensions). Raster image decode (PNG/JPEG/GIF)
+  * is REAL — `javax.imageio.ImageIO` ships in the JDK, no external
+  * codec jars needed — and so are the container METADATA walks: WAV
+  * (`wavInfo`), AVI (`aviInfo`), WebP (`webpInfo`) RIFF chunk parsing
+  * and the GIF block walk with frame count (`gifInfo`), all pure header
+  * byte math. Only PIXEL/SAMPLE decode of codecs genuinely absent from
+  * this container (video/audio payloads) and the feature EMBEDDING
+  * (which needs a vision model) remain deterministic stubs, clearly
+  * marked below. Everything Spark-side — schema, batching,
   * partition-local iteration, output shape — is real and tested. At
   * scale this is the `mapPartitions`-with-batched-decoder pattern (the
   * Scala analog of Python's mapInPandas batches).
@@ -79,10 +81,26 @@ object Multimodal {
   def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val stub = stubDecode(id, bytes)
     stub.format match {
-      case "png" | "jpeg" | "gif" =>
+      case "png" | "jpeg" =>
         imageDims(bytes) match {
           case Some((w, h)) => stub.copy(width = w, height = h, n_frames = 1)
           case None => stub // corrupt/truncated raster: keep the fallback
+        }
+      case "gif" =>
+        // real block walk: dims AND frame count (animated GIFs)
+        gifInfo(bytes) match {
+          case Some((w, h, f)) => stub.copy(width = w, height = h, n_frames = f)
+          case None => stub
+        }
+      case "avi" =>
+        aviInfo(bytes) match {
+          case Some((w, h, f, _)) => stub.copy(width = w, height = h, n_frames = f)
+          case None => stub
+        }
+      case "webp" =>
+        webpInfo(bytes) match {
+          case Some((w, h, _)) => stub.copy(width = w, height = h, n_frames = 1)
+          case None => stub
         }
       case _ => stub
     }
@@ -198,6 +216,183 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------ RIFF video/image
+  private def asciiAt(bytes: Array[Byte], pos: Int, n: Int): String =
+    if (pos + n > bytes.length) ""
+    else new String(bytes, pos, n, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL AVI metadata decode — the same RIFF chunk walk as `wavInfo`,
+    * one level deeper: the `avih` main header lives inside the `LIST
+    * hdrl` sub-list. Emits (width, height, total_frames,
+    * micros_per_frame); None for non-AVI/truncated bytes (per-row
+    * failure isolation, like every decoder here). */
+  def aviInfo(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 24 || sniffFormat(bytes) != "avi") return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val cid = asciiAt(bytes, pos, 4)
+      val clen = bb.getInt(pos + 4)
+      if (clen < 0 || pos + 8 + clen > bytes.length) return None
+      if (cid == "LIST" && clen >= 4 && asciiAt(bytes, pos + 8, 4) == "hdrl") {
+        var sp = pos + 12
+        val end = pos + 8 + clen
+        while (sp + 8 <= end) {
+          val sid = asciiAt(bytes, sp, 4)
+          val slen = bb.getInt(sp + 4)
+          if (slen < 0 || sp + 8 + slen > end) return None
+          if (sid == "avih" && slen >= 40) {
+            val d = sp + 8
+            return Some((bb.getInt(d + 32), bb.getInt(d + 36),
+              bb.getInt(d + 16), bb.getInt(d)))
+          }
+          sp += 8 + slen + (slen & 1)
+        }
+      }
+      pos += 8 + clen + (clen & 1)
+    }
+    None
+  }
+
+  /** REAL WebP dimension decode — RIFF chunk walk over the three header
+    * variants: `VP8 ` (lossy: 14-bit dims after the 9D 01 2A start
+    * code), `VP8L` (lossless: 2F signature then 14-bit-1 packed dims),
+    * `VP8X` (extended: 24-bit-1 canvas dims). Emits (width, height,
+    * variant); None otherwise. */
+  def webpInfo(bytes: Array[Byte]): Option[(Int, Int, String)] = {
+    if (bytes == null || bytes.length < 20 || sniffFormat(bytes) != "webp") return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u24(i: Int): Int = u16(i) | (u8(i + 2) << 16)
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val cid = asciiAt(bytes, pos, 4)
+      val clen = bb.getInt(pos + 4)
+      if (clen < 0 || pos + 8 + clen > bytes.length) return None
+      val d = pos + 8
+      cid match {
+        case "VP8 " if clen >= 10 &&
+            u8(d + 3) == 0x9d && u8(d + 4) == 0x01 && u8(d + 5) == 0x2a =>
+          return Some((u16(d + 6) & 0x3fff, u16(d + 8) & 0x3fff, "vp8"))
+        case "VP8L" if clen >= 5 && u8(d) == 0x2f =>
+          val bits = u16(d + 1) | (u16(d + 3) << 16)
+          return Some(((bits & 0x3fff) + 1, ((bits >> 14) & 0x3fff) + 1, "vp8l"))
+        case "VP8X" if clen >= 10 =>
+          return Some((u24(d + 4) + 1, u24(d + 7) + 1, "vp8x"))
+        case _ =>
+      }
+      pos += 8 + clen + (clen & 1)
+    }
+    None
+  }
+
+  /** REAL GIF header + block walk: logical-screen dims and the FRAME
+    * COUNT (number of 0x2C image descriptors), skipping color tables,
+    * extension blocks and LZW data sub-blocks by their declared lengths.
+    * None for non-GIF/truncated bytes. */
+  def gifInfo(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 13 || sniffFormat(bytes) != "gif") return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val w = u16(6)
+    val h = u16(8)
+    val gctFlag = (u8(10) & 0x80) != 0
+    val gctSize = if (gctFlag) 3 * (1 << ((u8(10) & 0x07) + 1)) else 0
+    var pos = 13 + gctSize
+    var frames = 0
+    def skipSubBlocks(): Boolean = {
+      while (pos < bytes.length && u8(pos) != 0) {
+        pos += 1 + u8(pos)
+        if (pos > bytes.length) return false
+      }
+      if (pos >= bytes.length) return false
+      pos += 1 // block terminator
+      true
+    }
+    while (pos < bytes.length) {
+      u8(pos) match {
+        case 0x2c => // image descriptor
+          if (pos + 10 > bytes.length) return None
+          val lctFlag = (u8(pos + 9) & 0x80) != 0
+          val lctSize = if (lctFlag) 3 * (1 << ((u8(pos + 9) & 0x07) + 1)) else 0
+          pos += 10 + lctSize
+          if (pos >= bytes.length) return None
+          pos += 1 // LZW min code size
+          if (!skipSubBlocks()) return None
+          frames += 1
+        case 0x21 => // extension: label + sub-blocks
+          pos += 2
+          if (!skipSubBlocks()) return None
+        case 0x3b => return Some((w, h, frames)) // trailer
+        case _ => return None
+      }
+    }
+    Some((w, h, frames))
+  }
+
+  /** Deterministic synthetic AVI (REAL, spec-conformant container): RIFF
+    * `AVI ` with a `LIST hdrl` holding a 56-byte `avih` main header and
+    * an empty `LIST movi`. Parsers read the header; no codec payload is
+    * needed to test the metadata walk. */
+  def syntheticAvi(width: Int, height: Int, nFrames: Int, usPerFrame: Int): Array[Byte] = {
+    val avih = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+    avih.putInt(nFrames).putInt(0).putInt(1).putInt(0)
+    avih.putInt(width).putInt(height)
+    val hdrlData = "hdrl".getBytes ++ "avih".getBytes ++
+      le32(56) ++ avih.array()
+    val moviData = "movi".getBytes
+    val body = "AVI ".getBytes ++
+      "LIST".getBytes ++ le32(hdrlData.length) ++ hdrlData ++
+      "LIST".getBytes ++ le32(moviData.length) ++ moviData
+    "RIFF".getBytes ++ le32(body.length) ++ body
+  }
+
+  /** Deterministic synthetic lossless WebP header (REAL byte layout):
+    * RIFF `WEBP` + `VP8L` signature with the 14-bit packed dims. */
+  def syntheticWebp(width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && width <= 16384 && height >= 1 && height <= 16384)
+    val bits = (width - 1) | ((height - 1) << 14)
+    val vp8l = Array(0x2f.toByte) ++ le32(bits)
+    val body = "WEBP".getBytes ++ "VP8L".getBytes ++ le32(vp8l.length) ++ vp8l ++
+      Array[Byte](0) // word padding
+    "RIFF".getBytes ++ le32(body.length) ++ body
+  }
+
+  private def le32(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(v).array()
+
+  /** Deterministic synthetic ANIMATED GIF via the JDK's ImageIO sequence
+    * writer — a real multi-frame GIF byte stream whose frame count the
+    * `gifInfo` block walk must recover. */
+  def syntheticGif(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until nFrames).foreach { f =>
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y, ((x * 31 + y * 17 + f * 101 + seed) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
     bos.toByteArray
   }
 

@@ -307,6 +307,29 @@ object DataOps {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // REAL container metadata, end to end: a spec-conformant synthetic
+    // AVI / lossless WebP / ANIMATED GIF per doc (round-robin on
+    // doc_id), parsed back by the production decodeFeatures dispatch —
+    // the RIFF chunk walks (nested avih header, VP8L packed dims) and
+    // the GIF block walk (frame COUNT across image descriptors) must
+    // round-trip the oracle's arithmetic
+    "mm_media_meta" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (16 + id % 16).toInt
+          val h = (16 + id % 8).toInt
+          val bytes = (id % 3) match {
+            case 0 => Multimodal.syntheticAvi(w, h, (10 + id % 90).toInt, 33333)
+            case 1 => Multimodal.syntheticWebp(w, h)
+            case _ => Multimodal.syntheticGif(w, h, (1 + id % 4).toInt, id)
+          }
+          (id, bytes)
+        }).toDF("doc_id", "media")
+      Multimodal.decodeFeatures(s, media, "doc_id", "media").toDF()
+        .select(col("id"), col("format"), col("width"), col("height"), col("n_frames"))
+    }),
+
     "mm_decode_real" -> ((s, dir) => {
       import s.implicits._
       val pngs = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
@@ -743,6 +766,16 @@ object DataOps {
         |       16 AS bits,
         |       (1000 + doc_id % 500)::INT AS n_frames,
         |       ((1000 + doc_id % 500) * 1000) // (8000 + (doc_id % 5) * 4000) AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "mm_media_meta" ->
+      """SELECT doc_id AS id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'avi' WHEN 1 THEN 'webp' ELSE 'gif' END AS format,
+        |       (16 + doc_id % 16)::INT AS width,
+        |       (16 + doc_id % 8)::INT AS height,
+        |       (CASE doc_id % 3 WHEN 0 THEN 10 + doc_id % 90
+        |                        WHEN 1 THEN 1
+        |                        ELSE 1 + doc_id % 4 END)::INT AS n_frames
         |FROM documents""".stripMargin,
 
     "mm_decode_real" ->

@@ -515,6 +515,39 @@ class OpsSpec extends AnyFunSuite {
       "sub-byte bit depth must be None, not a divide-by-zero job failure")
   }
 
+  test("REAL AVI/WebP/GIF metadata: header walks round-trip encode parameters") {
+    val avi = Multimodal.syntheticAvi(640, 480, 1234, 33333)
+    assert(Multimodal.sniffFormat(avi) == "avi")
+    assert(Multimodal.aviInfo(avi).contains((640, 480, 1234, 33333)))
+    assert(Multimodal.aviInfo(avi.take(30)).isEmpty, "truncated AVI → None")
+
+    val webp = Multimodal.syntheticWebp(300, 200)
+    assert(Multimodal.sniffFormat(webp) == "webp")
+    assert(Multimodal.webpInfo(webp).contains((300, 200, "vp8l")))
+    assert(Multimodal.webpInfo(webp.take(14)).isEmpty, "truncated WebP → None")
+    // lossy VP8 header variant: hand-built frame tag with the 9D 01 2A
+    // start code and 14-bit dims
+    val vp8data = Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+      (320 & 0xff).toByte, (320 >> 8).toByte, (240 & 0xff).toByte, (240 >> 8).toByte)
+    val lossyBody = "WEBP".getBytes ++ "VP8 ".getBytes ++
+      java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(vp8data.length).array() ++ vp8data
+    val lossy = "RIFF".getBytes ++
+      java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(lossyBody.length).array() ++ lossyBody
+    assert(Multimodal.webpInfo(lossy).contains((320, 240, "vp8")))
+
+    // animated GIF: the block walk must count the image descriptors
+    val gif = Multimodal.syntheticGif(32, 24, 3, 7L)
+    assert(Multimodal.sniffFormat(gif) == "gif")
+    assert(Multimodal.gifInfo(gif).contains((32, 24, 3)), Multimodal.gifInfo(gif).toString)
+    assert(Multimodal.gifInfo(gif.take(12)).isEmpty, "truncated GIF → None")
+    // the production decode dispatch reads dims AND frames for gif/avi
+    assert(Multimodal.decode(1L, gif).n_frames == 3)
+    assert(Multimodal.decode(2L, avi).n_frames == 1234)
+    assert(Multimodal.decode(3L, webp).width == 300)
+  }
+
   test("REAL image decode: ImageIO round-trips true pixel dimensions") {
     val png = Multimodal.syntheticPng(23, 41, 5L)
     assert(Multimodal.sniffFormat(png) == "png")
