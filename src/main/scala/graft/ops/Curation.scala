@@ -45,6 +45,87 @@ object Curation {
       .where(col("rank_in_group") <= n)
   }
 
+  /** Deterministic train/val/test split assignment — the id-hash
+    * companion to [[hashSample]]: the same md5 bucket (0..9999) cut into
+    * [0, bpTrain) → train, [bpTrain, bpTrain+bpVal) → val, rest → test.
+    * A document's split NEVER changes across reruns, repartitions, or
+    * corpus growth (new ids land in splits at the configured rates;
+    * existing ids stay put) — the property that keeps eval sets
+    * uncontaminated across pipeline versions. Narrow pass, zero
+    * shuffles. Output: (id, bucket, split). */
+  def assignSplits(df: DataFrame, id: String,
+      bpTrain: Int = 9800, bpVal: Int = 100): DataFrame = {
+    require(bpTrain > 0 && bpVal >= 0 && bpTrain + bpVal <= 10000)
+    val bucket = pmod(conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(10000L))
+    df.select(col(id), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < bpTrain, "train")
+          .when(col("bucket") < bpTrain + bpVal, "val")
+          .otherwise("test"))
+  }
+
+  /** C4-style boilerplate LINE removal: a line occurring in more than
+    * `maxDocFreq` distinct documents (nav bars, cookie banners,
+    * copyright footers) is dropped from every document. Two-phase doc
+    * frequency — distinct (line, id) partials absorb the within-doc
+    * repeats before the per-line count — then a join against only the
+    * FLAGGED lines (boilerplate is a tiny fraction of distinct lines, so
+    * AQE broadcasts it at runtime; never force-hinted) and an ordered
+    * per-doc reassembly. Documents whose every line was boilerplate
+    * survive with empty clean_text — silently dropping rows is a dedup
+    * decision, not a cleaning one.
+    * Output: (id, clean_text, n_kept, n_dropped). */
+  def removeBoilerplate(df: DataFrame, id: String, text: String,
+      maxDocFreq: Long): DataFrame = {
+    val lines = df.select(col(id),
+      posexplode(split(col(text), "\n")).as(Seq("idx", "line")))
+    val flagged = lines.select(col("line"), col(id)).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("doc_freq"))
+      .where(col("doc_freq") > maxDocFreq)
+      .select(col("line"))
+    val kept = lines.join(flagged, Seq("line"), "left_anti")
+      .groupBy(col(id))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("idx"), col("line")))),
+          s => s.getField("line"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = lines.groupBy(col(id)).agg(count(lit(1)).as("n_total"))
+    totals.join(kept, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** PII redaction: email / IPv4 / phone patterns replaced with typed
+    * placeholders, plus per-type match counts (the audit trail a
+    * compliance pass needs). Patterns are deliberately lookaround-free
+    * so the exact same regexes run under Java (Spark) and RE2 (DuckDB
+    * oracle); counts come from `regexp_extract_all` on the ORIGINAL
+    * text. Purely narrow codegen'd column ops — zero shuffles.
+    * Output: (id, redacted, n_emails, n_ips, n_phones). */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  def redactPii(df: DataFrame, id: String, text: String): DataFrame = {
+    // email first (it may contain digit runs), then IP (dots), then
+    // phone (dashes) — each later pattern cannot match inside an
+    // earlier placeholder
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(text), EmailPat, "[EMAIL]"),
+          Ipv4Pat, "[IP]"),
+        PhonePat, "[PHONE]")
+    df.select(col(id),
+      redacted.as("redacted"),
+      size(regexp_extract_all(col(text), lit(EmailPat), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col(text), lit(Ipv4Pat), lit(0))).as("n_ips"),
+      size(regexp_extract_all(col(text), lit(PhonePat), lit(0))).as("n_phones"))
+  }
+
   /** Benchmark decontamination: char-n-gram containment of each
     * benchmark doc's shingle set inside corpus docs —
     * |shingles(c) ∩ shingles(b)| / |shingles(b)| ≥ threshold flags doc c

@@ -257,6 +257,48 @@ object DataOps {
       Curation.decontaminate(corpus, bench, "doc_id", "text", 8, 0.5)
     }),
 
+    // deterministic train/val/test assignment — the id-hash companion
+    // to cu_hash_sample: a doc's split never changes across reruns or
+    // corpus growth
+    "cu_split" -> ((s, dir) =>
+      Curation.assignSplits(docs(s, dir), "doc_id", 9000, 500)),
+
+    // C4-style boilerplate line removal: every doc carries two planted
+    // per-source footer lines (doc freq = docs/source >> 10) plus its
+    // original text and a unique closing line; the footers must drop
+    // from every doc and the survivors reassemble in order
+    "cu_boilerplate" -> ((s, dir) => {
+      val lined = docs(s, dir).select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          concat(lit("subscribe to "), col("source"), lit(" newsletter today")),
+          concat(lit("all rights reserved by "), col("source")),
+          concat(lit("doc "), col("doc_id"), lit(" unique closing line"))).as("txt"))
+      Curation.removeBoilerplate(lined, "doc_id", "txt", 10L)
+    }),
+
+    // PII redaction: deterministic planted email/phone/IP per doc-id
+    // residue class (some docs carry none); placeholders + per-type
+    // counts must match the oracle's identical regex program
+    "cu_pii_redact" -> ((s, dir) => {
+      val withPii = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@mail.example.org now")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(lit(" call 555-"),
+              lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+              lit("-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+              lit(" today")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 2,
+            concat(lit(" from 10."), pmod(col("doc_id"), lit(200)),
+              lit(".0."), pmod(col("doc_id"), lit(250)), lit(" net")))
+            .otherwise(lit(""))).as("txt"))
+      Curation.redactPii(withPii, "doc_id", "txt")
+    }),
+
     // ---- text analysis ----
     "ta_langid" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
@@ -686,6 +728,67 @@ object DataOps {
         |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rank_in_group
         |  FROM documents)
         |WHERE rank_in_group <= 20""".stripMargin,
+
+    "cu_split" ->
+      """SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 9000 THEN 'train'
+        |            WHEN bucket < 9500 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bucket
+        |      FROM documents)""".stripMargin,
+
+    "cu_boilerplate" ->
+      """WITH lined AS (
+        |  SELECT doc_id, text || chr(10) ||
+        |    'subscribe to ' || source || ' newsletter today' || chr(10) ||
+        |    'all rights reserved by ' || source || chr(10) ||
+        |    'doc ' || doc_id || ' unique closing line' AS txt
+        |  FROM documents),
+        |lns AS (
+        |  SELECT doc_id,
+        |         generate_subscripts(string_split(txt, chr(10)), 1) - 1 AS idx,
+        |         unnest(string_split(txt, chr(10))) AS line
+        |  FROM lined),
+        |flagged AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS doc_freq FROM lns GROUP BY line)
+        |  WHERE doc_freq > 10),
+        |kept AS (SELECT * FROM lns WHERE line NOT IN (SELECT line FROM flagged)),
+        |tot AS (SELECT doc_id, count(*) AS n_total FROM lns GROUP BY doc_id),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+        |               count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+        |       (t.n_total - coalesce(a.n_kept, 0))::BIGINT AS n_dropped
+        |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "cu_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      s"""WITH withpii AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN ' contact user' || doc_id || '@mail.example.org now' ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 1
+         |         THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' ||
+         |              lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' today' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 2
+         |         THEN ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250) || ' net'
+         |         ELSE '' END AS txt
+         |  FROM documents)
+         |SELECT doc_id,
+         |       regexp_replace(regexp_replace(regexp_replace(txt,
+         |         '$email', '[EMAIL]', 'g'),
+         |         '$ip', '[IP]', 'g'),
+         |         '$phone', '[PHONE]', 'g') AS redacted,
+         |       len(regexp_extract_all(txt, '$email'))::INT AS n_emails,
+         |       len(regexp_extract_all(txt, '$ip'))::INT AS n_ips,
+         |       len(regexp_extract_all(txt, '$phone'))::INT AS n_phones
+         |FROM withpii""".stripMargin
+    },
 
     "cu_decontaminate" ->
       s"""WITH bench0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),

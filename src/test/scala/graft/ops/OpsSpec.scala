@@ -368,6 +368,57 @@ class OpsSpec extends AnyFunSuite {
     assert(total <= 1000000000L && total > 900000000L, s"mass off: $total")
   }
 
+  test("assignSplits: deterministic, partition-invariant, rates near configured") {
+    val ids = (0L until 2000L).toDF("doc_id")
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      Curation.assignSplits(df, "doc_id", 9000, 500).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val a = run(ids)
+    assert(a == run(ids.repartition(7)), "split must not depend on partitioning")
+    // growth stability: the first 500 ids keep their split when 1500 more arrive
+    val small = run((0L until 500L).toDF("doc_id"))
+    assert(small.forall { case (k, v) => a(k) == v },
+      "existing ids must not move splits when the corpus grows")
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1800) < 100, counts.toString)
+    assert(math.abs(counts("val") - 100) < 50, counts.toString)
+    assert(math.abs(counts("test") - 100) < 50, counts.toString)
+  }
+
+  test("removeBoilerplate: drops frequent lines, keeps order, keeps all-boilerplate docs") {
+    val docs = (0L until 12L).map(i => (i, s"alpha $i\nFOOTER\nomega $i")) :+
+      ((99L, "FOOTER"))
+    val out = Curation.removeBoilerplate(docs.toDF("doc_id", "txt"), "doc_id", "txt", 10L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped")))
+      .toMap
+    assert(out(3L) == ("alpha 3\nomega 3", 2L, 1L), out(3L).toString)
+    // a doc made ENTIRELY of boilerplate survives as an empty row — the
+    // cleaner never silently drops documents
+    assert(out(99L) == ("", 0L, 1L), out(99L).toString)
+    // below the doc-frequency bar nothing is touched
+    val few = Curation.removeBoilerplate(
+      docs.take(3).toDF("doc_id", "txt"), "doc_id", "txt", 10L).collect()
+    assert(few.forall(_.getAs[Long]("n_dropped") == 0L))
+  }
+
+  test("redactPii: typed placeholders and per-type counts") {
+    val rows = Seq(
+      (1L, "mail a.b@x.io or c@y.org ip 10.1.2.3 call 555-123-4567 end"),
+      (2L, "nothing sensitive here")).toDF("doc_id", "txt")
+    val out = Curation.redactPii(rows, "doc_id", "txt").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[String]("redacted") ==
+      "mail [EMAIL] or [EMAIL] ip [IP] call [PHONE] end", r1.toString)
+    assert(r1.getAs[Int]("n_emails") == 2 && r1.getAs[Int]("n_ips") == 1 &&
+      r1.getAs[Int]("n_phones") == 1, r1.toString)
+    val r2 = out(2L)
+    assert(r2.getAs[String]("redacted") == "nothing sensitive here")
+    assert(r2.getAs[Int]("n_emails") == 0 && r2.getAs[Int]("n_ips") == 0 &&
+      r2.getAs[Int]("n_phones") == 0)
+  }
+
   test("integer PageRank: non-positive weight fails loudly, never wraps silently") {
     // a large NEGATIVE weight would pass a one-sided `> maxW` guard and
     // wrap scale*w silently — the magnitude guard must reject it, and
