@@ -72,4 +72,40 @@ object Graph {
     }
     ranks.select(col("v").as("vertex"), col("r").as("pr"))
   }
+
+  /** Triangle count over an undirected edge list, degree-ordered
+    * orientation: each edge points from its lower to its higher
+    * (degree, id) endpoint, wedges are enumerated by self-joining the
+    * oriented adjacency on the tail, and each wedge closes against one
+    * oriented edge. The orientation is the load-bearing part at scale —
+    * it bounds every vertex's out-degree by O(√|E|) on ANY graph, so a
+    * celebrity vertex with 10^7 neighbors contributes at most √-scale
+    * wedges instead of 10^14 (the reason production triangle counters
+    * orient by degree, not id). Orientation never changes the count, so
+    * an id-ordered SQL re-derivation oracles it exactly.
+    * Input treated as undirected; self-loops and duplicate/mirrored
+    * edges are collapsed first. Output: one row (n_triangles). */
+  def triangleCount(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val und = edges
+      .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val fwd = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("v"),
+        when(fwd, col("db")).otherwise(col("da")).as("dv"))
+    val l = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val r = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = l.join(r, Seq("u"))
+      .where(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+      .select(col("x").as("u"), col("y").as("v"))
+    wedges.join(oriented.select(col("u"), col("v")), Seq("u", "v"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

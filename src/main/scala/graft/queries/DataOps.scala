@@ -299,6 +299,14 @@ object DataOps {
       Curation.redactPii(withPii, "doc_id", "txt")
     }),
 
+    // deterministic KMV (k-minimum-values) distinct sketch — the
+    // theta-sketch family member that, unlike HLL, is a pure function
+    // of a portable hash and so sits under the hash-exact oracle gate;
+    // per-group k-smallest via WindowGroupLimit, mergeable at 100 TB
+    "ev_kmv_distinct" -> ((s, dir) =>
+      graft.ops.Sketches.kmvDistinct(
+        s.read.parquet(s"$dir/events.parquet"), "event_type", "event_id", 64)),
+
     // ---- text analysis ----
     "ta_langid" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
@@ -789,6 +797,22 @@ object DataOps {
          |       len(regexp_extract_all(txt, '$phone'))::INT AS n_phones
          |FROM withpii""".stripMargin
     },
+
+    "ev_kmv_distinct" ->
+      """WITH uq AS (SELECT DISTINCT event_type, event_id FROM events),
+        |h AS (
+        |  SELECT event_type,
+        |         (('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE
+        |           / 1152921504606846976.0 AS u
+        |  FROM uq),
+        |rk AS (
+        |  SELECT event_type, u,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY u ASC) AS rn
+        |  FROM h)
+        |SELECT event_type, count(*)::BIGINT AS n_minima,
+        |       round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+        |                  ELSE 63 / max(u) END, 4) AS est_distinct
+        |FROM rk WHERE rn <= 64 GROUP BY event_type""".stripMargin,
 
     "cu_decontaminate" ->
       s"""WITH bench0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),

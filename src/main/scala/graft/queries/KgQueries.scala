@@ -261,7 +261,23 @@ object KgQueries {
     "kg_pagerank" -> ((s, dir) =>
       graft.ops.Graph.pageRank(s.read.parquet(kgRun(s, dir) + "/edges"),
           "src_url", "dst_name", "weight", 5)
-        .orderBy(col("pr").desc, col("vertex").asc).limit(20)))
+        .orderBy(col("pr").desc, col("vertex").asc).limit(20)),
+
+    // co-mention graph analytics: entities sharing a url form an
+    // undirected edge; triangles counted via the degree-ordered
+    // orientation (Graph.triangleCount). The oracle re-derives the
+    // id-ordered 3-way join over the same pairs — orientation never
+    // changes the count
+    "kg_triangles" -> ((s, dir) => {
+      val t = s.read.parquet(kgRun(s, dir) + "/triples")
+      val mentions = t.where(col("pred") === "mentionsEntity")
+        .select(col("url"), lower(col("obj")).as("e")).distinct()
+      val pairs = mentions
+        .join(mentions.select(col("url"), col("e").as("e2")), Seq("url"))
+        .where(col("e") < col("e2"))
+        .select(col("e").as("e1"), col("e2")).distinct()
+      graft.ops.Graph.triangleCount(pairs, "e1", "e2")
+    }))
 
   // ---------------------------------------------------------------- oracles
   private val acronymBlacklistSql =
@@ -503,6 +519,19 @@ object KgQueries {
     "kg_nodes" -> kgNodesSql,
     "kg_edges" -> kgEdgesSql,
     "kg_pagerank" -> pageRankSql(kgEdgesSql, 5, 1000000000L, 20),
+
+    "kg_triangles" ->
+      s"""WITH mentions AS (
+         |  SELECT DISTINCT url, lower(obj) AS e
+         |  FROM ($kgTriplesSql) WHERE pred = 'mentionsEntity'),
+         |prs AS (
+         |  SELECT DISTINCT m1.e AS e1, m2.e AS e2
+         |  FROM mentions m1 JOIN mentions m2 USING (url)
+         |  WHERE m1.e < m2.e)
+         |SELECT count(*)::BIGINT AS n_triangles
+         |FROM prs p1
+         |JOIN prs p2 ON p2.e1 = p1.e1 AND p2.e2 > p1.e2
+         |JOIN prs p3 ON p3.e1 = p1.e2 AND p3.e2 = p2.e2""".stripMargin,
 
     // north_rule lineage: the SQL-expressible slice of the metrics
     // artifact — per-stage output row counts, each re-derived by counting

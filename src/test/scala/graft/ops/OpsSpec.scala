@@ -368,6 +368,39 @@ class OpsSpec extends AnyFunSuite {
     assert(total <= 1000000000L && total > 900000000L, s"mass off: $total")
   }
 
+  test("kmvDistinct: exact below k, sane estimate above k, duplicate/partition invariant") {
+    val rows = (0 until 10).map(i => ("a", s"va$i")) ++
+      (0 until 5000).map(i => ("b", s"vb$i"))
+    val df = rows.toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame): Map[String, (Long, Double)] =
+      graft.ops.Sketches.kmvDistinct(d, "g", "v", 64).collect()
+        .map(r => r.getAs[String]("g") ->
+          (r.getAs[Long]("n_minima"), r.getAs[Double]("est_distinct"))).toMap
+    val out = run(df)
+    // below k the sketch IS exact
+    assert(out("a") == (10L, 10.0), out("a").toString)
+    // above k: estimator engaged, within the ~1/sqrt(k) band
+    assert(out("b")._1 == 64L)
+    assert(out("b")._2 > 3500 && out("b")._2 < 6500, out("b").toString)
+    // duplicates must not move the estimate (distinct-first), nor layout
+    assert(run(df.union(df).repartition(13)) == out)
+  }
+
+  test("triangleCount: known graphs; mirrors/self-loops/duplicates collapse") {
+    import graft.ops.Graph
+    def tri(edges: Seq[(Long, Long)]): Long =
+      Graph.triangleCount(edges.toDF("s", "d"), "s", "d").head.getLong(0)
+    val k4 = for { i <- 0L to 3L; j <- 0L to 3L if i < j } yield (i, j)
+    assert(tri(k4) == 4L, "K4 has 4 triangles")
+    // noise: mirrored duplicates and self-loops must not change the count
+    assert(tri(k4 ++ k4.map(_.swap) ++ Seq((1L, 1L), (2L, 2L))) == 4L)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(tri(path) == 0L)
+    // celebrity star (hot vertex) closes exactly one triangle
+    val star = (1L to 50L).map(i => (0L, i)) :+ ((7L, 9L))
+    assert(tri(star) == 1L)
+  }
+
   test("assignSplits: deterministic, partition-invariant, rates near configured") {
     val ids = (0L until 2000L).toDF("doc_id")
     def run(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
