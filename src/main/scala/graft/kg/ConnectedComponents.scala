@@ -126,19 +126,22 @@ object ConnectedComponents {
   }
 
   /** INCREMENTAL connected components: fold new edges into an existing
-    * labeling without re-walking history. Prior labels enter the loop
-    * as star edges (member ↔ component representative — diameter ≤ 2 by
-    * construction), so convergence cost is driven by the DELTA's
-    * structure: a streaming canonicalizer's periodic re-canonicalize
-    * pays O(log d(Δ)) rounds over |labels| + |Δ| rows, never for the
-    * 10^12-edge past it already resolved (ConnectedComponentsSpec
-    * measures the round collapse). Semantics are monotone — merges are
-    * never undone — and the result equals a full rebuild whenever the
-    * upstream edge derivation is itself monotone (append-only alias
-    * discovery is; an LSH bucket cap newly binding is the documented
-    * exception). Component ids stay min-reachable-id: representatives
-    * are themselves min ids of their prior partition, so seeding adds
-    * no new minima. */
+    * labeling without re-walking history. A delta edge can only merge
+    * components that contain one of its endpoints, so the loop runs
+    * over ONLY the touched components' labels (entered as star edges —
+    * member ↔ representative, diameter ≤ 2) plus the delta; every other
+    * label passes through UNCHANGED, never shuffled. Cost therefore
+    * tracks the delta: O(|Δ| + |touched labels|) rows and O(log d(Δ))
+    * rounds — a streaming canonicalizer's periodic fold over a
+    * 10^12-vertex history pays for the increment, not the past, and a
+    * small enough touched set drops to the driver fast path outright
+    * (tools/CcBench measures both the round and the wall collapse).
+    * Semantics are monotone — merges are never undone — and the result
+    * equals a full rebuild whenever the upstream edge derivation is
+    * itself monotone (append-only alias discovery is; an LSH bucket cap
+    * newly binding is the documented exception). Component ids stay
+    * min-reachable-id: representatives are themselves min ids of their
+    * prior partition, so seeding adds no new minima. */
   def incremental(spark: SparkSession, prevLabels: DataFrame, newEdges: DataFrame,
       maxIterations: Int = 25,
       driverSolveThreshold: Long = DriverSolveMaxEdges): DataFrame =
@@ -149,8 +152,22 @@ object ConnectedComponents {
   def incrementalWithStats(spark: SparkSession, prevLabels: DataFrame,
       newEdges: DataFrame, maxIterations: Int = 25,
       driverSolveThreshold: Long = DriverSolveMaxEdges): (DataFrame, Int) = {
-    val stars = prevLabels.select(col("id").as("src"), col("component").as("dst"))
-    runWithStats(spark, newEdges.select(col("src"), col("dst")).union(stars),
-      maxIterations, driverSolveThreshold)
+    val delta = newEdges.select(col("src"), col("dst"))
+    val ends = delta.select(col("src").as("id"))
+      .union(delta.select(col("dst").as("id"))).distinct()
+    // components holding a delta endpoint — the only ones that can merge.
+    // Both derived tables are delta-sized but cost one full label-table
+    // scan each to compute — eagerly materialized (localCheckpoint) so
+    // the loop's count/sym passes and the caller's actions replay the
+    // TINY tables, not repeated scans of a 10^12-row label history.
+    val touchedComps = prevLabels.join(ends, Seq("id"))
+      .select(col("component")).distinct().localCheckpoint(true)
+    val stars = prevLabels.join(touchedComps, Seq("component"))
+      .select(col("id").as("src"), col("component").as("dst"))
+      .localCheckpoint(true)
+    val (relabeled, rounds) =
+      runWithStats(spark, delta.union(stars), maxIterations, driverSolveThreshold)
+    val untouched = prevLabels.join(touchedComps, Seq("component"), "left_anti")
+    (relabeled.unionByName(untouched.select(col("id"), col("component"))), rounds)
   }
 }
