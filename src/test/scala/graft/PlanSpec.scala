@@ -197,4 +197,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"LSH degenerated to all-pairs:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"LSH degenerated to NL join:\n$p")
   }
+
+  test("split assignment and PII redaction are narrow passes (zero shuffles)") {
+    val p1 = plan(SparkEntry.queries("cu_split")(spark, dir))
+    assert("Exchange".r.findAllIn(p1).size == 0, s"splits must not shuffle:\n$p1")
+    val p2 = plan(SparkEntry.queries("cu_pii_redact")(spark, dir))
+    assert("Exchange".r.findAllIn(p2).size == 0, s"redaction must not shuffle:\n$p2")
+  }
+
+  test("KMV sketch pushes a WindowGroupLimit (bounded per-group heap)") {
+    val p = plan(SparkEntry.queries("ev_kmv_distinct")(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"k-minima rank filter did not push below the sort:\n$p")
+  }
+
+  test("triangle wedge join never degenerates to a nested-loop/cartesian") {
+    val edges = (0L to 20L).flatMap(i => Seq((i, (i + 1) % 21), (i, (i + 3) % 21)))
+      .toDF("s", "d")
+    val p = plan(graft.ops.Graph.triangleCount(edges, "s", "d"))
+    assert(!p.contains("CartesianProduct"), s"wedge join degenerated:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"wedge join degenerated:\n$p")
+  }
+
+  test("boilerplate removal joins lines against only the flagged set") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").as("txt"))
+    val p = plan(graft.ops.Curation.removeBoilerplate(docs, "doc_id", "txt", 10L))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"line join degenerated:\n$p")
+  }
 }
