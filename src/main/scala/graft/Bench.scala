@@ -76,6 +76,7 @@ object Bench {
     // big enough that per-doc compute dominates stage-fixed overhead
     val kgDocs = sys.env.getOrElse("SPARK_GRAFT_KG_DOCS", "20000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val spark = newSession(cpus)
 
     // the headline metric (BASELINE.json docs/sec) runs FIRST, in a clean

@@ -352,11 +352,23 @@ object Pipeline {
     def useBuckets(stage: String): Boolean =
       cfg.buckets > 0 && bucketCols.contains(stage)
     def ckWrite(df: DataFrame, stage: String, path: String): Unit =
-      if (useBuckets(stage))
+      if (useBuckets(stage)) {
+        // cross-JVM restart: the default in-memory catalog forgets
+        // managed tables, but their warehouse directories survive — a
+        // fresh saveAsTable into an existing location throws. Clear the
+        // orphaned location first (tableExists=false ∧ dir present ⇒ a
+        // previous JVM's write; with a persistent metastore, tableExists
+        // is true and resume skips this whole write instead).
+        if (!spark.catalog.tableExists(tbl(stage))) {
+          val wh = spark.conf.get("spark.sql.warehouse.dir")
+            .stripPrefix("file:")
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(wh, tbl(stage).toLowerCase))
+        }
         df.write.mode(SaveMode.Overwrite)
           .bucketBy(cfg.buckets, bucketCols(stage)).sortBy(bucketCols(stage))
           .format("parquet").saveAsTable(tbl(stage))
-      else writeStage(df, path)
+      } else writeStage(df, path)
     def ckDone(stage: String, path: String): Boolean =
       if (useBuckets(stage)) spark.catalog.tableExists(tbl(stage))
       else stageDone(spark, path)

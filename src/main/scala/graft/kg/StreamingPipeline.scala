@@ -75,23 +75,28 @@ object StreamingPipeline {
   // ------------------------------------------------- incremental KG build
   /** The STATEFUL half of the KG build on a stream — linking +
     * canonicalization, not just extraction. Extraction runs inside each
-    * micro-batch (stateless, batch code verbatim) and APPENDS to an
-    * accumulated triples table; every `recanonEvery` batches (and always
-    * on the final one) the accumulated triples are re-linked and
-    * re-canonicalized, with connected components SEEDED by the previous
+    * micro-batch (stateless, batch code verbatim) and lands in an
+    * accumulated triples table via IDEMPOTENT batchId-keyed overwrites;
+    * every `recanonEvery` batches the accumulated triples re-link and
+    * re-canonicalize with connected components SEEDED by the previous
     * labeling ([[ConnectedComponents.incremental]]) so the CC loop pays
-    * for the delta's structure, never the resolved past. This is the
+    * for the delta's structure, never the resolved past — and after the
+    * stream drains, one UNSEEDED (exact) fold ships tables from a full
+    * CC of the complete graph, healing any drift the monotone seeded
+    * folds could carry (the streaming compaction idiom). This is the
     * lambda shape a 100-TB/day feed needs: the expensive per-row
     * extraction is never redone (streams once), linking re-derives from
-    * slim accumulated triples, and the canonicalizer is incremental.
-    * `foreachBatch` is the sanctioned sink for batch-side effects; the
-    * stream checkpoint + parquet append make the whole lane restartable.
-    * The reference analog is the per-upload FULL reprocess at
-    * /root/reference/app.py:53-122 — which re-extracts everything; here
-    * only the canonicalization folds, over already-extracted triples.
+    * slim accumulated triples, canonicalization folds incrementally for
+    * freshness and exactly for shipment. `foreachBatch` is the
+    * sanctioned sink for batch-side effects; the stream checkpoint +
+    * idempotent per-batch dirs + on-disk coverage markers make the
+    * whole lane restartable and self-healing. The reference analog is
+    * the per-upload FULL reprocess at /root/reference/app.py:53-122 —
+    * which re-extracts everything; here only the canonicalization
+    * folds, over already-extracted triples.
     *
     * Per-batch lineage (north_rule): (batch_id, partition_id, rows)
-    * appended to `stream_lineage` — the streaming lane's per-partition
+    * under `stream_lineage` — the streaming lane's per-partition
     * ledger, conservation-checkable against the triples table. */
   def runIncremental(spark: SparkSession, pages: Dataset[Page], workDir: String,
       recanonEvery: Int = 2, extractParallelism: Int = 0): Unit = {
@@ -105,7 +110,6 @@ object StreamingPipeline {
     // projection is slim (html already dropped/null); for a fat-row
     // corpus prefer more files per trigger over this shuffle.
     val src = if (extractParallelism > 0) pages.repartition(extractParallelism) else pages
-    @volatile var pendingSinceRecanon = false
     val q = streamTriples(spark, src).toDF()
       .writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
@@ -113,28 +117,71 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // two actions read the batch (append + lineage): persist so the
-        // regex-heavy extraction runs once per row, not twice
+        // regex-heavy extraction runs once per row, not twice.
+        // IDEMPOTENT per-batch writes: foreachBatch is at-least-once (a
+        // crash between the sink write and the streaming commit log
+        // replays the batch on restart), so each batch OVERWRITES its
+        // own batchId-keyed subdirectory instead of appending — a
+        // replayed batch lands on itself, never doubles. Readers see
+        // batch=<id> as a discovered partition column and project it
+        // away. (The Iceberg deployment writes the same shape as an
+        // idempotent overwrite-partition commit.)
         batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        batch.write.mode(SaveMode.Append).parquet(triplesPath)
+        batch.write.mode(SaveMode.Overwrite).parquet(s"$triplesPath/batch=$batchId")
         batch.groupBy(spark_partition_id().as("partition_id"))
           .agg(count(lit(1)).as("rows"))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode(SaveMode.Append).parquet(lineagePath)
+          .write.mode(SaveMode.Overwrite).parquet(s"$lineagePath/batch_id=$batchId")
         batch.unpersist(false)
-        pendingSinceRecanon = true
-        if (recanonEvery > 0 && (batchId + 1) % recanonEvery == 0) {
+        if (recanonEvery > 0 && (batchId + 1) % recanonEvery == 0)
           recanonicalize(spark, workDir)
-          pendingSinceRecanon = false
-        }
         ()
       }
       .start()
     q.awaitTermination()
-    // fold in the tail of the stream since the last cadence hit; skipped
-    // when the cadence already covered the final batch (no wasted
-    // relink) or the stream was empty (nothing to read)
-    if (pendingSinceRecanon) recanonicalize(spark, workDir)
+    // fold in whatever the cadence has not covered yet. Staleness is
+    // derived from DISK, not an in-memory flag (which a crash between
+    // stream commit and fold would lose, leaving nodes_stream
+    // permanently behind triples_stream): each labels version records
+    // the triples row count it covered, and a final fold runs whenever
+    // the landed count has moved past it. The final fold is UNSEEDED
+    // (exact mode): seeded folds are monotone — a merge a prefix of the
+    // stream justified is never undone even if the full corpus would
+    // not re-derive it — so the shipped tables come from a full CC over
+    // the complete accumulated graph (bit-equal to the batch pipeline),
+    // while the mid-stream cadence keeps the cheap seeded freshness
+    // path. This is the streaming-systems compaction idiom: incremental
+    // folds for latency, periodic exact folds to heal drift.
+    val landed = landedTriples(spark, workDir)
+    val (covered, exact) = coverage(workDir)
+    if (landed > 0 && !(exact && covered == landed))
+      recanonicalize(spark, workDir, seeded = false)
   }
+
+  private def landedTriples(spark: SparkSession, workDir: String): Long = {
+    val p = new java.io.File(s"$workDir/triples_stream")
+    if (!p.isDirectory) 0L
+    else spark.read.parquet(p.toString).count()
+  }
+
+  /** (covered triples rows, was-exact) of the LATEST labels version —
+    * a fold is exact when it ran a full CC (no seed), which the shipped
+    * tables must always come from. */
+  private def coverage(workDir: String): (Long, Boolean) =
+    latestVersion(workDir)
+      .map(v => new java.io.File(s"$workDir/cc_labels/v$v/_covered_rows.txt"))
+      .filter(_.isFile)
+      .map { f =>
+        val parts = new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.split(" ")
+        (parts(0).toLong, parts.length > 1 && parts(1) == "exact")
+      }
+      .getOrElse((0L, false))
+
+  private def latestVersion(workDir: String): Option[Int] =
+    Option(new java.io.File(s"$workDir/cc_labels").listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.drop(1).toInt)
+      .sorted.lastOption
 
   /** One re-canonicalization pass over the accumulated streamed triples:
     * link → canonicalize (CC seeded by the previous labeling when one
@@ -143,16 +190,17 @@ object StreamingPipeline {
     * because overwriting the parquet a lazy plan is still reading is the
     * classic self-overwrite corruption; versioning also gives the resume
     * story — a crashed pass leaves the previous version intact. */
-  def recanonicalize(spark: SparkSession, workDir: String): Unit = {
+  def recanonicalize(spark: SparkSession, workDir: String,
+      seeded: Boolean = true): Unit = {
     import spark.implicits._
-    val triples = spark.read.parquet(s"$workDir/triples_stream").as[Triple]
-    val labelsRoot = new java.io.File(s"$workDir/cc_labels")
-    def versions: Seq[Int] = Option(labelsRoot.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName.drop(1).toInt)
-    val prev = versions.sorted.lastOption
-      .map(v => spark.read.parquet(s"$workDir/cc_labels/v$v"))
+    val raw = spark.read.parquet(s"$workDir/triples_stream")
+    // project away the discovered batch partition column; count the
+    // covered rows for the on-disk staleness ledger
+    val triples = raw.drop("batch").as[Triple]
+    val nCovered = raw.count()
+    val prev =
+      if (!seeded) None
+      else latestVersion(workDir).map(v => spark.read.parquet(s"$workDir/cc_labels/v$v"))
 
     val resolved = EntityLinking.resolve(spark, triples)
     // materialize linking ONCE: canonicalize drives ~5 actions (CC count
@@ -167,11 +215,23 @@ object StreamingPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canonical = Pipeline.canonicalize(
       spark, linkedP.as[Schema.LinkedMention], aliasP, prev)
-    val next = versions.sorted.lastOption.getOrElse(0) + 1
+    val next = latestVersion(workDir).getOrElse(0) + 1
     // labels first (nodes/edges derive from the same plan; any failure
     // here leaves the previous version live), then the two outputs
     canonical.labels.write.mode(SaveMode.Overwrite)
       .parquet(s"$workDir/cc_labels/v$next")
+    // coverage marker: how many triples rows this version folded and
+    // whether the fold was EXACT (a full CC — prev empty — vs a seeded
+    // incremental). runIncremental's staleness check compares it
+    // against the landed count on disk, so a crash before the final
+    // fold self-heals on restart, and a merely-seeded latest version
+    // still triggers the exact compaction fold the shipped tables
+    // require. (A production table format records this as snapshot
+    // metadata.)
+    val mode = if (prev.isEmpty) "exact" else "seeded"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$workDir/cc_labels/v$next/_covered_rows.txt"),
+      s"$nCovered $mode".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     canonical.nodes.write.mode(SaveMode.Overwrite).parquet(s"$workDir/nodes_stream")
     canonical.edges.write.mode(SaveMode.Overwrite).parquet(s"$workDir/edges_stream")
     canonical.unpersistCached()

@@ -84,19 +84,22 @@ object Curation {
       .groupBy(col("line")).agg(count(lit(1)).as("doc_freq"))
       .where(col("doc_freq") > maxDocFreq)
       .select(col("line"))
-    val kept = lines.join(flagged, Seq("line"), "left_anti")
+    // ONE reassembly pass: a left join marks boilerplate lines in place
+    // and a single per-doc aggregate derives kept text + both counts
+    // (collect_list drops the nulled-out flagged entries). ReuseExchange
+    // does NOT dedupe multi-branch scans, so a kept/totals branch pair
+    // would re-read and re-explode the whole corpus — the doc-frequency
+    // branch above is the only second pass over `lines`.
+    lines.join(flagged.withColumn("__bp", lit(1)), Seq("line"), "left")
       .groupBy(col(id))
       .agg(
         concat_ws("\n", transform(
-          array_sort(collect_list(struct(col("idx"), col("line")))),
+          array_sort(collect_list(
+            when(col("__bp").isNull, struct(col("idx"), col("line"))))),
           s => s.getField("line"))).as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    val totals = lines.groupBy(col(id)).agg(count(lit(1)).as("n_total"))
-    totals.join(kept, Seq(id), "left")
-      .select(col(id),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        sum(when(col("__bp").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__bp").isNotNull, 1L).otherwise(0L)).as("n_dropped"))
+      .select(col(id), col("clean_text"), col("n_kept"), col("n_dropped"))
   }
 
   /** PII redaction: email / IPv4 / phone patterns replaced with typed

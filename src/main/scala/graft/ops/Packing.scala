@@ -27,7 +27,8 @@ object Packing {
     * zero-width span at their stream position. Tokens are whitespace
     * tokens (the `TextAnalysis.tokenCounts` n_ws_tokens convention). */
   def packSequences(df: DataFrame, id: String, text: String,
-      windowTokens: Long, nShards: Int): DataFrame = {
+      windowTokens: Long, nShards: Int,
+      metricName: String = "pack_shards"): DataFrame = {
     require(windowTokens > 0 && nShards > 0)
     // pmod needs a numeric id — fail loudly up front instead of the
     // opaque cast/analysis error a string url id would produce three
@@ -50,7 +51,10 @@ object Packing {
     df.select(col(id), pmod(col(id), lit(nShards.toLong)).as("shard"), nToks.as("n_tokens"))
       .withColumn("tok_end", sum(col("n_tokens")).over(w))
       .withColumn("__shard_toks", sum(col("n_tokens")).over(wAll))
-      .observe("pack_shards",
+      // metricName is a parameter (the repo's composability idiom —
+      // Spark rejects two same-named observed metrics in one plan, so
+      // a query packing two corpora must name them apart)
+      .observe(metricName,
         max(col("__shard_toks")).as("max_shard_tokens"),
         sum(col("n_tokens")).as("total_tokens"))
       .drop("__shard_toks")

@@ -34,7 +34,11 @@ object Sketches {
   def kmvDistinct(df: DataFrame, group: String, value: String, k: Int): DataFrame = {
     require(k >= 2, "kmvDistinct: k must be at least 2")
     val w = Window.partitionBy(col(group)).orderBy(col("u").asc)
-    df.select(col(group), col(value)).distinct()
+    // NULL values are excluded EXPLICITLY: a null hashes to a null u,
+    // which Spark's ASC ordering puts FIRST and most SQL engines put
+    // LAST — an engine-dependent k-minima set. Distinct-count semantics
+    // don't count NULL anyway.
+    df.select(col(group), col(value)).where(col(value).isNotNull).distinct()
       .select(col(group), u01(col(value)).as("u"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)

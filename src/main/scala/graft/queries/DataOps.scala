@@ -799,7 +799,7 @@ object DataOps {
     },
 
     "ev_kmv_distinct" ->
-      """WITH uq AS (SELECT DISTINCT event_type, event_id FROM events),
+      """WITH uq AS (SELECT DISTINCT event_type, event_id FROM events WHERE event_id IS NOT NULL),
         |h AS (
         |  SELECT event_type,
         |         (('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT)::DOUBLE
