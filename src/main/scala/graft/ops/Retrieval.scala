@@ -104,4 +104,28 @@ object Retrieval {
       .groupBy(col(id)).agg(round(sum(col("ts")), 4).as("score"))
     topKRanked(scored, id, k)
   }
+
+  /** Per-document top-n TF-IDF terms — the classic salience profile a
+    * corpus browser/keyword extractor wants, and the lexical
+    * feature-vector builder's core. tfidf = tf · ln(N/df); every
+    * floating-point step (long→double cast, ÷, ×, ln as in the
+    * BM25 oracle, round to 4) is replayed identically by the SQL
+    * oracle. Shape: one token-explode pass → (doc, term) partial tf →
+    * vocabulary-sized df table joined back (runtime-broadcastable) →
+    * per-doc top-n on the ROUNDED score via row_number, whose rank
+    * filter pushes a WindowGroupLimit below the sort (no doc's term
+    * list fully sorts). Output: (id, term, tf, df, tfidf, rn), rn ≤ n. */
+  def tfIdfTerms(docs: DataFrame, id: String, text: String, topN: Int): DataFrame = {
+    val toks = docs.select(col(id), tokens(text).as("term"))
+    val tf = toks.groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfT, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topN)
+      .select(col(id), col("term"), col("tf"), col("df"), col("tfidf"), col("rn"))
+  }
 }

@@ -299,6 +299,12 @@ object DataOps {
       Curation.redactPii(withPii, "doc_id", "txt")
     }),
 
+    // per-doc TF-IDF term salience: top-5 terms by tf*ln(N/df) —
+    // identical IEEE program on both engines (the BM25 oracle already
+    // pins ln parity)
+    "ir_tfidf_terms" -> ((s, dir) =>
+      Retrieval.tfIdfTerms(docs(s, dir), "doc_id", "text", 5)),
+
     // deterministic KMV (k-minimum-values) distinct sketch — the
     // theta-sketch family member that, unlike HLL, is a pure function
     // of a portable hash and so sits under the hash-exact oracle gate;
@@ -797,6 +803,22 @@ object DataOps {
          |       len(regexp_extract_all(txt, '$phone'))::INT AS n_phones
          |FROM withpii""".stripMargin
     },
+
+    "ir_tfidf_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df, tfidf, rn FROM (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |         round(t.tf * ln(n.n_docs / d.df), 4) AS tfidf,
+        |         row_number() OVER (
+        |           PARTITION BY t.doc_id
+        |           ORDER BY round(t.tf * ln(n.n_docs / d.df), 4) DESC, t.term ASC) AS rn
+        |  FROM tf t JOIN dfq d USING (term), n)
+        |WHERE rn <= 5""".stripMargin,
 
     "ev_kmv_distinct" ->
       """WITH uq AS (SELECT DISTINCT event_type, event_id FROM events WHERE event_id IS NOT NULL),

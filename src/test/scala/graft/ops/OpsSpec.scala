@@ -368,6 +368,25 @@ class OpsSpec extends AnyFunSuite {
     assert(total <= 1000000000L && total > 900000000L, s"mass off: $total")
   }
 
+  test("tfIdfTerms: rare term outranks ubiquitous term; df counts docs not occurrences") {
+    import graft.ops.Retrieval
+    // "common" in every doc (idf = ln(1) = 0 → never ranks), "rare" only
+    // in doc 1 but repeated — top salience there
+    val docs = Seq(
+      (1L, "common rare rare rare common"),
+      (2L, "common alpha"),
+      (3L, "common beta beta")).toDF("doc_id", "text")
+    val out = Retrieval.tfIdfTerms(docs, "doc_id", "text", 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rn")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df")))
+      .toMap
+    assert(out((1L, 1)) == ("rare", 3L, 1L), out.toString)
+    // df is per-DOC frequency: beta appears twice in doc 3 but df == 1
+    assert(out((3L, 1)) == ("beta", 2L, 1L), out.toString)
+    // ubiquitous term scores 0 and sorts below any positive-idf term
+    assert(out((2L, 1))._1 == "alpha" && out((2L, 2))._1 == "common")
+  }
+
   test("kmvDistinct: exact below k, sane estimate above k, duplicate/partition invariant") {
     val rows = (0 until 10).map(i => ("a", s"va$i")) ++
       (0 until 5000).map(i => ("b", s"vb$i"))
