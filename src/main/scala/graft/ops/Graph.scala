@@ -24,9 +24,12 @@ object Graph {
     * of the static weighted-degree edge table with the current ranks and
     * one partial-aggregated shuffle on dst — the standard iterative
     * DataFrame PageRank shape. The unrolled lineage is fine for fixed
-    * small `iters`; a production run checkpoints ranks per iteration
-    * (the kg.Pipeline parquet-ledger pattern) to cut lineage growth.
-    * Output: (vertex, pr) for every vertex.
+    * small `iters` (the default); pass `ledgerDir` to checkpoint ranks
+    * to parquet each iteration (the kg.Pipeline / ivfTopK ledger
+    * pattern) — lineage stays one-iteration deep no matter how many
+    * sweeps run, each iteration restarts from the last `ranks_<k>` dir,
+    * and the integer arithmetic makes the ledgered run BIT-identical to
+    * the unrolled one. Output: (vertex, pr) for every vertex.
     *
     * Preconditions (enforced): the weight column must be an integral
     * type — a float weight would make `div` coerce and break the
@@ -41,7 +44,8 @@ object Graph {
     * aggregation), so a bad weight fails the job loudly instead of
     * wrapping silently. */
   def pageRank(edges: DataFrame, src: String, dst: String, weight: String,
-      iters: Int = 5, scale: Long = 1000000000L): DataFrame = {
+      iters: Int = 5, scale: Long = 1000000000L,
+      ledgerDir: Option[String] = None): DataFrame = {
     val wType = edges.schema(weight).dataType
     require(Seq("byte", "short", "integer", "long").contains(wType.typeName),
       s"pageRank: weight column '$weight' must be integral, got ${wType.typeName} — " +
@@ -53,22 +57,35 @@ object Graph {
           "(non-positive corrupts weighted degrees; larger overflows scale*w): "),
         col(weight).cast("string"))))
       .otherwise(col(weight).cast("long"))
+    // with a ledger, each iteration's ranks land in parquet and the next
+    // reads them back — lineage never grows past one join+agg
+    def checkpoint(df: DataFrame, name: String): DataFrame = ledgerDir match {
+      case None => df
+      case Some(dir) =>
+        val path = s"$dir/$name"
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+        edges.sparkSession.read.parquet(path)
+    }
     val ed = edges.select(col(src).as("src"), col(dst).as("dst"), wGuarded.as("w"))
       .unionAll(edges.select(col(dst).as("src"), col(src).as("dst"), wGuarded.as("w")))
     val deg = ed.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
-    val edeg = ed.join(deg, "src")
-    val verts = ed.select(col("src").as("v")).distinct()
+    // the static loop-invariant sides (weighted-degree edges, vertex
+    // list) are ledgered ONCE so iterations re-read parquet instead of
+    // re-running the degree aggregation every sweep
+    val edeg = checkpoint(ed.join(deg, "src"), "edges_deg")
+    val verts = checkpoint(ed.select(col("src").as("v")).distinct(), "vertices")
     val nn = verts.agg(count(lit(1)).as("n"))
-    var ranks = verts.crossJoin(broadcast(nn))
-      .select(col("v"), expr(s"${scale}L div n").as("r"))
-    for (_ <- 0 until iters) {
+    var ranks = checkpoint(verts.crossJoin(broadcast(nn))
+      .select(col("v"), expr(s"${scale}L div n").as("r")), "ranks_0")
+    for (k <- 1 to iters) {
       val contrib = edeg.join(ranks.withColumnRenamed("v", "src"), "src")
         .select(col("dst").as("v"), expr("(r * w) div wdeg").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("cs"))
-      ranks = verts.join(contrib, Seq("v"), "left")
+      ranks = checkpoint(verts.join(contrib, Seq("v"), "left")
         .crossJoin(broadcast(nn))
         .select(col("v"),
-          expr(s"(15 * (${scale}L div n)) div 100 + (85 * coalesce(cs, 0L)) div 100").as("r"))
+          expr(s"(15 * (${scale}L div n)) div 100 + (85 * coalesce(cs, 0L)) div 100").as("r")),
+        s"ranks_$k")
     }
     ranks.select(col("v").as("vertex"), col("r").as("pr"))
   }

@@ -120,15 +120,49 @@ object StreamingQueries {
     // the batch q9 aggregation row for row. NOTE complete-mode state
     // grows with key cardinality (every (hour, type) ever seen stays in
     // the store) — fine for this bounded driver-contract compare; the
-    // production shape for an unbounded run is a watermark on ts +
-    // update mode to a file/kafka sink, which EVICTS windows older than
-    // the watermark (the `runToSink` doc's append-mode analog)
+    // production shape is `st_events_hourly_update` below (update mode
+    // to a file sink), plus a watermark on ts when arrival order allows
+    // eviction
     "st_events_hourly" -> ((s, dir) =>
       runToSink(s,
         streamTbl(s, dir, "events")
           .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")),
-        "complete")))
+        "complete")),
+
+    // the PRODUCTION shape of the same rollup: update mode to a FILE
+    // sink via foreachBatch — each micro-batch appends only the keys it
+    // changed (tagged with its batchId), and the reader resolves
+    // last-writer-wins per key. Unlike complete mode, emitted volume is
+    // per-batch delta, not the whole state table; the store itself still
+    // holds every live key, and in an unbounded deployment a watermark
+    // on ts would evict old windows — deliberately OMITTED here because
+    // the 4-file rewrite delivers hours in arbitrary order, so any
+    // finite watermark could silently drop legitimately-late rows and
+    // break stream ≡ batch. foreachBatch is at-least-once: a replayed
+    // batch re-appends identical (key, batchId) rows, which
+    // last-writer-wins absorbs — the sink is idempotent at the reader.
+    "st_events_hourly_update" -> ((s, dir) => {
+      val work = TmpDirs.fresh("st_upd")
+      val q = streamTbl(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch", lit(batchId))
+            .write.mode("append").parquet(work)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("hour"), col("event_type")).orderBy(col("batch").desc)
+      s.read.parquet(work)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("hour"), col("event_type"), col("n"), col("sum_value"))
+    }))
 
   val oracles: Map[String, String] = Map(
     // identical to the batch kg_triples / cu_hash_sample /
@@ -143,6 +177,11 @@ object StreamingQueries {
         |  FROM documents)
         |WHERE bucket < CASE stratum WHEN 'en' THEN 10000 WHEN 'de' THEN 2500 ELSE 500 END""".stripMargin,
     "st_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // the update-mode file-sink lane must converge to the SAME table
+    "st_events_hourly_update" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin)

@@ -366,6 +366,16 @@ class OpsSpec extends AnyFunSuite {
     // integer floor losses only shave mass, never create it
     val total = pr.values.sum
     assert(total <= 1000000000L && total > 900000000L, s"mass off: $total")
+    // the parquet-ledgered run (bounded lineage for large iters) is
+    // BIT-identical to the unrolled one — the integer-arithmetic contract
+    val dir = java.nio.file.Files.createTempDirectory("pr_ledger").toString
+    val ledgered = Graph.pageRank(edges, "s", "d", "w", 5, ledgerDir = Some(dir))
+      .collect().map(r => r.getAs[String]("vertex") -> r.getAs[Long]("pr")).toMap
+    assert(ledgered == pr, "ledgered ranks must equal unrolled ranks")
+    // and the ledger holds per-iteration restart points
+    assert(new java.io.File(s"$dir/ranks_5").exists() &&
+      new java.io.File(s"$dir/edges_deg").exists())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
   test("tfIdfTerms: rare term outranks ubiquitous term; df counts docs not occurrences") {
@@ -669,26 +679,15 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(m => (m.width, m.height)).toSeq == Seq((16, 16), (40, 20)))
   }
 
-  // -- observe-metric capture: the ops surface scale guards as named
-  // observe() metrics; QueryExecutionListener delivery is async, so poll
+  // -- observe-metric capture through the USER-FACING surface
+  // (ops.Metrics.Collector): the ops emit scale guards as named
+  // observe() metrics, and this is how a caller reads them
   private def observedMetric(df: org.apache.spark.sql.DataFrame,
-      metric: String): org.apache.spark.sql.Row = {
-    @volatile var row: Option[org.apache.spark.sql.Row] = None
-    val l = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-        qe.observedMetrics.get(metric).foreach(r => row = Some(r))
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
-    }
-    spark.listenerManager.register(l)
-    try {
+      metric: String): org.apache.spark.sql.Row =
+    Metrics.collecting(spark) { c =>
       df.collect()
-      val deadline = System.currentTimeMillis + 20000
-      while (row.isEmpty && System.currentTimeMillis < deadline) Thread.sleep(50)
-      row.getOrElse(fail(s"observe metric '$metric' never arrived"))
-    } finally spark.listenerManager.unregister(l)
-  }
+      c.await(metric)
+    }
 
   test("minhash candidatePairs: oversized band buckets are capped and observed") {
     // 12 ids share (band 0, bucket X) — over the cap of 10 → its 66
