@@ -48,4 +48,50 @@ object Sketches {
         round(when(col("n_minima") < k, col("n_minima").cast("double"))
           .otherwise((lit(k - 1) / col("uk"))), 4).as("est_distinct"))
   }
+
+  /** Count-min sketch build over an occurrence column: `d` LCG-mixed
+    * hash rows (the [[graft.ops.Dedup.minhashA]] universal-hash scheme —
+    * one md5 per occurrence, `d` multiply-adds) × `w` buckets. The
+    * sketch is MERGEABLE, which is the whole 100-TB story: every
+    * partition folds its occurrences into ≤ d·w local cells map-side
+    * (partial agg), and one shuffle of those cells sums them into the
+    * global d·w table — counts never meet by key, so a trillion-token
+    * corpus reduces to a few-KB artifact in one pass. Estimates
+    * overcount only (collisions add, never subtract): est ≥ exact, and
+    * E[err] ≤ total/w per row, min over d rows.
+    * Input rows are occurrences (one row = count 1). NULL values are
+    * skipped. Output: (seed, bucket, n) — at most d·w rows. */
+  def cmsBuild(df: DataFrame, value: String, d: Int = 4, w: Int = 1024): DataFrame = {
+    require(d >= 1 && w >= 2, "cmsBuild: need d >= 1 hash rows and w >= 2 buckets")
+    df.where(col(value).isNotNull)
+      .select(posexplode(array((0 until d).map(j => cmsBucket(col(value), j, w)): _*))
+        .as(Seq("seed", "bucket")))
+      .groupBy(col("seed"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Point estimate for each distinct probe value: min over the d rows
+    * of the probed cell. The sketch side is tiny (≤ d·w cells) and is
+    * BROADCAST — probing never shuffles the sketch, and the probe side
+    * keeps its partitioning. Cells no probe hashed into simply don't
+    * join; a probe value absent from the build still hits d live-or-
+    * empty cells, so missing cells read as 0. Output: probe columns +
+    * est_n. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, value: String,
+      d: Int = 4, w: Int = 1024): DataFrame = {
+    val pb = probes
+      .select(col("*"), posexplode(array((0 until d).map(j => cmsBucket(col(value), j, w)): _*))
+        .as(Seq("seed", "bucket")))
+    pb.join(broadcast(sketch), Seq("seed", "bucket"), "left")
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
+  }
+
+  /** Row-`j` CMS bucket of a value: md5 once, LCG-mix per row, mod w.
+    * All intermediates < 2^62 — exact int64 in any engine (the same
+    * argument as the MinHash scheme, which shares the constants). */
+  private def cmsBucket(c: org.apache.spark.sql.Column, j: Int, w: Int) =
+    ((lit(Dedup.minhashA(j)) * (conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("long") % Dedup.MinhashP)
+      + lit(Dedup.minhashB(j))) % Dedup.MinhashP) % w
 }

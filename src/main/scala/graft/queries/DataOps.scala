@@ -313,6 +313,23 @@ object DataOps {
       graft.ops.Sketches.kmvDistinct(
         s.read.parquet(s"$dir/events.parquet"), "event_type", "event_id", 64)),
 
+    // count-min heavy hitters: the exact top-20 whitespace tokens with
+    // their CMS point estimates alongside (est_n ≥ n_exact always —
+    // collisions only add). The sketch is the mergeable-artifact story:
+    // occurrences fold map-side into ≤ d·w cells, ONE cell shuffle, and
+    // the few-KB sketch broadcasts to the probe side. The exact counts
+    // here are the demo's ground truth — at 100 TB you'd keep ONLY the
+    // sketch
+    "ev_cms_heavy" -> ((s, dir) => {
+      val toks = docs(s, dir).where(col("text").isNotNull)
+        .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("token"))
+      val sketch = graft.ops.Sketches.cmsBuild(toks, "token", 4, 1024)
+      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token").asc).limit(20)
+      graft.ops.Sketches.cmsEstimate(sketch, top, "token", 4, 1024)
+        .select(col("token"), col("n_exact"), col("est_n"))
+    }),
+
     // ---- text analysis ----
     "ta_langid" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
@@ -835,6 +852,27 @@ object DataOps {
         |       round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
         |                  ELSE 63 / max(u) END, 4) AS est_distinct
         |FROM rk WHERE rn <= 64 GROUP BY event_type""".stripMargin,
+
+    // CMS cells and probes share the MinHash universal-hash scheme, so
+    // the oracle reuses minhashHashSql verbatim (seed = sketch row)
+    "ev_cms_heavy" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |cells AS (
+         |  SELECT seed, (${minhashHashSql("token")}) % 1024 AS bucket, count(*) AS n
+         |  FROM toks, generate_series(0, 3) AS t(seed)
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT token, count(*) AS n_exact FROM toks GROUP BY 1
+         |  ORDER BY n_exact DESC, token LIMIT 20),
+         |probes AS (
+         |  SELECT token, n_exact, seed, (${minhashHashSql("token")}) % 1024 AS bucket
+         |  FROM top, generate_series(0, 3) AS t(seed))
+         |SELECT p.token, p.n_exact::BIGINT AS n_exact,
+         |       min(coalesce(c.n, 0))::BIGINT AS est_n
+         |FROM probes p LEFT JOIN cells c USING (seed, bucket)
+         |GROUP BY 1, p.n_exact""".stripMargin,
 
     "cu_decontaminate" ->
       s"""WITH bench0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),

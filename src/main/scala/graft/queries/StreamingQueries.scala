@@ -162,7 +162,25 @@ object StreamingQueries {
       s.read.parquet(work)
         .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select(col("hour"), col("event_type"), col("n"), col("sum_value"))
-    }))
+    }),
+
+    // streaming EXACT DEDUP — the training-pipeline staple, stateful
+    // across micro-batches: `dropDuplicates` keeps the first arrival of
+    // each content fingerprint in the state store and suppresses every
+    // later duplicate, so the emitted key set is exactly the batch
+    // DISTINCT (which arrival "wins" is order-dependent; the key set is
+    // not — hence only the fingerprint is emitted). State grows with
+    // distinct keys; the unbounded-deployment shape is
+    // `dropDuplicatesWithinWatermark` on an event-time column, which
+    // evicts fingerprints older than the watermark — not used here
+    // because testdata duplicates carry no bounded-lateness guarantee.
+    // null text fingerprints as "" (the Dedup kernel convention).
+    "st_exact_dedup" -> ((s, dir) =>
+      runToSink(s,
+        streamTbl(s, dir, "documents")
+          .select(md5(coalesce(col("text"), lit(""))).as("text_md5"))
+          .dropDuplicates("text_md5"),
+        "append")))
 
   val oracles: Map[String, String] = Map(
     // identical to the batch kg_triples / cu_hash_sample /
@@ -184,5 +202,8 @@ object StreamingQueries {
     "st_events_hourly_update" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |       round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // stream-dedup'd fingerprints ≡ batch DISTINCT
+    "st_exact_dedup" ->
+      "SELECT DISTINCT md5(coalesce(text, '')) AS text_md5 FROM documents")
 }

@@ -415,6 +415,34 @@ class OpsSpec extends AnyFunSuite {
     assert(run(df.union(df).repartition(13)) == out)
   }
 
+  test("cms: overcount-only, exact at wide w, cell-wise mergeable, layout invariant") {
+    import graft.ops.Sketches
+    val occ = (0 until 400).map(i => s"tok${i % 37}").toDF("v")
+    val exact = occ.groupBy($"v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def est(d: Int, w: Int): Map[String, Long] =
+      Sketches.cmsEstimate(Sketches.cmsBuild(occ, "v", d, w),
+          occ.select($"v").distinct(), "v", d, w)
+        .collect().map(r => r.getAs[String]("v") -> r.getAs[Long]("est_n")).toMap
+    // wide sketch: 37 keys into 4×4096 cells — collisions are possible
+    // but estimates can never UNDERcount; at this width they are exact
+    val wide = est(4, 4096)
+    assert(wide == exact, "wide CMS should be collision-free here")
+    // narrow sketch (w=8): heavy collisions — still never undercounts
+    val narrow = est(4, 8)
+    exact.foreach { case (k, n) => assert(narrow(k) >= n, s"undercount at $k") }
+    // mergeability: sketch(A ∪ B) == cell-wise sum of sketch(A), sketch(B)
+    val (a, b) = (occ.where(length($"v") === 4), occ.where(length($"v") =!= 4))
+    def cells(d: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      Sketches.cmsBuild(d, "v", 4, 64).collect()
+        .map(r => (r.getAs[Int]("seed"), r.getAs[Long]("bucket")) -> r.getAs[Long]("n")).toMap
+    val merged = (cells(a).toSeq ++ cells(b).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(merged == cells(occ), "cell-wise merge law")
+    // physical layout must not move a deterministic sketch
+    assert(cells(occ.repartition(13)) == cells(occ))
+  }
+
   test("triangleCount: known graphs; mirrors/self-loops/duplicates collapse") {
     import graft.ops.Graph
     def tri(edges: Seq[(Long, Long)]): Long =
