@@ -313,6 +313,20 @@ object DataOps {
       graft.ops.Sketches.kmvDistinct(
         s.read.parquet(s"$dir/events.parquet"), "event_type", "event_id", 64)),
 
+    // Morton z-value layout key: bit-interleaved (l_partkey, l_suppkey)
+    // — the clustering column a 100-TB table writes `repartitionByRange
+    // + sortWithinPartitions` on so parquet/Iceberg min-max envelopes
+    // prune files for predicates on EITHER dimension (Layout.zOrderWrite
+    // + fileSkipStats carry the skip evidence; OpsSpec pins it). The
+    // oracle is GENERATED from the same (bits, scale) parameters as the
+    // Scala program, so the two bit-interleave programs cannot drift
+    "lo_zorder" -> ((s, dir) =>
+      graft.ops.Layout.zValue(
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey", 8)),
+
     // count-min heavy hitters: the exact top-20 whitespace tokens with
     // their CMS point estimates alongside (est_n ≥ n_exact always —
     // collisions only add). The sketch is the mergeable-artifact story:
@@ -852,6 +866,9 @@ object DataOps {
         |       round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
         |                  ELSE 63 / max(u) END, 4) AS est_distinct
         |FROM rk WHERE rn <= 64 GROUP BY event_type""".stripMargin,
+
+    "lo_zorder" -> graft.ops.Layout.zValueSql("lineitem", "l_partkey", "l_suppkey", 8,
+      Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
 
     // CMS cells and probes share the MinHash universal-hash scheme, so
     // the oracle reuses minhashHashSql verbatim (seed = sketch row)

@@ -443,6 +443,47 @@ class OpsSpec extends AnyFunSuite {
     assert(cells(occ.repartition(13)) == cells(occ))
   }
 
+  test("zValue: bit interleave matches the textbook Morton curve") {
+    import graft.ops.Layout
+    // 4×4 grid at bits=2, natural 0..3 range (min-max scale = identity):
+    // z = y1 x1 y0 x0 — e.g. (1,0)→1, (0,1)→2, (3,3)→15
+    val grid = (for { x <- 0L to 3L; y <- 0L to 3L } yield (x, y)).toDF("x", "y")
+    val z = Layout.zValue(grid, "x", "y", 2).collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")) -> r.getAs[Long]("zval")).toMap
+    def morton(x: Long, y: Long): Long =
+      (0 until 2).map(i => (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))).sum
+    for { x <- 0L to 3L; y <- 0L to 3L }
+      assert(z((x, y)) == morton(x, y), s"($x,$y)")
+    // a constant column scales to 0 (degenerate-range guard)
+    val flat = Layout.zValue(grid.withColumn("y", lit(7L)), "x", "y", 2).collect()
+    assert(flat.forall(r => r.getAs[Long]("zval") == morton(r.getAs[Long]("x"), 0)))
+  }
+
+  test("zOrderWrite: file envelopes prune BOTH dimensions; x-sort prunes only x") {
+    import graft.ops.Layout
+    val pts = (for { x <- 0L until 64L; y <- 0L until 64L } yield (x, y))
+      .toDF("x", "y")
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val xDir = java.nio.file.Files.createTempDirectory("xsort").toString
+    Layout.zOrderWrite(pts, "x", "y", zDir, bits = 6, nFiles = 16)
+    // the baseline layout every warehouse starts with: sorted by x only
+    pts.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(xDir)
+    // x-selective box: both layouts should skip most files
+    val (zSkipX, zTot) = Layout.fileSkipStats(spark, zDir, "x", "y", 0, 7, 0, 63)
+    val (xSkipX, xTot) = Layout.fileSkipStats(spark, xDir, "x", "y", 0, 7, 0, 63)
+    assert(zSkipX >= zTot / 2, s"z layout should skip an x-box: $zSkipX/$zTot")
+    assert(xSkipX >= xTot / 2, s"x layout should skip an x-box: $xSkipX/$xTot")
+    // y-selective box: the x-sorted layout is BLIND (every file spans
+    // all of y); the z layout still skips — the whole point of Morton
+    val (zSkipY, _) = Layout.fileSkipStats(spark, zDir, "x", "y", 0, 63, 0, 7)
+    val (xSkipY, _) = Layout.fileSkipStats(spark, xDir, "x", "y", 0, 63, 0, 7)
+    assert(xSkipY == 0, s"x-sorted layout cannot prune on y, got $xSkipY")
+    assert(zSkipY >= zTot / 2, s"z layout must prune on y too: $zSkipY/$zTot")
+    Seq(zDir, xDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
   test("triangleCount: known graphs; mirrors/self-loops/duplicates collapse") {
     import graft.ops.Graph
     def tri(edges: Seq[(Long, Long)]): Long =
