@@ -65,6 +65,63 @@ object StreamingQueries {
       .parquet(streamDir)
   }
 
+  /** Events as a TIME-ORDERED bounded stream: 4 ts-range files whose
+    * modification times follow the range order (the file source replays
+    * oldest-mtime first), plus a 5th far-future SENTINEL heartbeat row
+    * (user_id = −1). This is the layout that makes a `0 seconds`
+    * watermark sound: every later micro-batch's event times are ≥ the
+    * watermark set by the previous one (range partitioning co-locates
+    * equal keys), so nothing is ever late-dropped, and the sentinel
+    * advances the final watermark past every real session so append
+    * mode flushes them all — the standard punctuation/heartbeat trick
+    * for draining event-time state in a bounded replay. */
+  private def eventsByTsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = s"$dir/events.parquet"
+    val tmp = TmpDirs.cached(s"stts:$src", "st_ts_events")
+    if (!Files.exists(Paths.get(tmp, "_SUCCESS"))) {
+      val ev = s.read.parquet(src)
+      val staging = tmp + "_stage"
+      ev.repartitionByRange(4, col("ts")).sortWithinPartitions(col("ts"))
+        .write.mode("overwrite").parquet(staging)
+      // TWO heartbeat files: the watermark advances at the end of the
+      // batch that READS a file, but state is flushed by the batch
+      // AFTER that — so the +2h sentinel raises the watermark past all
+      // real sessions and the +4h one triggers the batch that actually
+      // emits them (AvailableNow stops when the files run out; a single
+      // sentinel would leave the final sessions stuck in the store)
+      val sentStage = tmp + "_sentinel"
+      ev.agg(max(col("ts")).as("m"))
+        .select(explode(array(expr("m + INTERVAL 2 HOURS"),
+          expr("m + INTERVAL 4 HOURS"))).as("ts"))
+        .select(lit(-1L).as("event_id"), col("ts"), lit(-1L).as("user_id"),
+          lit("sentinel").as("event_type"), lit(0.0).as("value"), lit("").as("props"))
+        .repartitionByRange(2, col("ts")).sortWithinPartitions(col("ts"))
+        .write.mode("overwrite").parquet(sentStage)
+      Files.createDirectories(Paths.get(tmp))
+      val parts = new java.io.File(staging).listFiles
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName) ++
+        new java.io.File(sentStage).listFiles
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        val dst = Paths.get(tmp, f"f$i%02d.parquet")
+        Files.copy(f.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+        // explicit second-spaced mtimes pin the replay order to the
+        // ts-range order regardless of copy timing
+        dst.toFile.setLastModified(1000000000000L + i * 1000L)
+        ()
+      }
+      Files.write(Paths.get(tmp, "_SUCCESS"), Array.emptyByteArray)
+      ()
+    }
+    s.readStream
+      .schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // stateless curation on a stream: hashSample is a pure column
     // program, so it applies to a streaming DataFrame unchanged — the
@@ -180,6 +237,36 @@ object StreamingQueries {
         streamTbl(s, dir, "documents")
           .select(md5(coalesce(col("text"), lit(""))).as("text_md5"))
           .dropDuplicates("text_md5"),
+        "append")),
+
+    // streaming SESSION WINDOWS — the state-merging aggregation (session
+    // boundaries move as events arrive; Spark merges overlapping
+    // [ts, ts+gap) windows in the store). Event-time append mode with a
+    // 0-second watermark is sound ONLY on the time-ordered replay
+    // (eventsByTsStream): batches arrive in ts-range order so nothing is
+    // late, and the sentinel heartbeat drains the final sessions.
+    // Session rule: a gap ≥ 30 min splits (windows are half-open, so an
+    // exactly-30-min gap does NOT merge) — the oracle mirrors that exact
+    // boundary at µs precision, NOT q10's floor-seconds `> 1800` rule.
+    "st_sessionize" -> ((s, dir) =>
+      runToSink(s,
+        eventsByTsStream(s, dir)
+          // event-time ops require TIMESTAMP (the table is NTZ; the
+          // session is pinned UTC, so the cast preserves the instant)
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "0 seconds")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          // the sentinel filter MUST ride an aggregate output: a filter
+          // on the grouping key (`where(user_id >= 0)`) gets pushed
+          // below the aggregation into the scan, dropping the heartbeat
+          // rows BEFORE the watermark operator ever sees them — the
+          // watermark then never advances and the final sessions stay
+          // stuck in state. min(user_id) ≡ user_id per group but is
+          // un-pushable.
+          .agg(count(lit(1)).as("n_events"), min(col("user_id")).as("__u"))
+          .where(col("__u") >= 0)
+          .select(col("user_id"), col("sw.start").as("t_start"),
+            col("sw.end").as("t_end"), col("n_events")),
         "append")))
 
   val oracles: Map[String, String] = Map(
@@ -205,5 +292,22 @@ object StreamingQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
     // stream-dedup'd fingerprints ≡ batch DISTINCT
     "st_exact_dedup" ->
-      "SELECT DISTINCT md5(coalesce(text, '')) AS text_md5 FROM documents")
+      "SELECT DISTINCT md5(coalesce(text, '')) AS text_md5 FROM documents",
+    // batch re-derivation of Spark's session_window semantics: split on
+    // gap ≥ 30 min at µs precision; window end = last event + gap
+    "st_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS t_start, max(ts) + INTERVAL 30 MINUTE AS t_end,
+        |       count(*) AS n_events
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin)
 }
