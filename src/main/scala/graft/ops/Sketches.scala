@@ -94,4 +94,37 @@ object Sketches {
     ((lit(Dedup.minhashA(j)) * (conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
         .cast("long") % Dedup.MinhashP)
       + lit(Dedup.minhashB(j))) % Dedup.MinhashP) % w
+
+  /** Bloom filter build: the SET bit positions of `d` hash functions ×
+    * `w` bits, as a (seed, bucket) table of ≤ d·w rows — deterministic
+    * (the CMS bucket scheme), so false positives are REPRODUCIBLE in
+    * any engine, which is what lets a membership sketch sit under the
+    * oracle gate at all. Mergeable by construction: the bit table of a
+    * union is the distinct-union of the bit tables (bit-OR), one
+    * partial-agg shuffle. At 100 TB the build side is the SMALL set
+    * (a benchmark suite, a blocklist) and the d·w-bit artifact
+    * broadcasts to every probe partition. */
+  def bloomBuild(df: DataFrame, value: String, d: Int = 3, w: Int = 4096): DataFrame = {
+    require(d >= 1 && w >= 2, "bloomBuild: need d >= 1 hashes and w >= 2 bits")
+    df.where(col(value).isNotNull)
+      .select(posexplode(array((0 until d).map(j => cmsBucket(col(value), j, w)): _*))
+        .as(Seq("seed", "bucket")))
+      .distinct()
+  }
+
+  /** Probe rows whose value hits ALL `d` set bits — the maybe-present
+    * set (never misses a true member; false positives are deterministic
+    * and mirrored by the oracle). The bit table is broadcast; the probe
+    * side keeps its partitioning and never shuffles. */
+  def bloomMightContain(bits: DataFrame, probes: DataFrame, value: String,
+      d: Int = 3, w: Int = 4096): DataFrame = {
+    val pb = probes.where(col(value).isNotNull)
+      .select(col("*"), posexplode(array((0 until d).map(j => cmsBucket(col(value), j, w)): _*))
+        .as(Seq("seed", "bucket")))
+    pb.join(broadcast(bits), Seq("seed", "bucket"))
+      .groupBy(probes.columns.map(col): _*)
+      .agg(count(lit(1)).as("__hits"))
+      .where(col("__hits") === d)
+      .drop("__hits")
+  }
 }

@@ -257,6 +257,22 @@ object DataOps {
       Curation.decontaminate(corpus, bench, "doc_id", "text", 8, 0.5)
     }),
 
+    // Bloom-filter decontamination PRE-filter: the membership sketch
+    // that makes exact-match decontamination 100-TB-shaped — the bench
+    // set's d·w-bit table broadcasts, the corpus streams past it with
+    // zero shuffle, and only the maybe-present sliver (true copies +
+    // deterministic, oracle-mirrored false positives) goes on to the
+    // expensive verify (cu_decontaminate's containment join)
+    "cu_bloom_prefilter" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("fp"))
+      val bench = base.where(col("doc_id") % 97 === 0)
+      val corpus = base.where(col("doc_id") % 97 =!= 0)
+        .union(bench.select((col("doc_id") + 4000000L).as("doc_id"), col("fp")))
+      val bits = graft.ops.Sketches.bloomBuild(bench, "fp", 3, 4096)
+      graft.ops.Sketches.bloomMightContain(bits, corpus, "fp", 3, 4096)
+    }),
+
     // deterministic train/val/test assignment — the id-hash companion
     // to cu_hash_sample: a doc's split never changes across reruns or
     // corpus growth
@@ -890,6 +906,22 @@ object DataOps {
          |       min(coalesce(c.n, 0))::BIGINT AS est_n
          |FROM probes p LEFT JOIN cells c USING (seed, bucket)
          |GROUP BY 1, p.n_exact""".stripMargin,
+
+    // the bloom bit/probe buckets reuse minhashHashSql (seed = hash fn)
+    "cu_bloom_prefilter" ->
+      s"""WITH base AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents),
+         |bench AS (SELECT doc_id, fp FROM base WHERE doc_id % 97 = 0),
+         |corpus AS (
+         |  SELECT doc_id, fp FROM base WHERE doc_id % 97 <> 0
+         |  UNION ALL SELECT doc_id + 4000000 AS doc_id, fp FROM bench),
+         |bits AS (
+         |  SELECT DISTINCT seed, (${minhashHashSql("fp")}) % 4096 AS bucket
+         |  FROM bench, generate_series(0, 2) AS t(seed)),
+         |probe AS (
+         |  SELECT doc_id, fp, seed, (${minhashHashSql("fp")}) % 4096 AS bucket
+         |  FROM corpus, generate_series(0, 2) AS t(seed))
+         |SELECT p.doc_id, p.fp FROM probe p JOIN bits b USING (seed, bucket)
+         |GROUP BY 1, 2 HAVING count(*) = 3""".stripMargin,
 
     "cu_decontaminate" ->
       s"""WITH bench0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),

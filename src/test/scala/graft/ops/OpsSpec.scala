@@ -443,6 +443,27 @@ class OpsSpec extends AnyFunSuite {
     assert(cells(occ.repartition(13)) == cells(occ))
   }
 
+  test("bloom: no false negatives, excludes at wide w, bit-OR mergeable") {
+    import graft.ops.Sketches
+    val members = (0 until 50).map(i => s"m$i").toDF("v")
+    val probes = (0 until 50).map(i => s"m$i").union((0 until 200).map(i => s"x$i")).toDF("v")
+    def flagged(bits: org.apache.spark.sql.DataFrame, d: Int, w: Int): Set[String] =
+      Sketches.bloomMightContain(bits, probes, "v", d, w)
+        .collect().map(_.getAs[String]("v")).toSet
+    // every true member is flagged, at ANY width (no false negatives)
+    val narrow = flagged(Sketches.bloomBuild(members, "v", 3, 64), 3, 64)
+    assert((0 until 50).forall(i => narrow(s"m$i")), "false negative at w=64")
+    // wide filter: 50 keys in 3×65536 bits — FP odds negligible, exact
+    val wide = flagged(Sketches.bloomBuild(members, "v", 3, 65536), 3, 65536)
+    assert(wide == (0 until 50).map(i => s"m$i").toSet, s"FPs at wide w: ${wide.size}")
+    // merge law: bits(A ∪ B) == distinct-union (bit-OR) of bits(A), bits(B)
+    val (a, b) = (members.where($"v" < "m3"), members.where($"v" >= "m3"))
+    def bitset(d: org.apache.spark.sql.DataFrame): Set[(Int, Long)] =
+      Sketches.bloomBuild(d, "v", 3, 64).collect()
+        .map(r => (r.getAs[Int]("seed"), r.getAs[Long]("bucket"))).toSet
+    assert((bitset(a) union bitset(b)) == bitset(members), "bit-OR merge law")
+  }
+
   test("zValue: bit interleave matches the textbook Morton curve") {
     import graft.ops.Layout
     // 4×4 grid at bits=2, natural 0..3 range (min-max scale = identity):
