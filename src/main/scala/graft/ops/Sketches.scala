@@ -112,6 +112,51 @@ object Sketches {
       .distinct()
   }
 
+  /** Fixed-bin histogram quantiles — the deterministic stand-in for
+    * t-digest/GK (whose merge results are order-dependent and so can
+    * never sit under a cross-engine hash oracle). Two scans: one tiny
+    * (lo, hi, n) aggregate broadcast back (a lakehouse reads these from
+    * table stats instead), then one partial-agg fold of every value
+    * into ≤ `bins` cells — the histogram is MERGEABLE (cell-wise sum),
+    * so at 100 TB each partition ships `bins` longs, never values.
+    * Estimates interpolate linearly inside the covering bin; identical
+    * IEEE expression order on both engines makes them hash-exact.
+    * Error is bounded by one bin width. NULLs are skipped. Degenerate
+    * range (lo == hi) collapses to bin 0 and estimates lo.
+    * Output: (q, est) per requested quantile. */
+  def histQuantiles(df: DataFrame, value: String, bins: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(bins >= 1, "histQuantiles: bins must be >= 1")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "histQuantiles: quantiles must lie in (0, 1]")
+    val spark = df.sparkSession
+    val v = col(value)
+    val vals = df.where(v.isNotNull)
+    val mm = vals.agg(min(v).cast("double").as("lo"), max(v).cast("double").as("hi"),
+      count(lit(1)).as("n"))
+    val cells = vals.crossJoin(broadcast(mm))
+      .select(
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(lit(bins - 1), greatest(lit(0),
+            floor((v.cast("double") - col("lo")) * bins / (col("hi") - col("lo")))
+              .cast("int")))).as("bin"),
+        col("lo"), col("hi"), col("n"))
+      .groupBy(col("bin"), col("lo"), col("hi"), col("n"))
+      .agg(count(lit(1)).as("nb"))
+    // cumulative over ≤ bins cells — a single-partition window over a
+    // few hundred rows, NOT over the data
+    val w = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cells.withColumn("cumb", coalesce(sum(col("nb")).over(w), lit(0L)))
+    import spark.implicits._
+    val qdf = qs.toDF("q")
+    cum.crossJoin(broadcast(qdf))
+      .where(col("q") * col("n") > col("cumb") &&
+        col("q") * col("n") <= col("cumb") + col("nb"))
+      .select(col("q"),
+        round(col("lo") + (col("bin") + (col("q") * col("n") - col("cumb")) / col("nb"))
+          * ((col("hi") - col("lo")) / lit(bins.toDouble)), 4).as("est"))
+  }
+
   /** Probe rows whose value hits ALL `d` set bits — the maybe-present
     * set (never misses a true member; false positives are deterministic
     * and mirrored by the oracle). The bit table is broadcast; the probe

@@ -343,6 +343,14 @@ object DataOps {
             col("l_partkey"), col("l_suppkey")),
         "l_partkey", "l_suppkey", 8)),
 
+    // mergeable fixed-bin histogram quantiles (the deterministic
+    // t-digest stand-in): p50/p90/p99 of events.value from a 200-cell
+    // histogram — each partition ships 200 longs, never values
+    "ev_hist_quantiles" -> ((s, dir) =>
+      graft.ops.Sketches.histQuantiles(
+        s.read.parquet(s"$dir/events.parquet"), "value", 200,
+        Seq(0.5, 0.9, 0.99))),
+
     // count-min heavy hitters: the exact top-20 whitespace tokens with
     // their CMS point estimates alongside (est_n ≥ n_exact always —
     // collisions only add). The sketch is the mergeable-artifact story:
@@ -885,6 +893,29 @@ object DataOps {
 
     "lo_zorder" -> graft.ops.Layout.zValueSql("lineitem", "l_partkey", "l_suppkey", 8,
       Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+
+    // same binning + interpolation expression tree, IEEE-identical;
+    // `+ 0` normalizes DuckDB's retained -0.0 after round
+    "ev_hist_quantiles" ->
+      """WITH mm AS (
+        |  SELECT min(value)::DOUBLE AS lo, max(value)::DOUBLE AS hi, count(*) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |cells AS (
+        |  SELECT CASE WHEN hi = lo THEN 0
+        |              ELSE least(199, greatest(0,
+        |                floor((value::DOUBLE - lo) * 200 / (hi - lo))::INT)) END AS bin,
+        |         lo, hi, n, count(*) AS nb
+        |  FROM events, mm WHERE value IS NOT NULL
+        |  GROUP BY 1, 2, 3, 4),
+        |cum AS (
+        |  SELECT bin, lo, hi, n, nb,
+        |         coalesce(sum(nb) OVER (ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM cells),
+        |qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+        |SELECT q, round(lo + (bin + (q * n - cumb) / nb) * ((hi - lo) / 200.0), 4) + 0 AS est
+        |FROM cum, qs
+        |WHERE q * n > cumb AND q * n <= cumb + nb""".stripMargin,
 
     // CMS cells and probes share the MinHash universal-hash scheme, so
     // the oracle reuses minhashHashSql verbatim (seed = sketch row)

@@ -443,6 +443,23 @@ class OpsSpec extends AnyFunSuite {
     assert(cells(occ.repartition(13)) == cells(occ))
   }
 
+  test("histQuantiles: within one bin width of exact, layout invariant") {
+    import graft.ops.Sketches
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    def run(d: org.apache.spark.sql.DataFrame): Map[Double, Double] =
+      Sketches.histQuantiles(d, "v", 100, Seq(0.5, 0.99)).collect()
+        .map(r => r.getAs[Double]("q") -> r.getAs[Double]("est")).toMap
+    val out = run(df)
+    val width = (1000.0 - 1.0) / 100
+    assert(math.abs(out(0.5) - 500.5) <= width, out.toString)
+    assert(math.abs(out(0.99) - 990.1) <= width, out.toString)
+    // partitioning must not move a deterministic mergeable histogram
+    assert(run(df.repartition(7)) == out)
+    // degenerate range: every value equal → every quantile IS that value
+    val flat = run((1 to 50).map(_ => 42.0).toDF("v"))
+    assert(flat == Map(0.5 -> 42.0, 0.99 -> 42.0), flat.toString)
+  }
+
   test("bloom: no false negatives, excludes at wide w, bit-OR mergeable") {
     import graft.ops.Sketches
     val members = (0 until 50).map(i => s"m$i").toDF("v")
