@@ -90,6 +90,54 @@ object Graph {
     ranks.select(col("v").as("vertex"), col("r").as("pr"))
   }
 
+  /** k-core peel: the maximal induced subgraph where every vertex has
+    * degree ≥ k, via `rounds` fixed peel iterations — each round
+    * re-derives degrees over the survivor-induced subgraph (two
+    * semi-join-shaped hash joins + one partial-agg degree count, the
+    * same per-round shape as the distributed CC loop) and drops
+    * vertices below k. Peeling is MONOTONE: once the core is reached,
+    * further rounds are no-ops — so any `rounds` ≥ the true peel depth
+    * yields the exact k-core, and a fixed-rounds run is reproducible in
+    * an engine with no iteration primitive (the oracle unrolls the same
+    * rounds; OpsSpec pins convergence by comparing rounds to rounds+1).
+    *
+    * Survivors are MATERIALIZED each round (localCheckpoint, or a
+    * parquet ledger via `ledgerDir` — the pageRank pattern, restartable
+    * per round). This is not an optimization: each round references the
+    * survivor set TWICE (both join sides), and Catalyst plans are trees,
+    * so an unrolled loop duplicates the previous round's subtree per
+    * reference — 2^rounds plan nodes, which stalls the optimizer dead
+    * around 8 rounds. Checkpointing caps the tree at one round.
+    * Input treated as undirected; self-loops and duplicate/mirrored
+    * edges collapse first. Output: (vertex, deg) — the core-induced
+    * degree. */
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int,
+      rounds: Int, ledgerDir: Option[String] = None): DataFrame = {
+    require(k >= 1 && rounds >= 1, "kCore: need k >= 1 and rounds >= 1")
+    def materialize(df: DataFrame, name: String): DataFrame = ledgerDir match {
+      case None => df.localCheckpoint()
+      case Some(dir) =>
+        val path = s"$dir/$name"
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+        edges.sparkSession.read.parquet(path)
+    }
+    val und = materialize(edges
+      .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct(), "edges_und")
+    var live = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    for (r <- 1 to rounds) {
+      val e2 = und
+        .join(live.select(col("v").as("a")), Seq("a"))
+        .join(live.select(col("v").as("b")), Seq("b"))
+      live = materialize(e2.select(col("a").as("v")).unionAll(e2.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k), s"survivors_$r")
+    }
+    live.select(col("v").as("vertex"), col("deg"))
+  }
+
   /** Triangle count over an undirected edge list, degree-ordered
     * orientation: each edge points from its lower to its higher
     * (degree, id) endpoint, wedges are enumerated by self-joining the

@@ -277,6 +277,21 @@ object KgQueries {
         .where(col("e") < col("e2"))
         .select(col("e").as("e1"), col("e2")).distinct()
       graft.ops.Graph.triangleCount(pairs, "e1", "e2")
+    }),
+
+    // k-core of the same co-mention graph (k=2, 8 peel rounds —
+    // monotone, so extra rounds past convergence are no-ops and both
+    // engines run the SAME fixed count; GraphSpec/OpsSpec pin that 8
+    // covers the true peel depth at test scale)
+    "kg_kcore" -> ((s, dir) => {
+      val t = s.read.parquet(kgRun(s, dir) + "/triples")
+      val mentions = t.where(col("pred") === "mentionsEntity")
+        .select(col("url"), lower(col("obj")).as("e")).distinct()
+      val pairs = mentions
+        .join(mentions.select(col("url"), col("e").as("e2")), Seq("url"))
+        .where(col("e") < col("e2"))
+        .select(col("e").as("e1"), col("e2")).distinct()
+      graft.ops.Graph.kCore(pairs, "e1", "e2", 2, 8)
     }))
 
   // ---------------------------------------------------------------- oracles
@@ -481,6 +496,40 @@ object KgQueries {
     * one CTE pair (contributions, ranks) per sweep over the full
     * kg_edges oracle. `//` (DuckDB) and `div` (Spark) both truncate, and
     * every operand is a nonneg long — bit-identical per iteration. */
+  /** Fixed-`rounds` k-core peel unrolled as chained CTEs — the SQL twin
+    * of Graph.kCore's loop (v0 = all vertices with degrees; each round
+    * induces edges on the previous survivor set, recounts degrees, and
+    * keeps deg ≥ k). Monotone, so rounds past convergence are no-ops.
+    * Every CTE is MATERIALIZED for the same reason kCore checkpoints
+    * each round: prs and each vN are referenced twice per round, and an
+    * inlining engine would expand the tree 2^rounds-fold (the pageRank
+    * oracle's documented DuckDB trap — here it surfaces as thousands of
+    * re-opened parquet scans). */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH mentions AS MATERIALIZED (
+         |  SELECT DISTINCT url, lower(obj) AS e
+         |  FROM ($kgTriplesSql) WHERE pred = 'mentionsEntity'),
+         |prs AS MATERIALIZED (
+         |  SELECT DISTINCT m1.e AS e1, m2.e AS e2
+         |  FROM mentions m1 JOIN mentions m2 USING (url)
+         |  WHERE m1.e < m2.e),
+         |v0 AS MATERIALIZED (
+         |  SELECT v, count(*) AS deg FROM (
+         |    SELECT e1 AS v FROM prs UNION ALL SELECT e2 AS v FROM prs)
+         |  GROUP BY 1)""".stripMargin
+    val loop = (1 to rounds).map { r =>
+      s"""e$r AS MATERIALIZED (
+         |  SELECT e1, e2 FROM prs
+         |  JOIN v${r - 1} a ON prs.e1 = a.v JOIN v${r - 1} b ON prs.e2 = b.v),
+         |v$r AS MATERIALIZED (
+         |  SELECT v, count(*) AS deg FROM (
+         |    SELECT e1 AS v FROM e$r UNION ALL SELECT e2 AS v FROM e$r)
+         |  GROUP BY 1 HAVING count(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$loop\nSELECT v AS vertex, deg::BIGINT AS deg FROM v$rounds"
+  }
+
   private def pageRankSql(edgesSql: String, iters: Int, scale: Long, topK: Int): String = {
     val sb = new StringBuilder
     // AS MATERIALIZED: the edges subtree is the most expensive oracle in
@@ -519,6 +568,8 @@ object KgQueries {
     "kg_nodes" -> kgNodesSql,
     "kg_edges" -> kgEdgesSql,
     "kg_pagerank" -> pageRankSql(kgEdgesSql, 5, 1000000000L, 20),
+
+    "kg_kcore" -> kCoreSql(2, 8),
 
     "kg_triangles" ->
       s"""WITH mentions AS (

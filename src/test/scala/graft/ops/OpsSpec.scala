@@ -522,6 +522,38 @@ class OpsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
   }
 
+  test("kCore: peels chains, keeps cliques, converges within the round budget") {
+    import graft.ops.Graph
+    def core(edges: Seq[(Long, Long)], k: Int, rounds: Int): Map[Long, Long] =
+      Graph.kCore(edges.toDF("s", "d"), "s", "d", k, rounds).collect()
+        .map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("deg")).toMap
+    // triangle with a pendant chain: 2-core = the triangle only, and the
+    // chain must take MULTIPLE rounds to peel (each round exposes the
+    // next degree-1 vertex)
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(core(g, 2, 4) == Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // one round is NOT enough for the depth-3 chain — fixed-rounds is a
+    // real parameter, not decoration
+    assert(core(g, 2, 1).keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // monotone: extra rounds past convergence change nothing
+    assert(core(g, 2, 8) == core(g, 2, 4))
+    // K4 survives 3-core intact with degree 3; nothing survives 4-core
+    val k4 = for { i <- 0L to 3L; j <- 0L to 3L if i < j } yield (i, j)
+    assert(core(k4, 3, 3) == (0L to 3L).map(_ -> 3L).toMap)
+    assert(core(k4, 4, 3).isEmpty)
+    // the driver query's budget (8 rounds) covers the real co-mention
+    // graph at test scale: one more round is a no-op
+    val t = spark.read.parquet(
+      graft.queries.KgQueries.kgRun(spark, sfDir) + "/triples")
+    val m = t.where($"pred" === "mentionsEntity")
+      .select($"url", lower($"obj").as("e")).distinct()
+    val pairs = m.join(m.select($"url", $"e".as("e2")), Seq("url"))
+      .where($"e" < $"e2").select($"e".as("e1"), $"e2").distinct()
+    val r8 = Graph.kCore(pairs, "e1", "e2", 2, 8).collect().toSet
+    val r9 = Graph.kCore(pairs, "e1", "e2", 2, 9).collect().toSet
+    assert(r8 == r9, "co-mention 2-core not converged within 8 rounds")
+  }
+
   test("triangleCount: known graphs; mirrors/self-loops/duplicates collapse") {
     import graft.ops.Graph
     def tri(edges: Seq[(Long, Long)]): Long =
