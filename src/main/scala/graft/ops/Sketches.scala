@@ -70,21 +70,29 @@ object Sketches {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Point estimate for each distinct probe value: min over the d rows
-    * of the probed cell. The sketch side is tiny (≤ d·w cells) and is
-    * BROADCAST — probing never shuffles the sketch, and the probe side
-    * keeps its partitioning. Cells no probe hashed into simply don't
-    * join; a probe value absent from the build still hits d live-or-
-    * empty cells, so missing cells read as 0. Output: probe columns +
-    * est_n. */
+  /** Point estimate per probe row: min over the d probed cells. Shape:
+    * d chained BROADCAST left joins (one per hash row, each against a
+    * ≤ w-cell slice of the sketch) — the probe side never shuffles and
+    * never collapses; output is 1:1 with the probe rows, plus est_n.
+    * (The obvious explode-then-groupBy formulation would re-shuffle the
+    * whole probe table by key just to take a min over d values that are
+    * already on the same row.) Missing cells read as 0. */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, value: String,
       d: Int = 4, w: Int = 1024): DataFrame = {
-    val pb = probes
-      .select(col("*"), posexplode(array((0 until d).map(j => cmsBucket(col(value), j, w)): _*))
-        .as(Seq("seed", "bucket")))
-    pb.join(broadcast(sketch), Seq("seed", "bucket"), "left")
-      .groupBy(probes.columns.map(col): _*)
-      .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
+    // materialize the ≤ d·w-cell table ONCE — slicing a lazy sketch d
+    // ways would re-run its whole build (scan + shuffle) per slice
+    val cells = sketch.localCheckpoint()
+    var out = probes
+    (0 until d).foreach { j =>
+      val cell = cells.where(col("seed") === j)
+        .select(col("bucket").as(s"__b$j"), col("n").as(s"__n$j"))
+      out = out.withColumn(s"__b$j", cmsBucket(col(value), j, w))
+        .join(broadcast(cell), Seq(s"__b$j"), "left")
+    }
+    out
+      .withColumn("est_n",
+        least((0 until d).map(j => coalesce(col(s"__n$j"), lit(0L))): _*))
+      .drop((0 until d).flatMap(j => Seq(s"__b$j", s"__n$j")): _*)
   }
 
   /** Row-`j` CMS bucket of a value: md5 once, LCG-mix per row, mod w.
@@ -159,17 +167,23 @@ object Sketches {
 
   /** Probe rows whose value hits ALL `d` set bits — the maybe-present
     * set (never misses a true member; false positives are deterministic
-    * and mirrored by the oracle). The bit table is broadcast; the probe
-    * side keeps its partitioning and never shuffles. */
+    * and mirrored by the oracle). Shape: d chained BROADCAST left joins
+    * against per-hash bit slices, keep rows where every slice matched —
+    * the probe side never shuffles and output rows are 1:1 with the
+    * maybe-present probe rows. NULL values never match. */
   def bloomMightContain(bits: DataFrame, probes: DataFrame, value: String,
       d: Int = 3, w: Int = 4096): DataFrame = {
-    val pb = probes.where(col(value).isNotNull)
-      .select(col("*"), posexplode(array((0 until d).map(j => cmsBucket(col(value), j, w)): _*))
-        .as(Seq("seed", "bucket")))
-    pb.join(broadcast(bits), Seq("seed", "bucket"))
-      .groupBy(probes.columns.map(col): _*)
-      .agg(count(lit(1)).as("__hits"))
-      .where(col("__hits") === d)
-      .drop("__hits")
+    // materialize the bit table once (same reason as cmsEstimate)
+    val bitTbl = bits.localCheckpoint()
+    var out = probes.where(col(value).isNotNull)
+    (0 until d).foreach { j =>
+      val bit = bitTbl.where(col("seed") === j)
+        .select(col("bucket").as(s"__b$j"), lit(1).as(s"__m$j"))
+      out = out.withColumn(s"__b$j", cmsBucket(col(value), j, w))
+        .join(broadcast(bit), Seq(s"__b$j"), "left")
+    }
+    out
+      .where((0 until d).map(j => col(s"__m$j").isNotNull).reduce(_ && _))
+      .drop((0 until d).flatMap(j => Seq(s"__b$j", s"__m$j")): _*)
   }
 }

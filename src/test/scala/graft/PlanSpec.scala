@@ -226,4 +226,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"line join degenerated:\n$p")
   }
+
+  test("CMS/Bloom probing never shuffles the probe side (broadcast slices only)") {
+    // the sketch side may broadcast; the probe side must not hash-shuffle
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("fp"))
+    val sketch = graft.ops.Sketches.cmsBuild(docs, "fp", 4, 256)
+    val p1 = plan(graft.ops.Sketches.cmsEstimate(sketch, docs, "fp", 4, 256))
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p1).isEmpty,
+      s"CMS probe plan must be shuffle-free (build materialized apart):\n$p1")
+    assert(p1.contains("BroadcastHashJoin"), s"CMS cells must broadcast:\n$p1")
+    val bits = graft.ops.Sketches.bloomBuild(docs, "fp", 3, 4096)
+    val p2 = plan(graft.ops.Sketches.bloomMightContain(bits, docs, "fp", 3, 4096))
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p2).isEmpty,
+      s"bloom probe plan must be shuffle-free:\n$p2")
+    assert(p2.contains("BroadcastHashJoin"), s"bloom bits must broadcast:\n$p2")
+  }
+
+  test("z-value computation is one broadcast stats join over a narrow pass") {
+    val p = plan(graft.ops.Layout.zValue(
+      spark.read.parquet(s"$dir/lineitem.parquet"), "l_partkey", "l_suppkey", 8))
+    // the only exchanges allowed: the single-row min/max agg (one
+    // shuffle to a scalar) + its broadcast back — the data path is narrow
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size <= 1,
+      s"z-value must not shuffle the data side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"stats must broadcast:\n$p")
+  }
 }
