@@ -239,6 +239,32 @@ object StreamingQueries {
           .dropDuplicates("text_md5"),
         "append")),
 
+    // STREAM-STREAM interval join — both sides are live streams with
+    // per-side state: each error waits (in the state store) for clicks
+    // from the same user within the preceding 30 minutes, across
+    // micro-batch boundaries. INNER join matches emit the moment both
+    // sides have arrived — the watermark + the two-sided time-range
+    // condition exist to EVICT state (a click older than any future
+    // error's window can ever reach gets dropped from the store), not
+    // to gate emission, so no heartbeat files are needed and the
+    // time-ordered replay again makes the 0-second watermark sound.
+    // The event_type predicates live in the JOIN CONDITION (they push
+    // into each side's scan — fine here: they drop only rows that could
+    // never match, unlike the sessionize sentinel trap).
+    "st_stream_join" -> ((s, dir) => {
+      def side() = eventsByTsStream(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+      val joined = side().as("e").join(side().as("c"),
+        expr("""e.user_id = c.user_id AND
+                e.event_type = 'error' AND c.event_type = 'click' AND
+                c.ts BETWEEN e.ts - INTERVAL 30 MINUTES AND e.ts"""))
+        .select(col("e.event_id").as("error_id"), col("c.event_id").as("click_id"),
+          col("e.user_id").as("user_id"), col("e.ts").as("error_ts"),
+          col("c.ts").as("click_ts"))
+      runToSink(s, joined, "append")
+    }),
+
     // streaming SESSION WINDOWS — the state-merging aggregation (session
     // boundaries move as events arrive; Spark merges overlapping
     // [ts, ts+gap) windows in the store). Event-time append mode with a
@@ -293,6 +319,15 @@ object StreamingQueries {
     // stream-dedup'd fingerprints ≡ batch DISTINCT
     "st_exact_dedup" ->
       "SELECT DISTINCT md5(coalesce(text, '')) AS text_md5 FROM documents",
+    // the streamed interval join must land exactly the batch self-join
+    "st_stream_join" ->
+      """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
+        |       e.ts AS error_ts, c.ts AS click_ts
+        |FROM events e JOIN events c
+        |  ON e.user_id = c.user_id
+        | AND e.event_type = 'error' AND c.event_type = 'click'
+        | AND c.ts BETWEEN e.ts - INTERVAL 30 MINUTE AND e.ts""".stripMargin,
+
     // batch re-derivation of Spark's session_window semantics: split on
     // gap ≥ 30 min at µs precision; window end = last event + gap
     "st_sessionize" ->
