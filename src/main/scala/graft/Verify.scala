@@ -16,8 +16,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev-only: SPARK_GRAFT_ONLY=a,b,c restricts the dump to named
-    // queries for fast targeted oracle checks; unset for the driver run
+    // queries for fast targeted oracle checks; unset for the driver run.
+    // Unknown names fail LOUDLY — a typo would otherwise filter to zero
+    // queries and make the oracle gate pass vacuously
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

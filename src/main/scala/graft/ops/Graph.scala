@@ -13,6 +13,20 @@ import org.apache.spark.sql.functions._
   * never be hash-compared cross-engine. */
 object Graph {
 
+  /** Shared ledger step for the iterative ops: with a `ledgerDir`,
+    * write `df` to `dir/name` and read it back (lineage depth 1,
+    * restartable per step); without one, apply `fallback` (identity for
+    * pageRank's single-reference loop, localCheckpoint for kCore's
+    * twice-referenced survivor set). */
+  private def ledgered(ledgerDir: Option[String], df: DataFrame, name: String)(
+      fallback: DataFrame => DataFrame): DataFrame = ledgerDir match {
+    case None => fallback(df)
+    case Some(dir) =>
+      val path = s"$dir/$name"
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      df.sparkSession.read.parquet(path)
+  }
+
   /** Deterministic weighted PageRank over an edge list, with every edge
     * mirrored (src↔dst) so the bipartite url→entity KG keeps rank
     * circulating instead of draining into sinks. Fixed `iters` Jacobi
@@ -59,13 +73,8 @@ object Graph {
       .otherwise(col(weight).cast("long"))
     // with a ledger, each iteration's ranks land in parquet and the next
     // reads them back — lineage never grows past one join+agg
-    def checkpoint(df: DataFrame, name: String): DataFrame = ledgerDir match {
-      case None => df
-      case Some(dir) =>
-        val path = s"$dir/$name"
-        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-        edges.sparkSession.read.parquet(path)
-    }
+    def checkpoint(df: DataFrame, name: String): DataFrame =
+      ledgered(ledgerDir, df, name)(identity)
     val ed = edges.select(col(src).as("src"), col(dst).as("dst"), wGuarded.as("w"))
       .unionAll(edges.select(col(dst).as("src"), col(src).as("dst"), wGuarded.as("w")))
     val deg = ed.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
@@ -114,13 +123,8 @@ object Graph {
   def kCore(edges: DataFrame, src: String, dst: String, k: Int,
       rounds: Int, ledgerDir: Option[String] = None): DataFrame = {
     require(k >= 1 && rounds >= 1, "kCore: need k >= 1 and rounds >= 1")
-    def materialize(df: DataFrame, name: String): DataFrame = ledgerDir match {
-      case None => df.localCheckpoint()
-      case Some(dir) =>
-        val path = s"$dir/$name"
-        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-        edges.sparkSession.read.parquet(path)
-    }
+    def materialize(df: DataFrame, name: String): DataFrame =
+      ledgered(ledgerDir, df, name)(_.localCheckpoint())
     val und = materialize(edges
       .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
       .where(col("a") =!= col("b"))

@@ -41,9 +41,18 @@ object Layout {
     val mm = df.agg(
       min(col(x)).as("__xlo"), max(col(x)).as("__xhi"),
       min(col(y)).as("__ylo"), max(col(y)).as("__yhi"))
+    // overflow guard rides the broadcast stats row (the pageRank
+    // weight-guard pattern): without it Spark (non-ANSI) silently WRAPS
+    // (hi - lo) * scaleMax on a wide-range column — meaningless
+    // z-values and cross-engine divergence — while DuckDB errors
+    val maxRange = Long.MaxValue / scaleMax
     def scaled(c: String, lo: String, hi: String) =
-      when(col(hi) === col(lo), lit(0L))
-        .otherwise(expr(s"(($c - $lo) * ${scaleMax}L) div ($hi - $lo)"))
+      when(col(hi) - col(lo) > maxRange,
+        raise_error(concat(lit(s"zValue: range of '$c' exceeds $maxRange " +
+          s"— (hi - lo) * $scaleMax would overflow int64; pre-bucketize: "),
+          (col(hi) - col(lo)).cast("string"))))
+        .otherwise(when(col(hi) === col(lo), lit(0L))
+          .otherwise(expr(s"(($c - $lo) * ${scaleMax}L) div ($hi - $lo)")))
     val z = (0 until bits).map { i =>
       expr(s"((__xs div ${1L << i}L) % 2) * ${1L << (2 * i)}L") +
         expr(s"((__ys div ${1L << i}L) % 2) * ${1L << (2 * i + 1)}L")
@@ -103,8 +112,8 @@ object Layout {
       .agg(min(col(x)).as("xmin"), max(col(x)).as("xmax"),
         min(col(y)).as("ymin"), max(col(y)).as("ymax"))
     val skip = env.agg(
-      sum(when(col("xmax") < xLo || col("xmin") > xHi ||
-        col("ymax") < yLo || col("ymin") > yHi, 1L).otherwise(0L)).as("s"),
+      coalesce(sum(when(col("xmax") < xLo || col("xmin") > xHi ||
+        col("ymax") < yLo || col("ymin") > yHi, 1L).otherwise(0L)), lit(0L)).as("s"),
       count(lit(1)).as("t")).head()
     (skip.getAs[Long]("s"), skip.getAs[Long]("t"))
   }

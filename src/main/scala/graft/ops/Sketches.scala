@@ -68,6 +68,10 @@ object Sketches {
         .as(Seq("seed", "bucket")))
       .groupBy(col("seed"), col("bucket"))
       .agg(count(lit(1)).as("n"))
+      // the sketch carries its own (d, w): a probe with different params
+      // would silently undercount (wrong-modulus lookups miss), so the
+      // estimate side require-matches these instead of trusting defaults
+      .withColumn("__d", lit(d)).withColumn("__w", lit(w))
   }
 
   /** Point estimate per probe row: min over the d probed cells. Shape:
@@ -82,6 +86,7 @@ object Sketches {
     // materialize the ≤ d·w-cell table ONCE — slicing a lazy sketch d
     // ways would re-run its whole build (scan + shuffle) per slice
     val cells = sketch.localCheckpoint()
+    checkParams(cells, "cmsEstimate", d, w)
     var out = probes
     (0 until d).foreach { j =>
       val cell = cells.where(col("seed") === j)
@@ -118,7 +123,20 @@ object Sketches {
       .select(posexplode(array((0 until d).map(j => cmsBucket(col(value), j, w)): _*))
         .as(Seq("seed", "bucket")))
       .distinct()
+      .withColumn("__d", lit(d)).withColumn("__w", lit(w))
   }
+
+  /** Fail loudly when a probe's (d, w) differ from the build's — a
+    * mismatch in EITHER direction silently breaks the sketch contract
+    * (CMS undercounts, Bloom drops true members). One head() over the
+    * already-materialized cell table. Empty sketches carry no metadata
+    * row and are fine (every probe reads 0 / not-present). */
+  private def checkParams(cells: DataFrame, op: String, d: Int, w: Int): Unit =
+    cells.select(col("__d"), col("__w")).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == d && r.getInt(1) == w,
+        s"$op: sketch was built with (d=${r.getInt(0)}, w=${r.getInt(1)}) " +
+          s"but probed with (d=$d, w=$w) — estimates would be silently wrong")
+    }
 
   /** Fixed-bin histogram quantiles — the deterministic stand-in for
     * t-digest/GK (whose merge results are order-dependent and so can
@@ -175,6 +193,7 @@ object Sketches {
       d: Int = 3, w: Int = 4096): DataFrame = {
     // materialize the bit table once (same reason as cmsEstimate)
     val bitTbl = bits.localCheckpoint()
+    checkParams(bitTbl, "bloomMightContain", d, w)
     var out = probes.where(col(value).isNotNull)
     (0 until d).foreach { j =>
       val bit = bitTbl.where(col("seed") === j)

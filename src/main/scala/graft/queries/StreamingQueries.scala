@@ -114,6 +114,11 @@ object StreamingQueries {
         ()
       }
       Files.write(Paths.get(tmp, "_SUCCESS"), Array.emptyByteArray)
+      // the staging dirs live OUTSIDE TmpDirs' shutdown hook (which
+      // covers only `tmp`) and sit on RAM-backed /dev/shm — delete them
+      // now that their parts are copied, or repeat JVMs leak tmpfs
+      Seq(staging, sentStage).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
       ()
     }
     s.readStream
