@@ -481,6 +481,31 @@ class OpsSpec extends AnyFunSuite {
     assert((bitset(a) union bitset(b)) == bitset(members), "bit-OR merge law")
   }
 
+  test("zValue overflow and sketch param mismatch fail loudly, never silently") {
+    import graft.ops.{Layout, Sketches}
+    // a wide-range column whose (hi - lo) * scaleMax would wrap int64:
+    // the in-plan guard must raise, not emit garbage z-values
+    val wide = Seq(0L, Long.MaxValue / 2).toDF("x").withColumn("y", lit(1L) * col("x"))
+    val e = intercept[Exception] {
+      Layout.zValue(wide, "x", "y", 16).collect()
+    }
+    assert(e.getMessage.contains("overflow") ||
+      Option(e.getCause).exists(_.getMessage.contains("overflow")), e.getMessage)
+    // probing a sketch with different (d, w) than it was built with
+    // undercounts/drops silently — the require must fire instead
+    val df = Seq("a", "b").toDF("v")
+    val m1 = intercept[IllegalArgumentException] {
+      Sketches.cmsEstimate(Sketches.cmsBuild(df, "v", 4, 2048), df, "v", 4, 1024)
+        .collect()
+    }
+    assert(m1.getMessage.contains("built with"), m1.getMessage)
+    val m2 = intercept[IllegalArgumentException] {
+      Sketches.bloomMightContain(Sketches.bloomBuild(df, "v", 3, 64), df, "v", 4, 64)
+        .collect()
+    }
+    assert(m2.getMessage.contains("built with"), m2.getMessage)
+  }
+
   test("zValue: bit interleave matches the textbook Morton curve") {
     import graft.ops.Layout
     // 4×4 grid at bits=2, natural 0..3 range (min-max scale = identity):
