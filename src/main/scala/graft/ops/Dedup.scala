@@ -419,4 +419,38 @@ object Dedup {
         round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** Cross-document duplicated-span inventory — the discovery half of
+    * exact-substring dedup (the "dedupe the training set at the 50-token
+    * span level, not the document level" operation): every token n-gram
+    * that occurs in ≥ 2 distinct documents, with its document and
+    * occurrence counts, top `topK` by (n_docs, n_occ) desc then gram asc.
+    *
+    * Scale shape: one narrow explode per doc (n_tokens−n+1 grams), then
+    * a single partial-aggregated shuffle keyed by the gram — count and
+    * count-distinct-doc both combine map-side, and the ≥2-docs filter
+    * drops the (dominant, unique) tail before the top-k, which runs as
+    * TakeOrderedAndProject (no global sort materialization). At the
+    * 100 TB tier you'd key the shuffle on a 64-bit gram hash and carry
+    * the text via `min(gram)` to halve shuffle bytes — same plan shape,
+    * kept as the readable string key here because the oracle compares
+    * gram text. The removal half (cutting the spans back out of docs) is
+    * a narrow per-doc rewrite against a broadcast/bucketed copy of this
+    * inventory. */
+  def spanInventory(df: DataFrame, id: String, text: String,
+      n: Int = 8, topK: Int = 50): DataFrame = {
+    require(n >= 2 && topK >= 1, "spanInventory: need n >= 2 and topK >= 1")
+    val toks = df
+      .select(col(id), filter(split(col(text), " "), t => t =!= "").as("toks"))
+      .select(col(id), col("toks"), size(col("toks")).as("nt"))
+    toks.where(col("nt") >= n)
+      .select(col(id),
+        explode(transform(sequence(lit(1), col("nt") - (n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col(id)).as("n_docs"), count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram").asc)
+      .limit(topK)
+  }
 }

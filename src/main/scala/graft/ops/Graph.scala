@@ -142,6 +142,83 @@ object Graph {
     live.select(col("v").as("vertex"), col("deg"))
   }
 
+  /** Synchronous label propagation (community detection over the KG):
+    * every vertex starts labeled with itself; each round every vertex
+    * adopts the most frequent label among its NEIGHBORS (tie → greatest
+    * label, so the per-vertex argmax is a plain `max(struct(cnt,
+    * label))` partial aggregation — no window whose per-vertex sort a
+    * celebrity vertex would straggle, and the tie rule is a total order
+    * any engine reproduces). Fixed `rounds` synchronous sweeps — LPA has
+    * no convergence guarantee (bipartite structures oscillate), so the
+    * fixed-round run IS the operator's deterministic contract, and the
+    * oracle unrolls the same rounds. Per round: one hash join of the
+    * mirrored edge list with the current labels and two
+    * partial-aggregated shuffles ((vertex, label) counts, then the
+    * per-vertex max) — hot labels combine map-side. Labels materialize
+    * per round (localCheckpoint, or a parquet ledger via `ledgerDir` —
+    * the kCore pattern) so lineage stays one round deep.
+    * Input treated as undirected; self-loops and duplicate/mirrored
+    * edges collapse first. Output: (vertex, community). */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+      rounds: Int, ledgerDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, "labelPropagation: need rounds >= 1")
+    def materialize(df: DataFrame, name: String): DataFrame =
+      ledgered(ledgerDir, df, name)(_.localCheckpoint())
+    val und = edges
+      .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val esym = materialize(
+      und.unionAll(und.select(col("b").as("a"), col("a").as("b"))), "edges_sym")
+    var labels = esym.select(col("a").as("v")).distinct()
+      .withColumn("label", col("v"))
+    for (r <- 1 to rounds) {
+      val cnts = esym
+        .join(labels.select(col("v").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
+      labels = materialize(cnts
+        .groupBy(col("a"))
+        .agg(max(struct(col("cnt"), col("label"))).as("top"))
+        .select(col("a").as("v"), col("top.label").as("label")), s"labels_$r")
+    }
+    labels.select(col("v").as("vertex"), col("label").as("community"))
+  }
+
+  /** BFS hop distances from `source` over an undirected edge list, up to
+    * `maxHops` frontier expansions. Per round: one hash join of the
+    * previous frontier with the mirrored edge list, a distinct, and an
+    * anti-join against the visited set — the standard distributed BFS
+    * shape (frontier-sized work per round, never the whole graph except
+    * the one edge-list join probe). The visited set materializes per
+    * round (localCheckpoint / `ledgerDir` parquet). First discovery =
+    * minimum hop count, so a bounded-depth transitive-closure re-derivation
+    * (recursive CTE + min) oracles it exactly. Output: (vertex, dist)
+    * for every vertex within `maxHops` of the source, source included
+    * at dist 0. */
+  def bfsDistances(edges: DataFrame, src: String, dst: String,
+      source: String, maxHops: Int, ledgerDir: Option[String] = None): DataFrame = {
+    require(maxHops >= 1, "bfsDistances: need maxHops >= 1")
+    def materialize(df: DataFrame, name: String): DataFrame =
+      ledgered(ledgerDir, df, name)(_.localCheckpoint())
+    val und = edges
+      .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val esym = materialize(
+      und.unionAll(und.select(col("b").as("a"), col("a").as("b"))), "edges_sym")
+    var visited = materialize(esym.sparkSession.range(1)
+      .select(lit(source).as("v"), lit(0L).as("dist")), "visited_0")
+    for (r <- 1 to maxHops) {
+      val frontier = visited.where(col("dist") === (r - 1))
+      val next = esym.join(frontier.select(col("v").as("a")), Seq("a"))
+        .select(col("b").as("v")).distinct()
+        .join(visited, Seq("v"), "left_anti")
+        .withColumn("dist", lit(r.toLong))
+      visited = materialize(visited.unionAll(next), s"visited_$r")
+    }
+    visited.select(col("v").as("vertex"), col("dist"))
+  }
+
   /** Triangle count over an undirected edge list, degree-ordered
     * orientation: each edge points from its lower to its higher
     * (degree, id) endpoint, wedges are enumerated by self-joining the
@@ -176,5 +253,53 @@ object Graph {
       .select(col("x").as("u"), col("y").as("v"))
     wedges.join(oriented.select(col("u"), col("v")), Seq("u", "v"))
       .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Adamic-Adar link prediction (KG completion's classic first pass):
+    * for every NON-adjacent pair (u, v) sharing at least one neighbor,
+    *   score = Σ_{z ∈ N(u)∩N(v)} ⌊scale / ln(deg z)⌋,
+    * top `topK` by (score desc, u asc, v asc). Each term floors to an
+    * exact integer BEFORE the sum, so the total is order-free — a float
+    * sum accumulates in partition/CTE order and can never hash-compare
+    * cross-engine (the pageRank integer idiom; ln itself is IEEE-
+    * identical in both engines).
+    *
+    * Scale shape: wedges are enumerated around their CENTER z, and a
+    * center of degree d yields d·(d−1)/2 pairs — the quadratic hub
+    * blowup every wedge enumeration has. Centers with degree >
+    * `maxDegree` are dropped (capped + observed via `metricName`, the
+    * candidatePairs idiom) — which here is semantics-ALIGNED skew
+    * control, not an approximation apology: a huge-degree z contributes
+    * 1/ln(d) ≈ nothing per pair, and down-weighting promiscuous common
+    * neighbors is the entire point of Adamic-Adar. Degree-1 vertices
+    * cannot center a wedge and are excluded before the weight divides by
+    * ln(1) = 0. One groupBy on (u,v) with map-side partials, anti-join
+    * vs the existing edge set, TakeOrderedAndProject top-k. */
+  def adamicAdar(edges: DataFrame, src: String, dst: String, topK: Int,
+      maxDegree: Long = 10000L, scale: Long = 1000000000L,
+      metricName: String = "aa_centers"): DataFrame = {
+    require(topK >= 1 && maxDegree >= 2, "adamicAdar: need topK >= 1, maxDegree >= 2")
+    val und = edges
+      .select(least(col(src), col(dst)).as("a"), greatest(col(src), col(dst)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val esym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    val centers = esym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .observe(metricName,
+        sum(when(col("deg") > maxDegree, 1L).otherwise(0L)).as("capped_centers"),
+        max(col("deg")).as("max_degree"))
+      .where(col("deg") >= 2 && col("deg") <= maxDegree)
+      .select(col("a"), floor(lit(scale.toDouble) / log(col("deg"))).as("w"))
+    val adj = esym.join(centers, Seq("a"))
+    val l = adj.select(col("a"), col("b").as("u"), col("w"))
+    val r = adj.select(col("a"), col("b").as("v"))
+    l.join(r, Seq("a"))
+      .where(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(sum(col("w")).as("score"))
+      .join(und.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"), "left_anti")
+      .orderBy(col("score").desc, col("u").asc, col("v").asc)
+      .limit(topK)
+      .select(col("u").as("e1"), col("v").as("e2"), col("score"))
   }
 }

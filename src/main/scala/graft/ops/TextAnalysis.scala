@@ -68,6 +68,48 @@ object TextAnalysis {
       size(expr(s"regexp_extract_all($text, '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)")).as("n_bpe_tokens"),
       length(col(text)).as("n_chars"))
 
+  /** Repetition signals (the Gopher-rule family: a high share of
+    * repeated n-grams marks boilerplate/spam that length or stopword
+    * ratios miss): per doc,
+    *   - `dup_trigram_frac` — the fraction of trigram OCCURRENCES that
+    *     belong to a trigram appearing more than once in the doc
+    *     (Σ cnt over grams with cnt>1, over n_tokens−2), and
+    *   - `top_bigram_frac`  — the share of bigram occurrences taken by
+    *     the single most frequent bigram (tie → lexicographically
+    *     greatest gram, so the argmax is a plain `max(struct)` partial
+    *     aggregation in any engine — no window, no nondeterminism).
+    * Docs too short for an n-gram score 0. Scale shape: one narrow
+    * explode per n, then two partial-aggregated shuffles keyed by
+    * (doc, gram) — per-doc vocabulary is bounded by doc length, so no
+    * key is ever hotter than the longest document. */
+  def repetitionSignals(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = df
+      .select(col(id), filter(split(col(text), " "), t => t =!= "").as("toks"))
+      .select(col(id), col("toks"), size(col("toks")).as("n_tokens"))
+    def gramCounts(n: Int) = toks
+      .where(col("n_tokens") >= n)
+      .select(col(id),
+        explode(transform(sequence(lit(1), col("n_tokens") - (n - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("gram"))
+      .groupBy(col(id), col("gram")).agg(count(lit(1)).as("cnt"))
+    val tri = gramCounts(3).groupBy(col(id))
+      .agg(sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_occ"))
+    val bi = gramCounts(2).groupBy(col(id))
+      .agg(max(struct(col("cnt"), col("gram"))).as("top"))
+      .select(col(id), col("top.cnt").as("top_cnt"), col("top.gram").as("top_bigram"))
+    toks.select(col(id), col("n_tokens"))
+      .join(tri, Seq(id), "left")
+      .join(bi, Seq(id), "left")
+      .select(col(id), col("n_tokens"),
+        round(when(col("n_tokens") >= 3,
+          coalesce(col("dup_occ"), lit(0L)).cast("double") / (col("n_tokens") - 2))
+          .otherwise(0.0), 4).as("dup_trigram_frac"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        round(when(col("n_tokens") >= 2,
+          coalesce(col("top_cnt"), lit(0L)).cast("double") / (col("n_tokens") - 1))
+          .otherwise(0.0), 4).as("top_bigram_frac"))
+  }
+
   /** Positional fingerprint: Σ h32(token_i) · ((i mod 997)+1) mod 1e9+7,
     * h32 = first 8 md5 hex chars as int. Order-sensitive (a permuted doc
     * fingerprints differently) yet associative-safe for distributed sum. */

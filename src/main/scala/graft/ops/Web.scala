@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-graph operators over Common-Crawl-style pages: href extraction
+  * from raw html and the aggregated host-level link graph — the map
+  * step of a crawl-scale webgraph build (the input the PageRank /
+  * CC / community operators in [[Graph]] consume at host granularity).
+  * Pure `functions._` column programs — codegen'd, engine-portable.
+  *
+  * Scale shape: one narrow regex explode per page (bounded by the
+  * page's own anchor count), then a single partial-aggregated shuffle
+  * keyed by (src_host, dst_host) — hot host pairs (every page of a big
+  * site linking the same CDN) combine map-side, so no reducer sees more
+  * than the distinct host-pair count. At 10^12 pages the host graph is
+  * ~10^8 rows — small enough to broadcast into downstream joins. */
+object Web {
+
+  /** Absolute-link hosts from an html column: every
+    * `href="http(s)://<host>/..."` target's host, lowercased.
+    * Relative links carry no host and are skipped — resolving them
+    * against the page url is the caller's join (they never leave the
+    * page's own host). */
+  def linkHosts(html: Column): Column =
+    transform(
+      regexp_extract_all(html, lit("href=\"https?://([^/\"]+)"), lit(1)),
+      h => lower(h))
+
+  /** URL canonicalization — the key-normalization step in front of any
+    * per-url dedup/join in a crawl pipeline (the same page arrives as
+    * `HTTP://Host.COM:80/p?utm_source=x#f` and `http://host.com/p`):
+    *   1. fragment stripped,
+    *   2. scheme and host lowercased (path/query case preserved — they
+    *      are case-significant on most servers),
+    *   3. default port dropped (`:80` for http, `:443` for https),
+    *   4. tracking params removed (`utm_*`, `fbclid`, `gclid`),
+    *      remaining params kept in original order, a now-empty query
+    *      dropped entirely,
+    *   5. an empty path normalized to `/`.
+    * Pure regexp column program (split → normalize parts → reassemble)
+    * — codegen'd, narrow, engine-portable; non-url strings (no
+    * `scheme://`) pass through unchanged except fragment removal. */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val keptQ = array_join(
+      filter(split(query, "&"),
+        p => !p.rlike("^(utm_[^=]*|fbclid|gclid)=")), "&")
+    when(scheme === "", noFrag).otherwise(concat(
+      scheme, lit("://"), host,
+      when(path === "", lit("/")).otherwise(path),
+      when(keptQ === "", lit("")).otherwise(concat(lit("?"), keptQ))))
+  }
+
+  /** Host-level link graph: (src_host, dst_host, n_links) with every
+    * absolute anchor counted once (multi-edges aggregate into the
+    * weight — the shape PageRank's weighted edges expect). */
+  def hostEdges(df: DataFrame, srcHost: Column, html: Column): DataFrame =
+    df.select(srcHost.as("src_host"), explode(linkHosts(html)).as("dst_host"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"))
+
+  /** (dst_host, anchor text) pairs from absolute links — anchor text is
+    * THE web-scale alias source for entity linking (what the crawl calls
+    * a page is evidence for what the entity behind it is named; the
+    * reference builds its alias table from document text,
+    * `/root/reference/app_enhanced.py` term extraction — a crawl builds
+    * it from anchors). Two-step extract: explode whole `<a …
+    * href="http(s)://…">text</a>` tags (ONE regex pass per page, bounded
+    * by the page's anchor count), then per-tag host + inner-text
+    * extraction on the short tag strings. Empty/whitespace-only anchors
+    * drop. Output: (dst_host, anchor, n_refs) — one partial-aggregated
+    * shuffle; hot (host, anchor) pairs combine map-side. */
+  def anchorPairs(df: DataFrame, html: Column): DataFrame =
+    df.select(explode(regexp_extract_all(html,
+        lit("<a [^>]*href=\"https?://[^\"]*\"[^>]*>[^<]*</a>"), lit(0))).as("tag"))
+      .select(
+        lower(regexp_extract(col("tag"), "href=\"https?://([^/\"]+)", 1)).as("dst_host"),
+        trim(regexp_extract(col("tag"), ">([^<]*)</a>$", 1)).as("anchor"))
+      .where(col("anchor") =!= "")
+      .groupBy(col("dst_host"), col("anchor"))
+      .agg(count(lit(1)).as("n_refs"))
+
+  /** Multi-label public suffixes recognized by [[registeredDomain]] —
+    * a deliberately small built-in subset of the public-suffix list
+    * covering the common ccTLD second-level registries (the full list
+    * is data, not code: at deployment it arrives as a broadcast lookup
+    * table; the FALLBACK heuristic — last two labels, three under a
+    * known two-label suffix — is what this column program pins). */
+  private val twoLabelSuffixes = Seq(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "co.in", "co.kr",
+    "com.mx", "co.za", "com.ar", "com.tr")
+
+  /** Registered domain (site owner) from a host name — the grouping key
+    * per-source curation actually wants (`sub.a.example.co.uk` and
+    * `example.co.uk` are the same publisher; bare hosts and IPv4
+    * literals pass through unchanged). Pure array/when column program —
+    * codegen'd, engine-portable. */
+  def registeredDomain(host: Column): Column = {
+    val h = lower(host)
+    val parts = split(h, "\\.")
+    val last2 = concat_ws(".", slice(parts, -2, 2))
+    val last3 = concat_ws(".", slice(parts, -3, 3))
+    when(h.rlike("^[0-9.]+$") || size(parts) <= 2, h)
+      .when(last2.isin(twoLabelSuffixes: _*), last3)
+      .otherwise(last2)
+  }
+
+  /** Alias table from anchor pairs: for each anchor text, the host the
+    * web most often labels with it (tie → greatest host — a plain
+    * `max(struct(n_refs, dst_host))` partial aggregation, the repo's
+    * argmax idiom: no per-anchor window sort for a hot anchor like
+    * "here" to straggle on). Output: (anchor, dst_host, n_refs). */
+  def anchorAliases(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("anchor"))
+      .agg(max(struct(col("n_refs"), col("dst_host"))).as("top"))
+      .select(col("anchor"), col("top.dst_host").as("dst_host"),
+        col("top.n_refs").as("n_refs"))
+}

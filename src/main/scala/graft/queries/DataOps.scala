@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Curation, Dedup, Multimodal, Packing, Retrieval, Similarity, TextAnalysis}
+import graft.ops.{Cdc, Curation, Dedup, Multimodal, Packing, Retrieval, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as driver-contract queries with
   * DuckDB oracles: deduplication (exact / MinHash-LSH / SimHash /
@@ -24,6 +24,41 @@ object DataOps {
   private val nearDupTail = " additional tail content for near duplicate testing"
   private val decontTail = " extra trailing content appended after the contaminated span"
 
+
+  /** Deterministic crawl-page synthesis for the wt_* webgraph queries:
+    * 3 absolute anchors per page over a 23-host universe plus a
+    * relative anchor that must NOT extract; the identical derivation is
+    * inlined in the oracles' CTEs. */
+  private def hostPages(s: SparkSession, dir: String): DataFrame = {
+    def host(e: org.apache.spark.sql.Column) =
+      concat(lit("host"), e, lit(".example.com"))
+    val html = concat(
+      lit("<html><body><p>intro</p>"),
+      lit("<a href=\"https://"), host(pmod(col("doc_id") * 7 + 1, lit(23))), lit("/p1\">l1</a>"),
+      lit("<a href=\"http://"), host(pmod(col("doc_id") * 7 + 2, lit(23))), lit("/p2?q=1\">l2</a>"),
+      lit("<a href=\"https://"), host(pmod(col("doc_id") * 3, lit(23))), lit("/\">l3</a>"),
+      lit("<a href=\"/relative/path\">rel</a></body></html>"))
+    docs(s, dir).select(col("doc_id"),
+      host(pmod(col("doc_id"), lit(23))).as("src_host"), html.as("html"))
+  }
+
+  /** Deterministic anchor-text synthesis for wt_anchor_alias: two named
+    * anchors over a 9-entity × 23-host universe (several hosts per
+    * entity name → the alias argmax has real competition), a relative
+    * anchor and a whitespace-only anchor that must both drop. */
+  private def anchorPages(s: SparkSession, dir: String): DataFrame = {
+    def host(e: org.apache.spark.sql.Column) =
+      concat(lit("host"), e, lit(".example.com"))
+    val html = concat(
+      lit("<a href=\"https://"), host(pmod(col("doc_id") * 7 + 1, lit(23))),
+      lit("/p\">Entity "), pmod(col("doc_id") * 5 + 1, lit(9)), lit("</a>"),
+      lit("<a href=\"http://"), host(pmod(col("doc_id") * 3, lit(23))),
+      lit("/\">entity "), pmod(col("doc_id") * 5 + 2, lit(9)), lit(" homepage</a>"),
+      lit("<a href=\"/rel\">skip me</a>"),
+      lit("<a href=\"https://"), host(pmod(col("doc_id"), lit(23))),
+      lit("/x\">   </a>"))
+    docs(s, dir).select(col("doc_id"), html.as("html"))
+  }
 
   /** documents ∪ planted exact dups ∪ planted near dups. */
   private def ddInput(s: SparkSession, dir: String): DataFrame = {
@@ -68,6 +103,26 @@ object DataOps {
     s"(((1103515245::BIGINT * (seed + 1) + 12345) % 2147483647) * " +
       s"(('0x' || substr(md5($unit), 1, 8))::BIGINT % 2147483647) + " +
       s"((69069::BIGINT * (seed + 1) + 362437) % 2147483647)) % 2147483647"
+
+  /** Host-edges derivation shared by the wt_host_edges oracle and (as a
+    * subquery) wt_host_rank's PageRank recurrence. */
+  private val hostEdgesOracleSql: String =
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |         'host' || (doc_id % 23) || '.example.com' AS src_host,
+      |         '<html><body><p>intro</p>'
+      |         || '<a href="https://host' || ((doc_id * 7 + 1) % 23) || '.example.com/p1">l1</a>'
+      |         || '<a href="http://host' || ((doc_id * 7 + 2) % 23) || '.example.com/p2?q=1">l2</a>'
+      |         || '<a href="https://host' || ((doc_id * 3) % 23) || '.example.com/">l3</a>'
+      |         || '<a href="/relative/path">rel</a></body></html>' AS html
+      |  FROM documents),
+      |links AS (
+      |  SELECT src_host, lower(h) AS dst_host FROM (
+      |    SELECT src_host,
+      |           unnest(regexp_extract_all(html, 'href="https?://([^/"]+)', 1)) AS h
+      |    FROM pages))
+      |SELECT src_host, dst_host, count(*) AS n_links
+      |FROM links GROUP BY 1, 2""".stripMargin
 
   private val ddInputSql: String =
     s"""dd_input AS (
@@ -177,6 +232,12 @@ object DataOps {
           round(col("inter") / (col("sz1") + col("sz2") - col("inter")), 4).as("jaccard"))
         .where(col("jaccard") >= 0.5)
     }),
+
+    // exact-substring dedup, discovery half: every token 8-gram occurring
+    // in >= 2 distinct docs of the planted-dup corpus, top 50 — one
+    // partial-agg shuffle on the gram, >= 2 filter before the top-k
+    "dd_span_dedup" -> ((s, dir) =>
+      Dedup.spanInventory(ddInput(s, dir), "doc_id", "text", n = 8, topK = 50)),
 
     // ---- similarity ----
     "sim_cosine_topk" -> ((s, dir) => {
@@ -377,6 +438,112 @@ object DataOps {
       TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
     "ta_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")),
+    "ta_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")),
+
+    // ---- web graph ----
+    // host-level link graph (the crawl webgraph map step): html is
+    // synthesized identically in both engines — 3 absolute anchors per
+    // page over a 23-host universe (hot host pairs exercise the map-side
+    // combine) plus a relative anchor that must NOT extract
+    "wt_host_edges" -> ((s, dir) => {
+      val p = hostPages(s, dir)
+      graft.ops.Web.hostEdges(p, col("src_host"), col("html"))
+    }),
+
+    // host authority: integer PageRank over the synthesized host graph
+    // (hostEdges → Graph.pageRank composition — the crawl-prioritization
+    // ranking a webgraph exists for), top 15 by (pr desc, host asc)
+    "wt_host_rank" -> ((s, dir) => {
+      val e = graft.ops.Web.hostEdges(hostPages(s, dir), col("src_host"), col("html"))
+      graft.ops.Graph.pageRank(e, "src_host", "dst_host", "n_links", iters = 3)
+        .orderBy(col("pr").desc, col("vertex").asc).limit(15)
+    }),
+
+    // anchor-text alias table (the crawl's entity-alias source): per
+    // anchor text, the host the web most often labels with it — argmax
+    // via max(struct), no per-anchor window for a hot anchor to straggle
+    "wt_anchor_alias" -> ((s, dir) =>
+      graft.ops.Web.anchorAliases(
+        graft.ops.Web.anchorPairs(anchorPages(s, dir), col("html")))),
+
+    // ---- table maintenance ----
+    // SCD2 snapshot fold (the MERGE INTO shape on plain checkpoints):
+    // history = customers open at segment v0 + pre-closed OLD versions;
+    // snapshot at ts=100 deletes %7 keys, changes %5 segments, adds %11
+    // new keys — exercising all four merge arms in one query
+    "tb_scd2_merge" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val history = c.where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").as("k"), lit("OLD").as("segment"),
+          lit(-10L).as("valid_from"), lit(0L).as("valid_to"))
+        .unionAll(c.select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to")))
+      val snapshot = c.where(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey").as("k"),
+          when(col("c_custkey") % 5 === 0, lit("CHANGED"))
+            .otherwise(col("c_mktsegment")).as("segment"))
+        .unionAll(c.where(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 100000L).as("k"), lit("NEWSEG").as("segment")))
+      Cdc.scd2Merge(history, snapshot, "k", Seq("segment"), 100L)
+    }),
+
+    // CDC extract between two snapshots: delta-sized (insert/update/
+    // delete) rows only — the mutation scheme of tb_scd2_merge reused
+    "tb_snapshot_diff" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val older = c.select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"))
+      val newer = c.where(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey").as("k"),
+          when(col("c_custkey") % 5 === 0, lit("CHANGED"))
+            .otherwise(col("c_mktsegment")).as("segment"))
+        .unionAll(c.where(col("c_custkey") % 11 === 0)
+          .select((col("c_custkey") + 100000L).as("k"), lit("NEWSEG").as("segment")))
+      Cdc.snapshotDiff(older, newer, "k", Seq("segment"))
+    }),
+
+    // registered-domain extraction (the per-source curation key):
+    // subdomains collapse, two-label public suffixes keep three labels,
+    // bare hosts and IPv4 literals pass through
+    "wt_reg_domain" -> ((s, dir) => {
+      val id = col("doc_id")
+      val host = when(pmod(id, lit(6)) === 0,
+          concat(lit("www.site"), pmod(id, lit(50)), lit(".com")))
+        .when(pmod(id, lit(6)) === 1,
+          concat(lit("a.b.site"), pmod(id, lit(50)), lit(".co.uk")))
+        .when(pmod(id, lit(6)) === 2,
+          concat(lit("site"), pmod(id, lit(50)), lit(".com.au")))
+        .when(pmod(id, lit(6)) === 3,
+          concat(lit("cdn.site"), pmod(id, lit(50)), lit(".io")))
+        .when(pmod(id, lit(6)) === 4,
+          concat(lit("10.0."), pmod(id, lit(50)), lit(".1")))
+        .otherwise(lit("localhost"))
+      docs(s, dir).select(col("doc_id"), host.as("host"),
+        graft.ops.Web.registeredDomain(host).as("domain"))
+    }),
+
+    // url canonicalization (the per-url dedup/join key normalizer):
+    // messy urls synthesized identically in both engines — mixed-case
+    // scheme/host, default ports, tracking params in every position,
+    // empty paths, fragments
+    "wt_url_normalize" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(
+        when(pmod(id, lit(2)) === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://WWW.Example"), pmod(id, lit(5)), lit(".COM"),
+        when(pmod(id, lit(3)) === 0,
+          when(pmod(id, lit(2)) === 0, lit(":80")).otherwise(lit(":443")))
+          .otherwise(lit("")),
+        when(pmod(id, lit(7)) === 0, lit(""))
+          .otherwise(concat(lit("/Path/"), id)),
+        when(pmod(id, lit(4)) === 0, concat(lit("?utm_source=x&id="), id))
+          .when(pmod(id, lit(4)) === 1, concat(lit("?id="), id, lit("&utm_campaign=y")))
+          .when(pmod(id, lit(4)) === 2, lit("?utm_medium=z"))
+          .otherwise(lit("")),
+        when(pmod(id, lit(5)) === 0, lit("#frag")).otherwise(lit("")))
+      docs(s, dir).select(col("doc_id"), url.as("url"))
+        .withColumn("url_norm", graft.ops.Web.normalizeUrl(col("url")))
+    }),
 
     // ---- multimodal plumbing ----
     "mm_frame_sample" -> ((s, dir) =>
@@ -674,6 +841,198 @@ object DataOps {
         |SELECT doc_id,
         |       (sum(('0x' || substr(md5(token), 1, 8))::BIGINT * ((i % 997) + 1)) % 1000000007)::BIGINT AS fingerprint
         |FROM tok WHERE token <> '' GROUP BY 1""".stripMargin,
+
+    // Gopher-style repetition signals; tie-break on the top bigram is
+    // (cnt DESC, gram DESC) — the SQL twin of Spark's max(struct(cnt, gram))
+    "ta_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |meta AS (SELECT doc_id, len(toks) AS n_tokens FROM toks),
+        |tri AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+        |                                        i -> array_to_string(toks[i:i+2], ' '))) AS gram
+        |  FROM toks WHERE len(toks) >= 3),
+        |tric AS (SELECT doc_id, gram, count(*) AS cnt FROM tri GROUP BY 1, 2),
+        |trid AS (
+        |  SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_occ
+        |  FROM tric GROUP BY 1),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |                                        i -> array_to_string(toks[i:i+1], ' '))) AS gram
+        |  FROM toks WHERE len(toks) >= 2),
+        |bic AS (SELECT doc_id, gram, count(*) AS cnt FROM bi GROUP BY 1, 2),
+        |bitop AS (
+        |  SELECT doc_id, cnt AS top_cnt, gram AS top_bigram FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY cnt DESC, gram DESC) AS rn FROM bic)
+        |  WHERE rn = 1)
+        |SELECT m.doc_id, m.n_tokens,
+        |       round(CASE WHEN m.n_tokens >= 3
+        |                  THEN coalesce(dup_occ, 0) * 1.0 / (m.n_tokens - 2)
+        |                  ELSE 0 END, 4) AS dup_trigram_frac,
+        |       coalesce(top_bigram, '') AS top_bigram,
+        |       round(CASE WHEN m.n_tokens >= 2
+        |                  THEN coalesce(top_cnt, 0) * 1.0 / (m.n_tokens - 1)
+        |                  ELSE 0 END, 4) AS top_bigram_frac
+        |FROM meta m
+        |LEFT JOIN trid USING (doc_id)
+        |LEFT JOIN bitop USING (doc_id)""".stripMargin,
+
+    "dd_span_dedup" ->
+      s"""WITH $ddInputSql,
+         |toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM dd_input),
+         |grams AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 7),
+         |                                        i -> array_to_string(toks[i:i+7], ' '))) AS gram
+         |  FROM toks WHERE len(toks) >= 8)
+         |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         |FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, n_occ DESC, gram ASC LIMIT 50""".stripMargin,
+
+    "wt_host_edges" -> hostEdgesOracleSql,
+
+    // pageRank over the host graph: the shared integer-recurrence SQL
+    // (KgQueries.pageRankSql) over the host-edges subquery
+    "wt_host_rank" -> KgQueries.pageRankSql(
+      s"SELECT src_host AS src_url, dst_host AS dst_name, n_links AS weight " +
+        s"FROM ($hostEdgesOracleSql)", 3, 1000000000L, 15),
+
+    "wt_anchor_alias" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |         '<a href="https://host' || ((doc_id * 7 + 1) % 23) || '.example.com/p">Entity ' || ((doc_id * 5 + 1) % 9) || '</a>'
+        |         || '<a href="http://host' || ((doc_id * 3) % 23) || '.example.com/">entity ' || ((doc_id * 5 + 2) % 9) || ' homepage</a>'
+        |         || '<a href="/rel">skip me</a>'
+        |         || '<a href="https://host' || (doc_id % 23) || '.example.com/x">   </a>' AS html
+        |  FROM documents),
+        |tags AS (
+        |  SELECT unnest(regexp_extract_all(html,
+        |           '<a [^>]*href="https?://[^"]*"[^>]*>[^<]*</a>')) AS tag
+        |  FROM pages),
+        |pr AS (
+        |  SELECT lower(regexp_extract(tag, 'href="https?://([^/"]+)', 1)) AS dst_host,
+        |         trim(regexp_extract(tag, '>([^<]*)</a>$', 1)) AS anchor
+        |  FROM tags),
+        |cnt AS (
+        |  SELECT dst_host, anchor, count(*) AS n_refs
+        |  FROM pr WHERE anchor <> '' GROUP BY 1, 2)
+        |SELECT anchor, dst_host, n_refs FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY anchor
+        |    ORDER BY n_refs DESC, dst_host DESC) AS rn FROM cnt)
+        |WHERE rn = 1""".stripMargin,
+
+    "tb_scd2_merge" ->
+      """WITH hist_open AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS segment FROM customer),
+        |snap AS (
+        |  SELECT c_custkey AS k,
+        |         CASE WHEN c_custkey % 5 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS segment
+        |  FROM customer WHERE c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 100000, 'NEWSEG' FROM customer WHERE c_custkey % 11 = 0),
+        |j AS (
+        |  SELECT h.k AS hk, h.segment AS hseg, s.k AS sk, s.segment AS sseg
+        |  FROM hist_open h FULL OUTER JOIN snap s ON h.k = s.k)
+        |SELECT c_custkey AS k, 'OLD' AS segment,
+        |       (-10)::BIGINT AS valid_from, 0::BIGINT AS valid_to
+        |FROM customer WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT hk, hseg, 0::BIGINT, 100::BIGINT FROM j
+        |WHERE hk IS NOT NULL AND (sk IS NULL OR hseg <> sseg)
+        |UNION ALL
+        |SELECT hk, hseg, 0::BIGINT, NULL::BIGINT FROM j
+        |WHERE hk IS NOT NULL AND sk IS NOT NULL AND hseg = sseg
+        |UNION ALL
+        |SELECT sk, sseg, 100::BIGINT, NULL::BIGINT FROM j
+        |WHERE sk IS NOT NULL AND (hk IS NULL OR hseg <> sseg)""".stripMargin,
+
+    "tb_snapshot_diff" ->
+      """WITH sold AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS segment FROM customer),
+        |snew AS (
+        |  SELECT c_custkey AS k,
+        |         CASE WHEN c_custkey % 5 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS segment
+        |  FROM customer WHERE c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 100000, 'NEWSEG' FROM customer WHERE c_custkey % 11 = 0),
+        |j AS (
+        |  SELECT o.k AS ok, o.segment AS oseg, n.k AS nk, n.segment AS nseg
+        |  FROM sold o FULL OUTER JOIN snew n ON o.k = n.k)
+        |SELECT CASE WHEN nk IS NOT NULL THEN nk ELSE ok END AS k,
+        |       CASE WHEN nk IS NOT NULL THEN nseg ELSE oseg END AS segment,
+        |       CASE WHEN ok IS NULL THEN 'insert'
+        |            WHEN nk IS NULL THEN 'delete'
+        |            ELSE 'update' END AS change_type
+        |FROM j WHERE ok IS NULL OR nk IS NULL OR oseg <> nseg""".stripMargin,
+
+    "wt_reg_domain" ->
+      """WITH hosts AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 6
+        |           WHEN 0 THEN 'www.site' || (doc_id % 50) || '.com'
+        |           WHEN 1 THEN 'a.b.site' || (doc_id % 50) || '.co.uk'
+        |           WHEN 2 THEN 'site' || (doc_id % 50) || '.com.au'
+        |           WHEN 3 THEN 'cdn.site' || (doc_id % 50) || '.io'
+        |           WHEN 4 THEN '10.0.' || (doc_id % 50) || '.1'
+        |           ELSE 'localhost' END AS host
+        |  FROM documents)
+        |SELECT doc_id, host,
+        |       CASE WHEN regexp_matches(host, '^[0-9.]+$')
+        |                 OR len(string_split(host, '.')) <= 2 THEN host
+        |            WHEN array_to_string(string_split(host, '.')[-2:], '.') IN
+        |                 ('co.uk', 'ac.uk', 'gov.uk', 'org.uk', 'co.jp', 'ne.jp',
+        |                  'or.jp', 'com.au', 'net.au', 'org.au', 'com.br', 'com.cn',
+        |                  'co.in', 'co.kr', 'com.mx', 'co.za', 'com.ar', 'com.tr')
+        |            THEN array_to_string(string_split(host, '.')[-3:], '.')
+        |            ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain
+        |FROM hosts""".stripMargin,
+
+    "wt_url_normalize" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+        |         || '://WWW.Example' || (doc_id % 5) || '.COM'
+        |         || (CASE WHEN doc_id % 3 = 0
+        |                  THEN CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+        |                  ELSE '' END)
+        |         || (CASE WHEN doc_id % 7 = 0 THEN '' ELSE '/Path/' || doc_id END)
+        |         || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&id=' || doc_id
+        |                  WHEN doc_id % 4 = 1 THEN '?id=' || doc_id || '&utm_campaign=y'
+        |                  WHEN doc_id % 4 = 2 THEN '?utm_medium=z'
+        |                  ELSE '' END)
+        |         || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag
+        |  FROM urls),
+        |p2 AS (
+        |  SELECT doc_id, url, nofrag,
+        |         lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |         lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+        |         regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+        |  FROM parts),
+        |p3 AS (
+        |  SELECT doc_id, url, nofrag, scheme,
+        |         CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |              WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |              ELSE auth END AS host,
+        |         regexp_extract(rest, '^([^?]*)', 1) AS path,
+        |         -- array_to_string of an EMPTY list is NULL in DuckDB
+        |         -- (Spark's array_join gives ''): coalesce to match
+        |         coalesce(array_to_string(list_filter(string_split(
+        |           regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |           p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=')), '&'), '') AS keptq
+        |  FROM p2)
+        |SELECT doc_id, url,
+        |       CASE WHEN scheme = '' THEN nofrag
+        |            ELSE scheme || '://' || host
+        |                 || (CASE WHEN path = '' THEN '/' ELSE path END)
+        |                 || (CASE WHEN keptq = '' THEN '' ELSE '?' || keptq END)
+        |       END AS url_norm
+        |FROM p3""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id, strlen(text) AS n_bytes, ascii(substr(text, 1, 1)) AS head_byte,

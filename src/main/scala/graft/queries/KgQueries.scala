@@ -202,6 +202,19 @@ object KgQueries {
     kgCache.clear()
   }
 
+  /** Undirected entity co-mention pairs (e1 < e2) from the materialized
+    * triples — the graph under kg_triangles / kg_kcore / kg_communities /
+    * kg_bfs. */
+  private def coMentionPairs(s: SparkSession, dir: String): DataFrame = {
+    val t = s.read.parquet(kgRun(s, dir) + "/triples")
+    val mentions = t.where(col("pred") === "mentionsEntity")
+      .select(col("url"), lower(col("obj")).as("e")).distinct()
+    mentions
+      .join(mentions.select(col("url"), col("e").as("e2")), Seq("url"))
+      .where(col("e") < col("e2"))
+      .select(col("e").as("e1"), col("e2")).distinct()
+  }
+
   // ---------------------------------------------------------------- queries
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // north-star outputs, all from the REAL pipeline run (parquet
@@ -268,31 +281,33 @@ object KgQueries {
     // orientation (Graph.triangleCount). The oracle re-derives the
     // id-ordered 3-way join over the same pairs — orientation never
     // changes the count
-    "kg_triangles" -> ((s, dir) => {
-      val t = s.read.parquet(kgRun(s, dir) + "/triples")
-      val mentions = t.where(col("pred") === "mentionsEntity")
-        .select(col("url"), lower(col("obj")).as("e")).distinct()
-      val pairs = mentions
-        .join(mentions.select(col("url"), col("e").as("e2")), Seq("url"))
-        .where(col("e") < col("e2"))
-        .select(col("e").as("e1"), col("e2")).distinct()
-      graft.ops.Graph.triangleCount(pairs, "e1", "e2")
-    }),
+    "kg_triangles" -> ((s, dir) =>
+      graft.ops.Graph.triangleCount(coMentionPairs(s, dir), "e1", "e2")),
 
     // k-core of the same co-mention graph (k=2, 8 peel rounds —
     // monotone, so extra rounds past convergence are no-ops and both
     // engines run the SAME fixed count; GraphSpec/OpsSpec pin that 8
     // covers the true peel depth at test scale)
-    "kg_kcore" -> ((s, dir) => {
-      val t = s.read.parquet(kgRun(s, dir) + "/triples")
-      val mentions = t.where(col("pred") === "mentionsEntity")
-        .select(col("url"), lower(col("obj")).as("e")).distinct()
-      val pairs = mentions
-        .join(mentions.select(col("url"), col("e").as("e2")), Seq("url"))
-        .where(col("e") < col("e2"))
-        .select(col("e").as("e1"), col("e2")).distinct()
-      graft.ops.Graph.kCore(pairs, "e1", "e2", 2, 8)
-    }))
+    "kg_kcore" -> ((s, dir) =>
+      graft.ops.Graph.kCore(coMentionPairs(s, dir), "e1", "e2", 2, 8)),
+
+    // community detection over the co-mention graph: 3 synchronous
+    // label-propagation sweeps with the (cnt, label) max-struct tie rule
+    // — the oracle unrolls the identical rounds
+    "kg_communities" -> ((s, dir) =>
+      graft.ops.Graph.labelPropagation(coMentionPairs(s, dir), "e1", "e2", 3)),
+
+    // BFS hop distances from the corpus's hottest planted entity, 4
+    // frontier expansions; oracle = depth-bounded recursive closure + min
+    "kg_bfs" -> ((s, dir) =>
+      graft.ops.Graph.bfsDistances(coMentionPairs(s, dir), "e1", "e2",
+        "convolutional neural network", 4)),
+
+    // KG completion first pass: Adamic-Adar scores for non-adjacent
+    // entity pairs of the co-mention graph, top 30 — integer-floored
+    // per-center weights so the sum is order-free and hash-exact
+    "kg_linkpred" -> ((s, dir) =>
+      graft.ops.Graph.adamicAdar(coMentionPairs(s, dir), "e1", "e2", 30)))
 
   // ---------------------------------------------------------------- oracles
   private val acronymBlacklistSql =
@@ -530,7 +545,72 @@ object KgQueries {
     s"$head,\n$loop\nSELECT v AS vertex, deg::BIGINT AS deg FROM v$rounds"
   }
 
-  private def pageRankSql(edgesSql: String, iters: Int, scale: Long, topK: Int): String = {
+  /** Shared co-mention graph CTEs (`mentions`, `prs`) over the triples
+    * oracle — MATERIALIZED for the same 2^rounds-inlining reason as
+    * kCoreSql. */
+  private val coMentionCtes: String =
+    s"""mentions AS MATERIALIZED (
+       |  SELECT DISTINCT url, lower(obj) AS e
+       |  FROM ($kgTriplesSql) WHERE pred = 'mentionsEntity'),
+       |prs AS MATERIALIZED (
+       |  SELECT DISTINCT m1.e AS e1, m2.e AS e2
+       |  FROM mentions m1 JOIN mentions m2 USING (url)
+       |  WHERE m1.e < m2.e),
+       |esym AS MATERIALIZED (
+       |  SELECT e1 AS a, e2 AS b FROM prs
+       |  UNION ALL SELECT e2, e1 FROM prs)""".stripMargin
+
+  /** Fixed-round synchronous LPA unrolled as chained CTEs — the SQL twin
+    * of Graph.labelPropagation (same tie rule: cnt DESC, label DESC). */
+  private def lpaSql(rounds: Int): String = {
+    val head =
+      s"""WITH $coMentionCtes,
+         |l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS label FROM esym)""".stripMargin
+    val loop = (1 to rounds).map { r =>
+      s"""c$r AS (
+         |  SELECT e.a, l.label, count(*) AS cnt
+         |  FROM esym e JOIN l${r - 1} l ON l.v = e.b GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (
+         |  SELECT a AS v, label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY a
+         |      ORDER BY cnt DESC, label DESC) AS rn FROM c$r)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$loop\nSELECT v AS vertex, label AS community FROM l$rounds"
+  }
+
+  /** Depth-bounded transitive closure + min — BFS distance's SQL twin
+    * (first discovery in a frontier BFS = minimum hop count). */
+  private def bfsSql(source: String, maxHops: Int): String =
+    s"""WITH RECURSIVE $coMentionCtes,
+       |walk(v, d) AS (
+       |  SELECT ${q(source)} AS v, 0 AS d
+       |  UNION
+       |  SELECT e.b, w.d + 1 FROM walk w JOIN esym e ON e.a = w.v
+       |  WHERE w.d < $maxHops)
+       |SELECT v AS vertex, min(d)::BIGINT AS dist FROM walk GROUP BY 1""".stripMargin
+
+  /** Adamic-Adar's SQL twin over the co-mention graph: per-center
+    * weight ⌊scale / ln(deg)⌋ floors to an exact integer BEFORE the sum
+    * (order-free, hash-exact — DuckDB's bare `::BIGINT` on a double
+    * ROUNDS, so the floor is explicit). */
+  private def adamicAdarSql(topK: Int, maxDegree: Long, scale: Long): String =
+    s"""WITH $coMentionCtes,
+       |deg AS MATERIALIZED (SELECT a, count(*) AS deg FROM esym GROUP BY 1),
+       |ctr AS (
+       |  SELECT a AS z, floor($scale / ln(deg))::BIGINT AS w
+       |  FROM deg WHERE deg >= 2 AND deg <= $maxDegree),
+       |wedges AS (
+       |  SELECT l.b AS u, r.b AS v, c.w
+       |  FROM esym l JOIN esym r ON l.a = r.a AND l.b < r.b
+       |  JOIN ctr c ON c.z = l.a),
+       |sc AS (SELECT u, v, sum(w)::BIGINT AS score FROM wedges GROUP BY 1, 2)
+       |SELECT u AS e1, v AS e2, score FROM sc
+       |LEFT JOIN prs p ON p.e1 = sc.u AND p.e2 = sc.v
+       |WHERE p.e1 IS NULL
+       |ORDER BY score DESC, e1 ASC, e2 ASC LIMIT $topK""".stripMargin
+
+  private[queries] def pageRankSql(edgesSql: String, iters: Int, scale: Long, topK: Int): String = {
     val sb = new StringBuilder
     // AS MATERIALIZED: the edges subtree is the most expensive oracle in
     // the suite and ed/verts are referenced by every sweep — inlining
@@ -570,6 +650,12 @@ object KgQueries {
     "kg_pagerank" -> pageRankSql(kgEdgesSql, 5, 1000000000L, 20),
 
     "kg_kcore" -> kCoreSql(2, 8),
+
+    "kg_communities" -> lpaSql(3),
+
+    "kg_bfs" -> bfsSql("convolutional neural network", 4),
+
+    "kg_linkpred" -> adamicAdarSql(30, 10000L, 1000000000L),
 
     "kg_triangles" ->
       s"""WITH mentions AS (

@@ -243,6 +243,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p2.contains("BroadcastHashJoin"), s"bloom bits must broadcast:\n$p2")
   }
 
+  test("span inventory: partial agg + TakeOrderedAndProject, no global sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.ops.Dedup.spanInventory(docs, "doc_id", "text", 8, 50))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"gram counts must combine map-side:\n$p")
+  }
+
+  test("adamic-adar wedge join never degenerates to a nested-loop/cartesian") {
+    val edges = (0L to 20L).flatMap(i => Seq((i, (i + 1) % 21), (i, (i + 3) % 21)))
+      .toDF("s", "d")
+    val p = plan(graft.ops.Graph.adamicAdar(edges, "s", "d", 10))
+    assert(!p.contains("CartesianProduct"), s"wedge join degenerated:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"wedge join degenerated:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
+
+  test("anchor alias argmax is a partial aggregation, never a window sort") {
+    val pages = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), concat(lit("<a href=\"https://h"),
+        pmod(col("doc_id"), lit(5)), lit(".com/\">x</a>")).as("html"))
+    val p = plan(graft.ops.Web.anchorAliases(
+      graft.ops.Web.anchorPairs(pages, col("html"))))
+    assert(!p.contains("Window"), s"a hot anchor must not straggle a window sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"argmax must combine map-side:\n$p")
+  }
+
+  test("scd2 merge is one outer key join; closed history never shuffles") {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val history = c.select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"),
+      lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+    val snap = c.select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"))
+    val p = plan(graft.ops.Cdc.scd2Merge(history, snap, "k", Seq("segment"), 10L))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"merge join degenerated:\n$p")
+    // the join needs at most one exchange per side (open slice + snapshot);
+    // a third would mean the closed passthrough is being shuffled too
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size <= 2,
+      s"closed rows must union around the join unshuffled:\n$p")
+  }
+
   test("z-value computation is one broadcast stats join over a narrow pass") {
     val p = plan(graft.ops.Layout.zValue(
       spark.read.parquet(s"$dir/lineitem.parquet"), "l_partkey", "l_suppkey", 8))

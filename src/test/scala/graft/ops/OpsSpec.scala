@@ -1107,4 +1107,211 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
     assert(a == b)
   }
+
+  test("repetitionSignals: dup-trigram and top-bigram math on crafted docs") {
+    val df = Seq(
+      (1L, "a b a b a b"), // 4 trigram occs, all duplicated; "a b" x3 of 5 bigrams
+      (2L, "x y z"),       // no repeats; bigram tie -> greatest gram "y z"
+      (3L, "x"),           // too short for any n-gram
+      (4L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Double]("dup_trigram_frac"),
+          x.getAs[String]("top_bigram"), x.getAs[Double]("top_bigram_frac")))).toMap
+    assert(r(1L) == ((6L, 1.0, "a b", 0.6)))
+    assert(r(2L) == ((3L, 0.0, "y z", 0.5)))
+    assert(r(3L) == ((1L, 0.0, "", 0.0)))
+    assert(r(4L) == ((0L, 0.0, "", 0.0)))
+  }
+
+  test("spanInventory: cross-doc spans only, within-doc repeats excluded, ordered cap") {
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      (1L, ten), (2L, ten),                       // 3 shared 8-grams across 2 docs
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8"),            // unique gram, 1 doc
+      (4L, "v1 v2 v3 v4 v5 v6 v7 v8 v1 v2 v3 v4 v5 v6 v7 v8") // repeats WITHIN one doc only
+    ).toDF("doc_id", "text")
+    val inv = Dedup.spanInventory(df, "doc_id", "text", n = 8, topK = 50).collect()
+    assert(inv.length == 3, inv.mkString(";"))
+    assert(inv.forall(_.getAs[Long]("n_docs") == 2L))
+    assert(inv.forall(_.getAs[Long]("n_occ") == 2L))
+    assert(inv.map(_.getAs[String]("gram")).toSet ==
+      Set((1 to 8), (2 to 9), (3 to 10)).map(_.map(i => s"t$i").mkString(" ")))
+    // topK binds on the documented total order
+    val top1 = Dedup.spanInventory(df, "doc_id", "text", n = 8, topK = 1).collect()
+    assert(top1.map(_.getAs[String]("gram")).toSeq ==
+      Seq((1 to 8).map(i => s"t$i").mkString(" ")))
+  }
+
+  test("labelPropagation: disjoint triangles converge to their greatest member") {
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"),
+      ("a", "a"), ("b", "a") // self-loop + mirrored dup must collapse
+    ).toDF("s", "d")
+    val out = Graph.labelPropagation(edges, "s", "d", 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "c", "b" -> "c", "c" -> "c",
+      "x" -> "z", "y" -> "z", "z" -> "z"))
+  }
+
+  test("bfsDistances: hop counts, cycle shortcut, unreachable excluded") {
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), // path
+      ("c", "a"),                                     // cycle: c at dist 1
+      ("p", "q")                                      // unreachable island
+    ).toDF("s", "d")
+    val out = Graph.bfsDistances(edges, "s", "d", "a", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 0L, "b" -> 1L, "c" -> 1L, "d" -> 2L))
+    val far = Graph.bfsDistances(edges, "s", "d", "a", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(far("e") == 3L && !far.contains("p"))
+  }
+
+  test("normalizeUrl: case, ports, tracking params, fragments, empty path") {
+    val in = Seq(
+      "HTTP://Host.COM:80/Path?utm_source=x&id=1&gclid=g#frag",
+      "https://Host.com:443",
+      "https://host.com:8080/p",      // non-default port kept
+      "http://host.com/p?utm_medium=z", // tracking-only query dropped
+      "http://host.com/P?b=2&a=1",    // param order and path case preserved
+      "not a url #tail")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val out = in.withColumn("n", Web.normalizeUrl($"url"))
+      .orderBy($"id").collect().map(_.getString(2)).toSeq
+    assert(out == Seq(
+      "http://host.com/Path?id=1",
+      "https://host.com/",
+      "https://host.com:8080/p",
+      "http://host.com/p",
+      "http://host.com/P?b=2&a=1",
+      "not a url "))
+  }
+
+  test("adamicAdar: wedge scores, adjacency exclusion, hub-center cap") {
+    // square a–z–b, a–x–b: (a,b) and (x,z) are the only non-adjacent
+    // pairs, each with two degree-2 common neighbors
+    val sq = Seq(("z", "a"), ("z", "b"), ("a", "x"), ("b", "x")).toDF("s", "d")
+    val w2 = math.floor(1e9 / math.log(2.0)).toLong // = 1442695040
+    val out = Graph.adamicAdar(sq, "s", "d", 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(("a", "b", 2 * w2), ("x", "z", 2 * w2)))
+    // a triangle has no non-adjacent pairs
+    val tri = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "d")
+    assert(Graph.adamicAdar(tri, "s", "d", 10).count() == 0)
+    // a hub center above maxDegree is dropped — its pairs score nothing
+    val hub = Seq(("h", "p"), ("h", "q"), ("h", "r"), ("h", "s")).toDF("s", "d")
+    assert(Graph.adamicAdar(hub, "s", "d", 10, maxDegree = 3).count() == 0)
+    assert(Graph.adamicAdar(hub, "s", "d", 10, maxDegree = 4).count() == 6)
+  }
+
+  test("anchorPairs/anchorAliases: non-leading href, blank anchors drop, argmax") {
+    val df = Seq(
+      (1L, """<a class="x" href="https://H2.com/p">Name</a><a href="http://h3.com/">Name</a>"""),
+      (2L, """<a href="https://h2.com/q">Name</a><a href="/rel">Name</a>"""),
+      (3L, """<a href="https://h4.com/">   </a><a href="https://h4.com/">Other</a>""")
+    ).toDF("doc_id", "html")
+    val pairs = Web.anchorPairs(df, col("html"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_refs")).toMap
+    assert(pairs == Map(("h2.com", "Name") -> 2L, ("h3.com", "Name") -> 1L,
+      ("h4.com", "Other") -> 1L))
+    val alias = Web.anchorAliases(Web.anchorPairs(df, col("html")))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getAs[Long]("n_refs")))).toMap
+    assert(alias == Map("Name" -> (("h2.com", 2L)), "Other" -> (("h4.com", 1L))))
+    // count tie -> greatest host wins (the max(struct) total order)
+    val tie = Seq((1L, """<a href="https://hA.com/">T</a><a href="https://hB.com/">T</a>"""))
+      .toDF("doc_id", "html")
+    val top = Web.anchorAliases(Web.anchorPairs(tie, col("html"))).collect()
+    assert(top.length == 1 && top.head.getString(1) == "hb.com")
+  }
+
+  test("scd2Merge: all four arms, null-safe attrs, closed passthrough") {
+    val history = Seq(
+      (1L, Option("A"), 0L, None: Option[Long]),   // unchanged
+      (2L, Option("B"), 0L, None: Option[Long]),   // changed
+      (3L, Option("C"), 0L, None: Option[Long]),   // deleted
+      (5L, Option("OLD"), -5L, Option(0L)),        // closed passthrough
+      (6L, None: Option[String], 0L, None: Option[Long]) // null attr, unchanged
+    ).toDF("k", "segment", "valid_from", "valid_to")
+    val snapshot = Seq(
+      (1L, Option("A")), (2L, Option("X")), (4L, Option("D")),
+      (6L, None: Option[String])).toDF("k", "segment")
+    val out = Cdc.scd2Merge(history, snapshot, "k", Seq("segment"), 10L)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(out == Set(
+      (1L, Some("A"), 0L, None),
+      (2L, Some("B"), 0L, Some(10L)), (2L, Some("X"), 10L, None),
+      (3L, Some("C"), 0L, Some(10L)),
+      (4L, Some("D"), 10L, None),
+      (5L, Some("OLD"), -5L, Some(0L)),
+      (6L, None, 0L, None)))
+  }
+
+  test("scd2Merge: loud contracts — stale snapshot ts and duplicate open rows") {
+    val history = Seq((1L, "A", 10L, None: Option[Long]))
+      .toDF("k", "segment", "valid_from", "valid_to")
+    val snapshot = Seq((1L, "A")).toDF("k", "segment")
+    val stale = intercept[Exception] {
+      Cdc.scd2Merge(history, snapshot, "k", Seq("segment"), 10L).collect()
+    }
+    assert(stale.getMessage != null)
+    val dupOpen = Seq((1L, "A", 0L, None: Option[Long]), (1L, "B", 1L, None: Option[Long]))
+      .toDF("k", "segment", "valid_from", "valid_to")
+    val dup = intercept[Exception] {
+      Cdc.scd2Merge(dupOpen, snapshot, "k", Seq("segment"), 10L, checkUnique = true)
+        .collect()
+    }
+    assert(dup.getMessage != null)
+    // without checkUnique the caller's invariant is trusted (documented)
+    assert(Cdc.scd2Merge(dupOpen, snapshot, "k", Seq("segment"), 10L).count() >= 2)
+  }
+
+  test("adamicAdar: capped hub centers are observable through the collector") {
+    // hub h (deg 4) is capped; wedge center z (deg 2) survives — the
+    // surviving work matters: an all-empty result lets AQE prune the
+    // observed subtree out of the final plan and the metric with it
+    val edges = Seq(("h", "p"), ("h", "q"), ("h", "r"), ("h", "s"),
+      ("z", "a"), ("z", "b")).toDF("s", "d")
+    val scores = Graph.adamicAdar(edges, "s", "d", 10, maxDegree = 3)
+    val m = observedMetric(scores, "aa_centers")
+    assert(m.getAs[Long]("capped_centers") == 1L, m.toString)
+    assert(m.getAs[Long]("max_degree") == 4L, m.toString)
+    val w2 = math.floor(1e9 / math.log(2.0)).toLong
+    assert(scores.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      == Set(("a", "b", w2)))
+  }
+
+  test("snapshotDiff: delta-sized output, delete carries old attrs, null-safe") {
+    val older = Seq((1L, Option("A")), (2L, Option("B")), (3L, Option("C")),
+      (6L, None: Option[String])).toDF("k", "segment")
+    val newer = Seq((1L, Option("A")), (2L, Option("X")), (4L, Option("D")),
+      (6L, None: Option[String])).toDF("k", "segment")
+    val out = Cdc.snapshotDiff(older, newer, "k", Seq("segment"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet
+    // unchanged keys 1 and 6 (null == null null-safely) emit NOTHING
+    assert(out == Set(
+      (2L, Some("X"), "update"),
+      (3L, Some("C"), "delete"),
+      (4L, Some("D"), "insert")))
+  }
+
+  test("registeredDomain: subdomain collapse, two-label suffixes, IP/bare passthrough") {
+    val in = Seq("www.Site.COM", "a.b.site.co.uk", "site.com.au", "cdn.x.io",
+      "10.0.3.1", "localhost", "example.org").toDF("host")
+    val out = in.select(Web.registeredDomain($"host").as("d")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("site.com", "site.co.uk", "site.com.au", "x.io",
+      "10.0.3.1", "localhost", "example.org"))
+  }
+
+  test("hostEdges: absolute hrefs only, lowercased, multi-edges aggregate") {
+    val df = Seq(
+      (1L, "h1.com", """<a href="https://H2.com/x">a</a><a href="http://h3.com/">b</a>"""),
+      (2L, "h1.com", """<a href="https://h2.com/y?q=1">c</a><a href="/rel/z">d</a>"""),
+      (3L, "h4.com", """no links here""")).toDF("doc_id", "src", "html")
+    val out = Web.hostEdges(df, col("src"), col("html"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_links")).toMap
+    assert(out == Map(("h1.com", "h2.com") -> 2L, ("h1.com", "h3.com") -> 1L))
+  }
 }
