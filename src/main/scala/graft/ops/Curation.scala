@@ -31,6 +31,44 @@ object Curation {
       .where(col("bucket") < rate)
   }
 
+  /** Deterministic negative sampling for contrastive training pairs:
+    * for each (query, positive) row, emit `k` pseudo-random negatives
+    *   neg_j = h(query_id, j) mod corpusSize,   h = first-8-hex md5
+    * bumped by one (mod N) when it collides with the positive. Pure
+    * column program — ONE narrow explode, zero shuffles, and the same
+    * (query, j) always draws the same negative regardless of
+    * partitioning or rerun (the hashSample property, which
+    * `rand()`-based sampling lacks — resuming a 100-TB pair-gen job
+    * must not reshuffle every epoch's negatives). The draw is with
+    * replacement ACROSS j (two j's may collide — standard for in-batch
+    * negative mining; dedup downstream if the loss needs it).
+    *
+    * Contract: ids in [0, corpusSize) and DENSE (the sampled id must
+    * exist to join text back) — at scale that's the one-off dense-index
+    * materialization every ANN/embedding stack already keeps; enforced
+    * here only on the POSITIVE ids (in-plan raise_error rides the
+    * explode — a sparse corpus shows up as an out-of-range positive the
+    * first time it's used as one).
+    * Output: (queryId, posId, neg_rank 0..k-1, neg_id). */
+  def sampleNegatives(pairs: DataFrame, queryId: String, posId: String,
+      corpusSize: Long, k: Int): DataFrame = {
+    require(k >= 1, "sampleNegatives: need k >= 1")
+    require(corpusSize >= 2,
+      "sampleNegatives: corpusSize must be >= 2 (need a non-positive id to draw)")
+    val posG = when(col(posId) < 0L || col(posId) >= corpusSize,
+      raise_error(concat(lit(s"sampleNegatives: positive id outside [0, $corpusSize): "),
+        col(posId).cast("string"))))
+      .otherwise(col(posId))
+    val h = pmod(conv(substring(
+      md5(concat(col(queryId).cast("string"), lit(":"), col("neg_rank").cast("string"))),
+      1, 8), 16, 10).cast("long"), lit(corpusSize))
+    pairs
+      .select(col(queryId), posG.as(posId),
+        explode(sequence(lit(0), lit(k - 1))).as("neg_rank"))
+      .withColumn("neg_id",
+        when(h === col(posId), pmod(h + 1L, lit(corpusSize))).otherwise(h))
+  }
+
   /** Per-group cap: the top `n` rows per group by (orderCol desc, id
     * asc) — the per-domain cap that stops any single source from
     * dominating a crawl-scale corpus. One shuffle on the group key; the

@@ -255,6 +255,129 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** HITS hubs-and-authorities over a DIRECTED edge list (the classic
+    * web-graph companion to PageRank: a good hub points at good
+    * authorities, a good authority is pointed at by good hubs). Fixed
+    * `iters` synchronous sweeps in pure integer arithmetic:
+    *   h_0(v)   = SCALE
+    *   a_k(v)   = norm(Σ_{u→v} h_{k-1}(u)·w)
+    *   h_k(u)   = norm(Σ_{u→v} a_k(v)·w)
+    * where norm(x) = x div max(1, max_v(x) div SCALE) — renormalizing by
+    * DIVIDING by the scaled max instead of the textbook L2 norm keeps
+    * every step in order-free long arithmetic (sums and max of longs are
+    * partition-order-invariant; float normalization could never
+    * hash-compare cross-engine) and bounds scores to ≈SCALE so the
+    * per-edge product score·w never overflows: score ≤ 2·SCALE after
+    * rounding slack, so weights may reach ~2^63/(2·SCALE). Per half-sweep:
+    * one hash join of the static edge list with the current scores, one
+    * partial-aggregated shuffle on the receiving endpoint, and one
+    * broadcast of the scalar max — the pageRank shape run twice.
+    * Lineage grows linearly in `iters` (each score table is referenced
+    * once); pass `ledgerDir` to checkpoint each half-sweep to parquet
+    * (restartable, bit-identical to the unrolled run). Weight contract =
+    * pageRank's: integral type required, positivity and the overflow
+    * bound enforced lazily in-plan via `raise_error`. Output:
+    * (vertex, hub, auth) for every vertex, zeros where a side never
+    * receives mass (no out-edges ⇒ hub 0 after round 1's norm, no
+    * in-edges ⇒ auth 0). */
+  def hits(edges: DataFrame, src: String, dst: String, weight: String,
+      iters: Int = 3, scale: Long = 1000000L,
+      ledgerDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, "hits: need iters >= 1")
+    val wType = edges.schema(weight).dataType
+    require(Seq("byte", "short", "integer", "long").contains(wType.typeName),
+      s"hits: weight column '$weight' must be integral, got ${wType.typeName} — " +
+        "integer arithmetic is the operator's bit-exactness contract")
+    val maxW = Long.MaxValue / (2 * scale)
+    val wGuarded = when(col(weight).cast("long") > maxW || col(weight).cast("long") < 1L,
+      raise_error(concat(
+        lit(s"hits: weight must be in [1, $maxW] " +
+          "(non-positive corrupts the mutual recursion; larger overflows score*w): "),
+        col(weight).cast("string"))))
+      .otherwise(col(weight).cast("long"))
+    def checkpoint(df: DataFrame, name: String): DataFrame =
+      ledgered(ledgerDir, df, name)(identity)
+    val ed = checkpoint(
+      edges.select(col(src).as("src"), col(dst).as("dst"), wGuarded.as("w")), "edges")
+    val verts = checkpoint(
+      ed.select(col("src").as("v")).unionAll(ed.select(col("dst").as("v"))).distinct(),
+      "vertices")
+    // norm(x): scores land back in [0, ~2*SCALE] without ever multiplying
+    // a full-range sum (x*SCALE could overflow; x div (max div SCALE) can't)
+    def normalized(raw: DataFrame, scoreCol: String, name: String): DataFrame = {
+      val mx = raw.agg(max(col(scoreCol)).as("mx"))
+      checkpoint(
+        raw.crossJoin(broadcast(mx))
+          .select(col("v"),
+            expr(s"$scoreCol div greatest(mx div ${scale}L, 1L)").as(scoreCol)),
+        name)
+    }
+    var hubs = checkpoint(verts.select(col("v"), lit(scale).as("h")), "hubs_0")
+    var auths: DataFrame = null
+    for (k <- 1 to iters) {
+      val aRaw = verts.join(
+          ed.join(hubs.withColumnRenamed("v", "src"), "src")
+            .groupBy(col("dst").as("v")).agg(sum(expr("h * w")).as("a")),
+          Seq("v"), "left")
+        .select(col("v"), coalesce(col("a"), lit(0L)).as("a"))
+      auths = normalized(aRaw, "a", s"auths_$k")
+      val hRaw = verts.join(
+          ed.join(auths.withColumnRenamed("v", "dst"), "dst")
+            .groupBy(col("src").as("v")).agg(sum(expr("a * w")).as("h")),
+          Seq("v"), "left")
+        .select(col("v"), coalesce(col("h"), lit(0L)).as("h"))
+      hubs = normalized(hRaw, "h", s"hubs_$k")
+    }
+    hubs.join(auths, Seq("v"))
+      .select(col("v").as("vertex"), col("h").as("hub"), col("a").as("auth"))
+  }
+
+  /** Single-source shortest paths over a DIRECTED weighted edge list:
+    * `rounds` synchronous Bellman-Ford relaxations (distributed SSSP's
+    * standard DataFrame shape — Pregel without the framework). Per round:
+    * one hash join of the current distance table with the static edge
+    * list, then a per-vertex `min` partial aggregation over the union of
+    * old and relaxed distances — min over longs is order-free, so every
+    * round is bit-identical in any engine and an unrolled SQL
+    * re-derivation oracles it exactly. After round k every shortest path
+    * of ≤ k edges is final; relaxation is MONOTONE, so `rounds` at or
+    * beyond the shortest-path tree depth yields exact distances and
+    * extra rounds are no-ops (OpsSpec pins convergence rounds vs
+    * rounds+1). The distance table is referenced twice per round (join
+    * probe + min-union), so it MATERIALIZES each round (localCheckpoint,
+    * or the parquet ledger via `ledgerDir`) — the kCore 2^rounds-lineage
+    * argument. Weights: integral, ≥ 0 (a 0-cost edge is legal; negative
+    * would break Bellman-Ford's monotone-min contract), enforced
+    * in-plan. Work per round is reached-set-sized, never whole-graph.
+    * Output: (vertex, dist) for every vertex reachable within `rounds`
+    * hops, source at 0. */
+  def ssspDistances(edges: DataFrame, src: String, dst: String, weight: String,
+      source: String, rounds: Int, ledgerDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, "ssspDistances: need rounds >= 1")
+    val wType = edges.schema(weight).dataType
+    require(Seq("byte", "short", "integer", "long").contains(wType.typeName),
+      s"ssspDistances: weight column '$weight' must be integral, got ${wType.typeName}")
+    val maxW = Long.MaxValue / (rounds + 1L)
+    val wGuarded = when(col(weight).cast("long") > maxW || col(weight).cast("long") < 0L,
+      raise_error(concat(
+        lit(s"ssspDistances: weight must be in [0, $maxW] " +
+          "(negative breaks monotone relaxation; larger can overflow a path sum): "),
+        col(weight).cast("string"))))
+      .otherwise(col(weight).cast("long"))
+    def materialize(df: DataFrame, name: String): DataFrame =
+      ledgered(ledgerDir, df, name)(_.localCheckpoint())
+    val ed = edges.select(col(src).as("src"), col(dst).as("dst"), wGuarded.as("w"))
+    var dist = materialize(edges.sparkSession.range(1)
+      .select(lit(source).as("v"), lit(0L).as("dist")), "dist_0")
+    for (r <- 1 to rounds) {
+      val relaxed = ed.join(dist.select(col("v").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("v"), (col("dist") + col("w")).as("dist"))
+      dist = materialize(dist.unionAll(relaxed)
+        .groupBy(col("v")).agg(min(col("dist")).as("dist")), s"dist_$r")
+    }
+    dist.select(col("v").as("vertex"), col("dist"))
+  }
+
   /** Adamic-Adar link prediction (KG completion's classic first pass):
     * for every NON-adjacent pair (u, v) sharing at least one neighbor,
     *   score = Σ_{z ∈ N(u)∩N(v)} ⌊scale / ln(deg z)⌋,

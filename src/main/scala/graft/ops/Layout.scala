@@ -99,6 +99,45 @@ object Layout {
       .sortWithinPartitions(col("zval"))
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Small-file compaction planner (the Iceberg `rewrite_data_files`
+    * bin-pack analog): assign each file in an inventory
+    * (`pathCol`, `sizeCol` bytes, optional `partCols` table partitions)
+    * to a rewrite bin of ≈ `targetBytes`. The rule is a deterministic
+    * running-sum chunk — files ordered by path within their partition,
+    *   bin = (cumulative bytes BEFORE this file) div targetBytes —
+    * the Packing.packSequences fold on metadata: every bin is a
+    * contiguous path run covering one target-width band of cumulative
+    * bytes, so each bin's total lands in [target, target + one file)
+    * except the partition tail, and an oversize file occupies its band(s)
+    * alone (its successor starts past them — bin ids label bands, so
+    * they need not be contiguous). Greedy first-fit would pack ~1 file
+    * tighter but is an inherently sequential driver loop; the
+    * running-sum rule is one window over the file INVENTORY — metadata,
+    * ~10^6 rows per 100 TB at 128 MB files, partitioned by table
+    * partition when present so no window key outgrows a partition's file
+    * count. The executor of the plan is `groupBy(bin)` + per-bin rewrite
+    * (or `repartitionByRange` on bin for the actual row shuffle).
+    * Output: inventory columns + (bin, bin_pos). */
+  def compactionPlan(inventory: DataFrame, pathCol: String, sizeCol: String,
+      targetBytes: Long, partCols: Seq[String] = Nil): DataFrame = {
+    require(targetBytes >= 1, "compactionPlan: need targetBytes >= 1")
+    val t = inventory.schema(sizeCol).dataType.typeName
+    require(Seq("byte", "short", "integer", "long").contains(t),
+      s"compactionPlan: size column '$sizeCol' must be integral bytes, got $t")
+    val w0 = if (partCols.isEmpty) org.apache.spark.sql.expressions.Window.partitionBy()
+      else org.apache.spark.sql.expressions.Window.partitionBy(partCols.map(col): _*)
+    val w = w0.orderBy(col(pathCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val sizeG = when(col(sizeCol) < 0L,
+      raise_error(concat(lit(s"compactionPlan: negative $sizeCol for "), col(pathCol))))
+      .otherwise(col(sizeCol).cast("long"))
+    inventory
+      .withColumn("__before", coalesce(sum(sizeG).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__before div ${targetBytes}L"))
+      .withColumn("bin_pos", expr(s"__before % ${targetBytes}L"))
+      .drop("__before")
+  }
+
   /** Per-file skip evidence for a box predicate `x ∈ [xLo,xHi] ∧
     * y ∈ [yLo,yHi]` over a written layout: ONE pass groups rows by
     * `input_file_name` and keeps each file's min/max envelope — exactly

@@ -110,6 +110,93 @@ object TextAnalysis {
           .otherwise(0.0), 4).as("top_bigram_frac"))
   }
 
+  /** Per-doc-token counts (id, token, cnt) over lowercased alpha runs —
+    * the shared first stage of the corpus-LM ops below: ONE narrow
+    * explode, then a (doc, gram)-keyed partial aggregation whose key
+    * cardinality per doc is bounded by doc length (the repetitionSignals
+    * argument — no corpus-hot keys). */
+  private def docTokenCounts(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id),
+      explode(expr(s"regexp_extract_all(lower($text), '[a-z]+', 0)")).as("token"))
+      .groupBy(col(id), col("token")).agg(count(lit(1)).as("cnt"))
+
+  /** Unigram-LM surprisal scoring (the n-gram-model quality filter every
+    * production curation stack runs — CCNet/KenLM's cheapest honest
+    * stand-in): build the corpus unigram model, then score each doc by
+    * its total and mean token surprisal under it,
+    *   s(t) = ⌊scale · ln(N / cnt_t)⌋   (N = corpus token occurrences).
+    * Each term floors to an exact integer BEFORE the per-doc sum, so
+    * totals are partition-order-free and hash-exact cross-engine (the
+    * adamicAdar integer idiom; ln and double division are IEEE-identical
+    * in both engines). Low mean surprisal ⇒ repetitive/templated text;
+    * high ⇒ rare-token noise — both tails are what the filter cuts.
+    *
+    * Scale shape: one explode feeding (doc,token) partials, a
+    * vocabulary-sized model table (≤ a few 10^6 rows at any corpus size —
+    * runtime-broadcastable) joined back on token, one per-doc partial
+    * aggregation. Self-scoring (model built on the scored corpus) means
+    * every token is in-vocabulary by construction; scoring NEW text
+    * against this model is the same join plus a fixed OOV surprisal for
+    * the misses. Output: (id, n_lm_tokens, surprisal_sum,
+    * mean_surprisal = sum div n) — zero-token docs kept at 0. */
+  def lmSurprisal(df: DataFrame, id: String, text: String,
+      scale: Long = 1000000L): DataFrame = {
+    val dt = docTokenCounts(df, id, text)
+    val model = dt.groupBy(col("token")).agg(sum(col("cnt")).as("gcnt"))
+    val total = model.agg(sum(col("gcnt")).as("n"))
+    val scored = dt.join(model, "token")
+      .crossJoin(broadcast(total))
+      .select(col(id),
+        col("cnt"),
+        (floor(lit(scale.toDouble) * log(col("n").cast("double") / col("gcnt"))) *
+          col("cnt")).as("s"))
+      .groupBy(col(id))
+      .agg(sum(col("cnt")).as("n_lm_tokens"), sum(col("s")).as("surprisal_sum"))
+    df.select(col(id)).join(scored, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_lm_tokens"), lit(0L)).as("n_lm_tokens"),
+        coalesce(col("surprisal_sum"), lit(0L)).as("surprisal_sum"),
+        when(col("n_lm_tokens").isNotNull,
+          expr("surprisal_sum div n_lm_tokens")).otherwise(lit(0L)).as("mean_surprisal"))
+  }
+
+  /** Corpus vocabulary build: tokens with global count ≥ `minCount`,
+    * top `maxVocab` by (count desc, token asc). The ranking is global
+    * over a vocabulary-sized table, so orderBy+limit plans a
+    * TakeOrderedAndProject (per-partition top-K, no single-node sort of
+    * the corpus). Output: (token, cnt). */
+  def buildVocab(df: DataFrame, id: String, text: String,
+      minCount: Long, maxVocab: Int): DataFrame = {
+    require(minCount >= 1 && maxVocab >= 1, "buildVocab: need minCount, maxVocab >= 1")
+    docTokenCounts(df, id, text)
+      .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(maxVocab)
+  }
+
+  /** Per-doc out-of-vocabulary rate against a `vocab` (the `buildVocab`
+    * shape, or any (token, …) table): the fraction of token OCCURRENCES
+    * not covered — the standard "will the tokenizer shred this doc"
+    * curation signal. One left join of the (doc,token) partials against
+    * the vocabulary-sized (broadcastable) vocab, one per-doc partial
+    * aggregation. Zero-token docs score 0. */
+  def oovRate(df: DataFrame, vocab: DataFrame, id: String, text: String): DataFrame = {
+    val dt = docTokenCounts(df, id, text)
+    val scored = dt
+      .join(vocab.select(col("token"), lit(1).as("_inv")), Seq("token"), "left")
+      .groupBy(col(id))
+      .agg(sum(col("cnt")).as("n_lm_tokens"),
+        sum(when(col("_inv").isNull, col("cnt")).otherwise(0L)).as("oov_occ"))
+    df.select(col(id)).join(scored, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_lm_tokens"), lit(0L)).as("n_lm_tokens"),
+        coalesce(col("oov_occ"), lit(0L)).as("oov_occ"),
+        round(when(col("n_lm_tokens").isNotNull,
+          col("oov_occ").cast("double") / col("n_lm_tokens")).otherwise(0.0), 4)
+          .as("oov_rate"))
+  }
+
   /** Positional fingerprint: Σ h32(token_i) · ((i mod 997)+1) mod 1e9+7,
     * h32 = first 8 md5 hex chars as int. Order-sensitive (a permuted doc
     * fingerprints differently) yet associative-safe for distributed sum. */

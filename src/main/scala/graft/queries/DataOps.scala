@@ -124,6 +124,45 @@ object DataOps {
       |SELECT src_host, dst_host, count(*) AS n_links
       |FROM links GROUP BY 1, 2""".stripMargin
 
+  /** DuckDB form of Graph.hits: the max-renormalized integer recurrence
+    * unrolled CTE-per-half-sweep, generated from the SAME (iters, scale)
+    * params as the Spark call (the pageRankSql no-drift idiom). The
+    * score CTEs are referenced twice (join + scalar max) → MATERIALIZED. */
+  private def hitsSql(edgesSql: String, iters: Int, scale: Long, topK: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH e AS MATERIALIZED ($edgesSql),\n")
+    sb.append("verts AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e),\n")
+    sb.append(s"h0 AS (SELECT v, ${scale}::BIGINT AS h FROM verts),\n")
+    for (k <- 1 to iters) {
+      sb.append(s"a${k}r AS MATERIALIZED (SELECT verts.v, coalesce(s.a, 0)::BIGINT AS a FROM verts LEFT JOIN\n")
+      sb.append(s"  (SELECT e.dst AS v, sum(h.h * e.w)::BIGINT AS a FROM e JOIN h${k - 1} h ON h.v = e.src GROUP BY 1) s USING (v)),\n")
+      sb.append(s"a$k AS MATERIALIZED (SELECT v, a // greatest((SELECT max(a) FROM a${k}r) // $scale, 1) AS a FROM a${k}r),\n")
+      sb.append(s"h${k}r AS MATERIALIZED (SELECT verts.v, coalesce(s.h, 0)::BIGINT AS h FROM verts LEFT JOIN\n")
+      sb.append(s"  (SELECT e.src AS v, sum(a.a * e.w)::BIGINT AS h FROM e JOIN a$k a ON a.v = e.dst GROUP BY 1) s USING (v)),\n")
+      sb.append(s"h$k AS MATERIALIZED (SELECT v, h // greatest((SELECT max(h) FROM h${k}r) // $scale, 1) AS h FROM h${k}r),\n")
+    }
+    sb.setLength(sb.length - 2)
+    sb.append(s"\nSELECT v AS vertex, h AS hub, a AS auth FROM h$iters JOIN a$iters USING (v) " +
+      s"ORDER BY auth DESC, vertex ASC LIMIT $topK")
+    sb.toString
+  }
+
+  /** DuckDB form of Graph.ssspDistances: Bellman-Ford rounds unrolled,
+    * per-vertex min over (carry ∪ relaxed) each round. */
+  private def ssspSql(edgesSql: String, source: String, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH e AS MATERIALIZED ($edgesSql),\n")
+    sb.append(s"d0 AS (SELECT '$source' AS v, 0::BIGINT AS dist),\n")
+    for (k <- 1 to rounds) {
+      sb.append(s"d$k AS MATERIALIZED (SELECT v, min(dist)::BIGINT AS dist FROM (\n")
+      sb.append(s"  SELECT v, dist FROM d${k - 1} UNION ALL\n")
+      sb.append(s"  SELECT e.dst AS v, d.dist + e.w AS dist FROM d${k - 1} d JOIN e ON e.src = d.v) GROUP BY 1),\n")
+    }
+    sb.setLength(sb.length - 2)
+    sb.append(s"\nSELECT v AS vertex, dist FROM d$rounds")
+    sb.toString
+  }
+
   private val ddInputSql: String =
     s"""dd_input AS (
        |  SELECT doc_id, text FROM documents
@@ -404,6 +443,28 @@ object DataOps {
             col("l_partkey"), col("l_suppkey")),
         "l_partkey", "l_suppkey", 8)),
 
+    // small-file compaction plan (Iceberg rewrite_data_files binpack
+    // analog): a synthetic file inventory from documents (path ordered
+    // by doc_id, size = n_chars) chunked into ~100 KB rewrite bins by
+    // the running-sum rule
+    "lo_compaction" -> ((s, dir) =>
+      graft.ops.Layout.compactionPlan(
+        docs(s, dir).select(
+          concat(lit("f"), lpad(col("doc_id").cast("string"), 8, "0")).as("path"),
+          col("n_chars").as("size_bytes")),
+        "path", "size_bytes", 100000L)),
+
+    // deterministic negative sampling for contrastive pairs: 3
+    // negatives per (query, positive) pair, hash-drawn, positive-bumped
+    "cu_neg_samples" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = d.count()
+      graft.ops.Curation.sampleNegatives(
+        d.select(col("doc_id").as("query_id"),
+          ((col("doc_id") * 7 + 3) % n).as("pos_id")),
+        "query_id", "pos_id", n, k = 3)
+    }),
+
     // mergeable fixed-bin histogram quantiles (the deterministic
     // t-digest stand-in): p50/p90/p99 of events.value from a 200-cell
     // histogram — each partition ships 200 longs, never values
@@ -441,6 +502,20 @@ object DataOps {
     "ta_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")),
 
+    // corpus unigram-LM surprisal (the KenLM-style quality filter):
+    // integer-floored per-token surprisal so per-doc sums hash-exact
+    "ta_lm_surprisal" -> ((s, dir) =>
+      TextAnalysis.lmSurprisal(docs(s, dir), "doc_id", "text")),
+
+    // vocabulary coverage: per-doc OOV occurrence rate against the
+    // corpus top-300 (count >= 2) vocab
+    "ta_vocab_oov" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.oovRate(d,
+        TextAnalysis.buildVocab(d, "doc_id", "text", minCount = 2, maxVocab = 300),
+        "doc_id", "text")
+    }),
+
     // ---- web graph ----
     // host-level link graph (the crawl webgraph map step): html is
     // synthesized identically in both engines — 3 absolute anchors per
@@ -467,7 +542,39 @@ object DataOps {
       graft.ops.Web.anchorAliases(
         graft.ops.Web.anchorPairs(anchorPages(s, dir), col("html")))),
 
+    // HITS hubs/authorities over the host graph (PageRank's directed
+    // companion — the max-renormalized integer recurrence), top 15 by
+    // (auth desc, host asc)
+    "wt_host_hits" -> ((s, dir) => {
+      val e = graft.ops.Web.hostEdges(hostPages(s, dir), col("src_host"), col("html"))
+      graft.ops.Graph.hits(e, "src_host", "dst_host", "n_links", iters = 3)
+        .orderBy(col("auth").desc, col("vertex").asc).limit(15)
+    }),
+
+    // weighted SSSP over the directed host graph (Bellman-Ford rounds,
+    // cost = link count): every host reachable from host0 within 4 hops
+    "wt_host_sssp" -> ((s, dir) => {
+      val e = graft.ops.Web.hostEdges(hostPages(s, dir), col("src_host"), col("html"))
+      graft.ops.Graph.ssspDistances(
+        e, "src_host", "dst_host", "n_links", "host0.example.com", rounds = 4)
+    }),
+
     // ---- table maintenance ----
+    // incremental materialized-view refresh: base summary over 80% of
+    // the facts + one delta fold over the other 20% ≡ a full recompute —
+    // two measures exercise the null paths (m2 is null on every
+    // user_id%5==0 row, so some groups are all-null on one or both sides)
+    "tb_mv_refresh" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+          (col("event_id") % 97).as("m1"), expr("nullif(user_id % 5, 0)").as("m2"),
+          col("event_id"))
+      val keys = Seq("event_type", "hour")
+      val ms = Seq("m1", "m2")
+      val base = Cdc.aggregateSummary(ev.where(col("event_id") % 10 < 8), keys, ms)
+      Cdc.refreshSummary(base, ev.where(col("event_id") % 10 >= 8), keys, ms)
+    }),
+
     // SCD2 snapshot fold (the MERGE INTO shape on plain checkpoints):
     // history = customers open at segment v0 + pre-closed OLD versions;
     // snapshot at ts=100 deletes %7 keys, changes %5 segments, adds %11
@@ -879,6 +986,47 @@ object DataOps {
         |LEFT JOIN trid USING (doc_id)
         |LEFT JOIN bitop USING (doc_id)""".stripMargin,
 
+    // same (doc, token) partials → unigram model → per-token
+    // ⌊1e6·ln(N/cnt)⌋ (double division and ln are IEEE-identical in both
+    // engines; the floor makes each term an exact integer, so per-doc
+    // sums are order-free)
+    "ta_lm_surprisal" ->
+      """WITH dt AS (
+        |  SELECT doc_id, token, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |    FROM documents) GROUP BY 1, 2),
+        |model AS (SELECT token, sum(cnt)::BIGINT AS gcnt FROM dt GROUP BY 1),
+        |total AS (SELECT sum(gcnt)::BIGINT AS n FROM model),
+        |scored AS (
+        |  SELECT dt.doc_id, sum(dt.cnt)::BIGINT AS n_lm_tokens,
+        |         sum(floor(1000000.0 * ln(n::DOUBLE / gcnt)) * dt.cnt)::BIGINT AS surprisal_sum
+        |  FROM dt JOIN model USING (token) CROSS JOIN total GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_lm_tokens, 0)::BIGINT AS n_lm_tokens,
+        |       coalesce(surprisal_sum, 0)::BIGINT AS surprisal_sum,
+        |       (CASE WHEN n_lm_tokens IS NOT NULL
+        |             THEN surprisal_sum // n_lm_tokens ELSE 0 END)::BIGINT AS mean_surprisal
+        |FROM documents d LEFT JOIN scored USING (doc_id)""".stripMargin,
+
+    // vocab = global counts >= 2, top 300 by (cnt desc, token asc) — a
+    // total order, so the cut is deterministic in both engines
+    "ta_vocab_oov" ->
+      """WITH dt AS (
+        |  SELECT doc_id, token, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+        |    FROM documents) GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT token FROM (SELECT token, sum(cnt)::BIGINT AS cnt FROM dt GROUP BY 1)
+        |  WHERE cnt >= 2 ORDER BY cnt DESC, token ASC LIMIT 300),
+        |scored AS (
+        |  SELECT dt.doc_id, sum(dt.cnt)::BIGINT AS n_lm_tokens,
+        |         sum(CASE WHEN v.token IS NULL THEN dt.cnt ELSE 0 END)::BIGINT AS oov_occ
+        |  FROM dt LEFT JOIN vocab v USING (token) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_lm_tokens, 0)::BIGINT AS n_lm_tokens,
+        |       coalesce(oov_occ, 0)::BIGINT AS oov_occ,
+        |       round(CASE WHEN n_lm_tokens IS NOT NULL
+        |                  THEN oov_occ::DOUBLE / n_lm_tokens ELSE 0 END, 4) AS oov_rate
+        |FROM documents d LEFT JOIN scored USING (doc_id)""".stripMargin,
+
     "dd_span_dedup" ->
       s"""WITH $ddInputSql,
          |toks AS (
@@ -893,6 +1041,19 @@ object DataOps {
          |ORDER BY n_docs DESC, n_occ DESC, gram ASC LIMIT 50""".stripMargin,
 
     "wt_host_edges" -> hostEdgesOracleSql,
+
+    // HITS over the host graph: the unrolled max-renormalized integer
+    // recurrence, GENERATED from the same (iters, scale) params as the
+    // Spark call so the two programs cannot drift
+    "wt_host_hits" -> hitsSql(
+      s"SELECT src_host AS src, dst_host AS dst, n_links AS w " +
+        s"FROM ($hostEdgesOracleSql)", 3, 1000000L, 15),
+
+    // SSSP over the directed host graph: Bellman-Ford rounds unrolled,
+    // min per vertex each round (order-free — hash-exact cross-engine)
+    "wt_host_sssp" -> ssspSql(
+      s"SELECT src_host AS src, dst_host AS dst, n_links AS w " +
+        s"FROM ($hostEdgesOracleSql)", "host0.example.com", 4),
 
     // pageRank over the host graph: the shared integer-recurrence SQL
     // (KgQueries.pageRankSql) over the host-edges subquery
@@ -923,6 +1084,18 @@ object DataOps {
         |  SELECT *, row_number() OVER (PARTITION BY anchor
         |    ORDER BY n_refs DESC, dst_host DESC) AS rn FROM cnt)
         |WHERE rn = 1""".stripMargin,
+
+    // the MV-refresh gold standard: the incrementally-folded summary
+    // must equal a single-pass GROUP BY over ALL the facts
+    "tb_mv_refresh" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |         event_id % 97 AS m1, nullif(user_id % 5, 0) AS m2
+        |  FROM events)
+        |SELECT event_type, hour, count(*) AS n_rows,
+        |       sum(m1)::BIGINT AS sum_m1, min(m1) AS min_m1, max(m1) AS max_m1,
+        |       sum(m2)::BIGINT AS sum_m2, min(m2) AS min_m2, max(m2) AS max_m2
+        |FROM ev GROUP BY 1, 2""".stripMargin,
 
     "tb_scd2_merge" ->
       """WITH hist_open AS (
@@ -1249,6 +1422,38 @@ object DataOps {
         |       round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
         |                  ELSE 63 / max(u) END, 4) AS est_distinct
         |FROM rk WHERE rn <= 64 GROUP BY event_type""".stripMargin,
+
+    // the running-sum binning rule re-derived as one window: bin =
+    // (cumulative bytes before this file) // target
+    "lo_compaction" ->
+      """WITH inv AS (
+        |  SELECT 'f' || lpad(doc_id::VARCHAR, 8, '0') AS path, n_chars AS size_bytes
+        |  FROM documents),
+        |c AS (
+        |  SELECT path, size_bytes,
+        |         coalesce(sum(size_bytes) OVER (ORDER BY path
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS bef
+        |  FROM inv)
+        |SELECT path, size_bytes, bef // 100000 AS bin, bef % 100000 AS bin_pos
+        |FROM c""".stripMargin,
+
+    // the hashSample md5 idiom drawn k=3 times per pair, bumped off the
+    // positive; corpus size is the same scalar count in both engines
+    "cu_neg_samples" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |pairs AS (
+        |  SELECT doc_id AS query_id, (doc_id * 7 + 3) % n AS pos_id
+        |  FROM documents CROSS JOIN n),
+        |ex AS (
+        |  SELECT query_id, pos_id, unnest(generate_series(0, 2)) AS neg_rank
+        |  FROM pairs),
+        |h AS (
+        |  SELECT query_id, pos_id, neg_rank, n,
+        |         ('0x' || substr(md5(query_id::VARCHAR || ':' || neg_rank::VARCHAR), 1, 8))::BIGINT % n AS hh
+        |  FROM ex CROSS JOIN n)
+        |SELECT query_id, pos_id, neg_rank,
+        |       CASE WHEN hh = pos_id THEN (hh + 1) % n ELSE hh END AS neg_id
+        |FROM h""".stripMargin,
 
     "lo_zorder" -> graft.ops.Layout.zValueSql("lineitem", "l_partkey", "l_suppkey", 8,
       Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),

@@ -1169,6 +1169,162 @@ class OpsSpec extends AnyFunSuite {
     assert(far("e") == 3L && !far.contains("p"))
   }
 
+  test("hits: star authority, weighted asymmetry, guards, ledgered run") {
+    // three hubs point at one authority: after 1 sweep A is the sole
+    // authority at SCALE and the hubs are the sole hubs at SCALE
+    val star = Seq(("h1", "A"), ("h2", "A"), ("h3", "A"))
+      .map { case (s, d) => (s, d, 1L) }.toDF("s", "d", "w")
+    val out = Graph.hits(star, "s", "d", "w", iters = 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("A") == (0L, 1000000L), "sink vertex: pure authority")
+    assert(Seq("h1", "h2", "h3").forall(out(_) == (1000000L, 0L)), "sources: pure hubs")
+    // weights skew the hub side: h1 carries w=2 of the authority's mass
+    val wts = Seq(("h1", "A", 2L), ("h2", "A", 1L)).toDF("s", "d", "w")
+    val wout = Graph.hits(wts, "s", "d", "w", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wout("h1") == 1000000L && wout("h2") == 500000L)
+    // contract guards: non-integral weight type is a require; a
+    // non-positive weight value raises in-plan
+    assertThrows[IllegalArgumentException] {
+      Graph.hits(star.withColumn("w", $"w".cast("double")), "s", "d", "w")
+    }
+    val neg = Seq(("a", "b", -1L)).toDF("s", "d", "w")
+    val ex = intercept[Exception] {
+      Graph.hits(neg, "s", "d", "w", iters = 1).collect()
+    }
+    assert(ex.getMessage.contains("hits: weight must be"))
+    // parquet-ledgered run is bit-identical to the unrolled run
+    val dir = java.nio.file.Files.createTempDirectory("hits_ledger").toString
+    val unrolled = Graph.hits(star, "s", "d", "w", iters = 3).collect().toSet
+    val ledgered = Graph.hits(star, "s", "d", "w", iters = 3, ledgerDir = Some(dir))
+      .collect().toSet
+    assert(ledgered == unrolled)
+  }
+
+  test("ssspDistances: relaxation beats hop count, directed, monotone, guards") {
+    val edges = Seq(
+      ("a", "b", 10L), ("b", "c", 10L), ("a", "c", 100L), // 2-hop path cheaper
+      ("c", "d", 0L),                                     // zero-cost edge legal
+      ("p", "q", 1L)                                      // unreachable island
+    ).toDF("s", "d", "w")
+    def run(rounds: Int) =
+      Graph.ssspDistances(edges, "s", "d", "w", "a", rounds)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r1 = run(1)
+    assert(r1 == Map("a" -> 0L, "b" -> 10L, "c" -> 100L), "1 round: direct edges only")
+    val r3 = run(3)
+    assert(r3 == Map("a" -> 0L, "b" -> 10L, "c" -> 20L, "d" -> 20L),
+      "cheaper 2-hop path relaxes c; zero edge extends to d; island excluded")
+    assert(run(4) == r3, "rounds beyond the tree depth are no-ops")
+    val neg = Seq(("a", "b", -5L)).toDF("s", "d", "w")
+    val ex = intercept[Exception] {
+      Graph.ssspDistances(neg, "s", "d", "w", "a", 1).collect()
+    }
+    assert(ex.getMessage.contains("ssspDistances: weight must be"))
+  }
+
+  test("lmSurprisal: repetitive text scores low, rare tokens high, empty doc zero") {
+    val corpus = Seq(
+      (1L, "the the the the"), (2L, "rare words"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmSurprisal(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // N=6; s(the)=⌊1e6·ln(6/4)⌋=405465; s(rare)=s(words)=⌊1e6·ln 6⌋=1791759
+    assert(out(1L) == (4L, 4 * 405465L, 405465L))
+    assert(out(2L) == (2L, 2 * 1791759L, 1791759L))
+    assert(out(3L) == (0L, 0L, 0L), "zero-token doc kept at 0")
+    assert(out(1L)._3 < out(2L)._3, "repetitive text = low surprisal tail")
+  }
+
+  test("buildVocab/oovRate: frequency cut, ranked cap, occurrence-weighted rate") {
+    val corpus = Seq(
+      (1L, "aa bb cc"), (2L, "aa bb"), (3L, "aa aa")).toDF("doc_id", "text")
+    // counts: aa=4, bb=2, cc=1 — minCount=2 drops cc; maxVocab=1 keeps aa
+    val v2 = TextAnalysis.buildVocab(corpus, "doc_id", "text", 2, 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(v2.toSeq == Seq("aa" -> 4L, "bb" -> 2L))
+    val v1 = TextAnalysis.buildVocab(corpus, "doc_id", "text", 2, 1)
+    val rates = TextAnalysis.oovRate(corpus, v1, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rates(1L) == (3L, 2L, 0.6667) && rates(2L) == (2L, 1L, 0.5) &&
+      rates(3L) == (2L, 0L, 0.0))
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.buildVocab(corpus, "doc_id", "text", 0, 10)
+    }
+  }
+
+  test("compactionPlan: running-sum bins, oversize isolation, partitions, guards") {
+    import graft.ops.Layout
+    val inv = Seq(("a", 30L), ("b", 30L), ("c", 30L)).toDF("path", "sz")
+    val bins = Layout.compactionPlan(inv, "path", "sz", 50L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(bins == Map("a" -> 0L, "b" -> 0L, "c" -> 1L),
+      "bin 0 fills past target by at most one file; tail opens the next band")
+    // an oversize file owns its bands alone — its successor starts past them
+    val big = Seq(("a", 120L), ("b", 10L)).toDF("path", "sz")
+    val bb = Layout.compactionPlan(big, "path", "sz", 50L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(bb == Map("a" -> 0L, "b" -> 2L))
+    // partitions chunk independently
+    val parts = Seq(("p1", "a", 60L), ("p1", "b", 10L), ("p2", "a", 10L))
+      .toDF("pt", "path", "sz")
+    val pb = Layout.compactionPlan(parts, "path", "sz", 50L, Seq("pt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(pb == Map(("p1", "a") -> 0L, ("p1", "b") -> 1L, ("p2", "a") -> 0L))
+    assertThrows[IllegalArgumentException] {
+      Layout.compactionPlan(inv.withColumn("sz", $"sz".cast("double")), "path", "sz", 50L)
+    }
+    val ex = intercept[Exception] {
+      Layout.compactionPlan(Seq(("a", -1L)).toDF("path", "sz"), "path", "sz", 50L).collect()
+    }
+    assert(ex.getMessage.contains("compactionPlan: negative"))
+  }
+
+  test("sampleNegatives: deterministic, positive-avoiding, contract guards") {
+    import graft.ops.Curation
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("q", "p")
+    val out = Curation.sampleNegatives(pairs, "q", "p", 3L, 4)
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(rows.size == 12, "k rows per pair")
+    out.collect().foreach { r =>
+      assert(r.getLong(3) != r.getLong(1), "negative never equals the positive")
+      assert(r.getLong(3) >= 0 && r.getLong(3) < 3)
+    }
+    // partition-layout invariance: repartitioned input draws identically
+    val again = Curation.sampleNegatives(pairs.repartition(7), "q", "p", 3L, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(again == rows)
+    val ex = intercept[Exception] {
+      Curation.sampleNegatives(Seq((0L, 9L)).toDF("q", "p"), "q", "p", 3L, 1).collect()
+    }
+    assert(ex.getMessage.contains("positive id outside"))
+    assertThrows[IllegalArgumentException] {
+      Curation.sampleNegatives(pairs, "q", "p", 1L, 1)
+    }
+  }
+
+  test("refreshSummary: incremental fold equals full recompute; base contract") {
+    import graft.ops.Cdc
+    // nullable measure: k=3/k=5 are all-null groups, k=1 mixes null and
+    // values across the two sides, k=4 is a delta-only new key
+    val old = Seq((1L, Some(5L)), (1L, None), (2L, Some(3L)), (3L, None))
+      .toDF("k", "m")
+    val delta = Seq((1L, Some(1L)), (3L, None), (4L, Some(7L)), (5L, None))
+      .toDF("k", "m")
+    val keys = Seq("k"); val ms = Seq("m")
+    val refreshed = Cdc.refreshSummary(Cdc.aggregateSummary(old, keys, ms), delta, keys, ms)
+    val full = Cdc.aggregateSummary(old.unionAll(delta), keys, ms)
+    assert(refreshed.collect().toSet == full.collect().toSet)
+    val row = refreshed.where($"k" === 1L).head
+    assert(row.getLong(1) == 3L && row.getLong(2) == 6L &&
+      row.getLong(3) == 1L && row.getLong(4) == 5L,
+      "k=1: n=3, sum=6, min relaxed by the delta to 1, max stays 5")
+    assert(refreshed.where($"k" === 5L).head.isNullAt(2), "all-null group keeps sum NULL")
+    // a base that is not an aggregateSummary table fails loudly
+    assertThrows[IllegalArgumentException] {
+      Cdc.refreshSummary(old, delta, keys, ms)
+    }
+  }
+
   test("normalizeUrl: case, ports, tracking params, fragments, empty path") {
     val in = Seq(
       "HTTP://Host.COM:80/Path?utm_source=x&id=1&gclid=g#frag",
