@@ -219,6 +219,56 @@ object Graph {
     visited.select(col("v").as("vertex"), col("dist"))
   }
 
+  /** Deterministic random walks over a directed edge list — the
+    * node2vec/DeepWalk corpus generator, with the pseudo-randomness
+    * drawn from a hash instead of an RNG so the walks are REPRODUCIBLE
+    * under any partitioning, rerun, or resume (the `hashSample`
+    * property; an RNG-driven walk re-rolls every epoch): at step s the
+    * walk at node v moves to
+    *   argmin over out-neighbors n of h32(start:wid:s:n),
+    * h32 = first-8-hex-md5 (ties on the 32-bit hash break by min
+    * neighbor id). Per step: ONE equi-join of the walk frontier against
+    * the edge list + a partial-aggregated argmin (`min(struct)` — no
+    * window sort). A walk at a dead-end (no out-edges) simply ends.
+    * Candidate volume per step is Σ deg(node under each walk) — a
+    * celebrity node visited by many walks replicates its adjacency into
+    * the argmin's map-side combine, which crushes it before the
+    * shuffle; pre-cap adjacency (`Curation.capPerGroup`) if degrees are
+    * unbounded. `ledgerDir` materializes each frontier (the
+    * bfsDistances pattern) so walkLength doesn't unroll lineage.
+    * Output: (start, wid, step, node) — step 0 is the start itself. */
+  def randomWalks(edges: DataFrame, src: String, dst: String,
+      starts: DataFrame, startCol: String, walkLength: Int,
+      walksPerNode: Int = 1, ledgerDir: Option[String] = None): DataFrame = {
+    require(walkLength >= 1 && walksPerNode >= 1,
+      "randomWalks: need walkLength, walksPerNode >= 1")
+    def materialize(df: DataFrame, name: String): DataFrame =
+      ledgered(ledgerDir, df, name)(_.localCheckpoint())
+    val adj = edges.select(col(src).as("node"), col(dst).as("nxt"))
+    var cur = starts.select(col(startCol).as("start")).distinct()
+      .select(col("start"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("wid"))
+      .select(col("start"), col("wid"), lit(0).as("step"),
+        col("start").as("node"))
+    var all = cur
+    for (s <- 1 to walkLength) {
+      val cands = cur.select(col("start"), col("wid"), col("node")).join(adj, Seq("node"))
+        .select(col("start"), col("wid"),
+          conv(substring(md5(concat_ws(":",
+            col("start"), col("wid"), lit(s), col("nxt"))), 1, 8), 16, 10)
+            .cast("long").as("h"),
+          col("nxt"))
+      cur = materialize(
+        cands.groupBy(col("start"), col("wid"))
+          .agg(min(struct(col("h"), col("nxt"))).as("m"))
+          .select(col("start"), col("wid"), lit(s).as("step"),
+            col("m.nxt").as("node")),
+        s"walk_$s")
+      all = all.unionAll(cur)
+    }
+    all
+  }
+
   /** Triangle count over an undirected edge list, degree-ordered
     * orientation: each edge points from its lower to its higher
     * (degree, id) endpoint, wedges are enumerated by self-joining the

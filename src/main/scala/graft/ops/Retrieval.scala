@@ -105,6 +105,50 @@ object Retrieval {
     topKRanked(scored, id, k)
   }
 
+  /** Reciprocal-rank fusion of two or more rankings — THE standard
+    * hybrid-retrieval combiner (sparse BM25 + dense ANN lists feed one
+    * fused ranking; Cormack et al.'s rrf(d) = Σ_lists 1/(k0+rank_d)).
+    * Here each contribution is ⌊scale/(k0+rank)⌋, floored to an exact
+    * integer BEFORE the sum (the adamicAdar idiom: long sums are
+    * partition-order-free, so the fused scores hash-compare
+    * cross-engine; float RRF sums would not). Rank-only fusion is the
+    * point: BM25 scores and cosine similarities live on incomparable
+    * scales, but their RANKS fuse directly — no score normalization,
+    * no tuning beyond k0 (60 is the published default).
+    *
+    * Scale shape: inputs are top-k lists (per query, k rows each — the
+    * OUTPUT of the retrievers, never corpus-sized), so the union + ONE
+    * partial-agg shuffle on the doc id is list-sized; the final cut is
+    * a TakeOrderedAndProject, no global sort. For a multi-query batch,
+    * pass rankings keyed by a composite id (e.g. a
+    * `concat(query_id, ':', doc_id)` column or a per-query loop) — the
+    * program is unchanged. Rank contract: ranks must be ≥ 1 (rank 0
+    * would overweight `scale div k0` and signals a 0-indexed caller) —
+    * enforced in-plan via `raise_error`.
+    * Output: (id, score, n_lists, rank), rank ≤ topK by
+    * (score desc, id asc). */
+  def rrfFuse(rankings: Seq[DataFrame], id: String, rankCol: String,
+      topK: Int, k0: Int = 60, scale: Long = 1000000L): DataFrame = {
+    require(rankings.size >= 2,
+      "rrfFuse: need at least two rankings to fuse — one list is already fused")
+    require(k0 >= 1 && topK >= 1 && scale >= 1,
+      "rrfFuse: need k0, topK, scale >= 1")
+    val parts = rankings.map(_.select(col(id), col(rankCol).cast("long").as("__rank")))
+    val rankG = when(col("__rank") < 1L,
+      raise_error(concat(lit("rrfFuse: rank must be >= 1 (0-indexed input?): "),
+        col("__rank").cast("string"))))
+      .otherwise(col("__rank"))
+    // the guard must FEED the contribution (a separate guarded column
+    // would be pruned away unreferenced and never fire)
+    val fused = parts.reduce(_ unionAll _)
+      .select(col(id), rankG.as("__rank"))
+      .select(col(id), expr(s"${scale}L div (${k0}L + __rank)").as("__c"))
+      .groupBy(col(id))
+      .agg(sum(col("__c")).as("score"), count(lit(1)).as("n_lists"))
+    topKRanked(fused, id, topK)
+      .select(col(id), col("score"), col("n_lists"), col("rank"))
+  }
+
   /** Per-document top-n TF-IDF terms — the classic salience profile a
     * corpus browser/keyword extractor wants, and the lexical
     * feature-vector builder's core. tfidf = tf · ln(N/df); every

@@ -272,33 +272,22 @@ object Similarity {
     chosen.map { case (vid, qv) => (vid, qv.toSeq) }.toDF("cid", "cv")
   }
 
-  /** IVF-flat approximate nearest neighbors — the coarse-quantizer
-    * alternative to banded LSH (`annTopK`): deterministic farthest-point
-    * seeding (spread seeds, not the min-id corner), `lloydSteps`
-    * distributed Lloyd refinements (assign → per-cluster elementwise sum
-    * — cosine is scale-invariant, so the SUM vector ≡ the mean centroid
-    * and stays integer-exact), final inverted lists, then each probe
-    * searches only its nProbe nearest lists with an exact cosine
-    * re-rank. At 100 TB the probe side reads ~nProbe / nClusters of the
-    * corpus instead of all of it; each Lloyd step is one
-    * partial-aggregated shuffle of nClusters×dim cells.
-    *
-    * `ledgerDir`: when set, every Lloyd step's centroid table is
-    * checkpointed to parquet (`centroids_<step>`) and read back — the
-    * `kg.Pipeline` parquet-ledger pattern (exactly how Spark ML's KMeans
-    * persists between iterations). This truncates the growing seed+Lloyd
-    * lineage, makes each step restartable, and at production scale is
-    * mandatory: without it step s recomputes all steps < s. When None
-    * (small/test scale) the composition stays lazy and pure.
-    * Output: (probe_id, neighbor_id, cos_sim, rank). */
-  def ivfTopK(corpus: DataFrame, probes: DataFrame, id: String, vec: String, k: Int,
-      nClusters: Int = 8, nProbe: Int = 2, lloydSteps: Int = 2,
-      ledgerDir: Option[String] = None,
-      seedSampleBp: Int = 2000, maxSeedSampleRows: Long = 1000000L): DataFrame = {
-    require(lloydSteps >= 1, "ivfTopK: need at least one Lloyd step")
-    // persisted through the EAGER phase (k seeding argmin jobs + the
-    // ledger's checkpoint writes all rescan it); released before the
-    // lazy serve plan is returned
+  /** The shared IVF k-means model build: farthest-point seeding,
+    * `lloydSteps` distributed refinements, final inverted lists.
+    * Returns (centroids (cid, cv), assignments (vid, cid)) — the serve
+    * surface `ivfTopK` probes against and the clustering
+    * `semanticNearDups` pairs within. The corpus quantization persists
+    * through the EAGER phase (k seeding argmin jobs + the ledger's
+    * checkpoint writes all rescan it); with a ledger the returned
+    * tables read from parquet and the persist is released — without
+    * one they stay lazy over the persisted quantization (small/test
+    * scale; MEMORY_AND_DISK evicts via LRU). Unpersisting BEFORE the
+    * caller's serve plan materializes would silently recompute the
+    * corpus quantization on every serve action. */
+  private def ivfModel(corpus: DataFrame, id: String, vec: String,
+      nClusters: Int, lloydSteps: Int, ledgerDir: Option[String],
+      seedSampleBp: Int, maxSeedSampleRows: Long): (DataFrame, DataFrame) = {
+    require(lloydSteps >= 1, "ivfModel: need at least one Lloyd step")
     val q = corpus.select(col(id).as("vid"), quant(col(vec)).as("qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def checkpoint(df: DataFrame, name: String): DataFrame = ledgerDir match {
@@ -323,15 +312,81 @@ object Similarity {
             s => s.getField("sx")).as("cv")),
         s"centroids_$step")
     }
-    // the final inverted lists feed the LAZY serve plan, which runs
-    // after this function returns — so either checkpoint them to the
-    // ledger (then q is safe to release: the serve plan reads parquet,
-    // never re-quantizes the corpus) or keep q persisted for the serve
-    // actions (small/test scale; MEMORY_AND_DISK evicts via LRU).
-    // Unpersisting BEFORE the serve plan materializes would silently
-    // recompute the corpus quantization on every serve action.
     val aFinal = checkpoint(assignClusters(q, cents, 1), "assignments")
     if (ledgerDir.isDefined) q.unpersist(false)
+    (cents, aFinal)
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs: cluster the corpus
+    * with the IVF k-means model, then enumerate pairs ONLY within a
+    * cluster and keep those with exact rounded cosine ≥ `threshold`.
+    * This is the embedding-space scale path where corpus-wide all-pairs
+    * is quadratic death: the cluster partition bounds the pair
+    * enumeration to Σ|cluster|², and a cluster that still blows past
+    * `maxClusterSize` is dropped (capped + OBSERVED via the
+    * "semdedup_clusters" metric — never a silent straggler; at scale a
+    * mega-cluster means the model needs more clusters, which is a
+    * re-run knob, not a reason to let one task go quadratic; NOTE the
+    * delivery caveat — if EVERY cluster is capped the result is empty
+    * and AQE's empty-relation propagation prunes the already-executed
+    * CollectMetrics stage out of the final plan, so the observe row is
+    * dropped with it; an all-capped run is detectable by emptiness
+    * itself, and partial caps always report). Scoring
+    * uses the same exact cosine (rounded 4) as `cosineNearDups`, so the
+    * two schemes' thresholds are directly comparable; candidates differ
+    * (banded LSH recall vs cluster-partition recall) — a pair split
+    * across clusters is missed, the documented IVF-recall trade.
+    * Feed the pairs to `Dedup.dedupClusters` for the shipped artifact.
+    * Output: (id1, id2, cos_sim, cid), id1 < id2. */
+  def semanticNearDups(corpus: DataFrame, id: String, vec: String,
+      threshold: Double, nClusters: Int = 8, lloydSteps: Int = 2,
+      maxClusterSize: Long = 100000L, ledgerDir: Option[String] = None,
+      seedSampleBp: Int = 2000, maxSeedSampleRows: Long = 1000000L): DataFrame = {
+    val (_, aFinal) = ivfModel(corpus, id, vec, nClusters, lloydSteps,
+      ledgerDir, seedSampleBp, maxSeedSampleRows)
+    val kept = aFinal.groupBy(col("cid")).agg(count(lit(1)).as("cluster_n"))
+      .observe("semdedup_clusters",
+        sum(when(col("cluster_n") > maxClusterSize, 1L).otherwise(0L)).as("capped_clusters"),
+        max(col("cluster_n")).as("max_cluster"))
+      .where(col("cluster_n") <= maxClusterSize)
+      .select(col("cid"))
+    val in = aFinal.join(kept, Seq("cid"))
+    val cands = in.select(col("cid"), col("vid").as("id1"))
+      .join(in.select(col("cid"), col("vid").as("id2")), Seq("cid"))
+      .where(col("id1") < col("id2"))
+    val v1 = corpus.select(col(id).as("id1"), col(vec).as("v1"))
+    val v2 = corpus.select(col(id).as("id2"), col(vec).as("v2"))
+    cands.join(v1, Seq("id1")).join(v2, Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(cosine(col("v1"), col("v2")), 4).as("cos_sim"), col("cid"))
+      .where(col("cos_sim") >= threshold)
+  }
+
+  /** IVF-flat approximate nearest neighbors — the coarse-quantizer
+    * alternative to banded LSH (`annTopK`): deterministic farthest-point
+    * seeding (spread seeds, not the min-id corner), `lloydSteps`
+    * distributed Lloyd refinements (assign → per-cluster elementwise sum
+    * — cosine is scale-invariant, so the SUM vector ≡ the mean centroid
+    * and stays integer-exact), final inverted lists, then each probe
+    * searches only its nProbe nearest lists with an exact cosine
+    * re-rank. At 100 TB the probe side reads ~nProbe / nClusters of the
+    * corpus instead of all of it; each Lloyd step is one
+    * partial-aggregated shuffle of nClusters×dim cells.
+    *
+    * `ledgerDir`: when set, every Lloyd step's centroid table is
+    * checkpointed to parquet (`centroids_<step>`) and read back — the
+    * `kg.Pipeline` parquet-ledger pattern (exactly how Spark ML's KMeans
+    * persists between iterations). This truncates the growing seed+Lloyd
+    * lineage, makes each step restartable, and at production scale is
+    * mandatory: without it step s recomputes all steps < s. When None
+    * (small/test scale) the composition stays lazy and pure.
+    * Output: (probe_id, neighbor_id, cos_sim, rank). */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, id: String, vec: String, k: Int,
+      nClusters: Int = 8, nProbe: Int = 2, lloydSteps: Int = 2,
+      ledgerDir: Option[String] = None,
+      seedSampleBp: Int = 2000, maxSeedSampleRows: Long = 1000000L): DataFrame = {
+    val (cents, aFinal) = ivfModel(corpus, id, vec, nClusters, lloydSteps,
+      ledgerDir, seedSampleBp, maxSeedSampleRows)
     val pq = probes.select(col(id).as("vid"), quant(col(vec)).as("qv"))
     val plists = assignClusters(pq, cents, nProbe).withColumnRenamed("vid", "probe_id")
     val cands = plists.join(aFinal.withColumnRenamed("vid", "neighbor_id"), "cid")

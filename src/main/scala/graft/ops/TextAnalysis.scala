@@ -197,6 +197,55 @@ object TextAnalysis {
           .as("oov_rate"))
   }
 
+  /** Skip-gram PMI co-occurrence pairs — the word-embedding prep table
+    * (word2vec/GloVe both factorize exactly this statistic): for token
+    * pairs co-occurring within `window` positions,
+    *   pmi = ln( (c_ab·T·T) / (P·c_a·c_b) )
+    * with c_ab the pair count, c_a/c_b unigram counts, T total tokens,
+    * P total pair occurrences. Pairs are UNORDERED ((least, greatest) —
+    * symmetric context), generated linearly: each position pairs with
+    * the `window` positions AHEAD via a sequence-explode + equi-join on
+    * (doc, position) — n·window rows, never doc-quadratic. The ln rides
+    * one identical IEEE expression tree in both engines (the
+    * `tfIdfTerms` precedent), so rounded PMIs hash-compare. Counts stay
+    * exact longs; the divisions happen once, in doubles, inside the ln.
+    *
+    * Scale shape: two partial-aggregated shuffles (pair counts, unigram
+    * counts); T and P are single-row aggregates OVER THOSE COUNT TABLES
+    * (never a second corpus pass) broadcast back; the final cut is a
+    * TakeOrderedAndProject over the vocabulary²-bounded scored table.
+    * Output: (tok_a, tok_b, n_pair, pmi), top `topK` by
+    * (pmi desc, tok_a, tok_b). */
+  def pmiPairs(df: DataFrame, id: String, text: String, window: Int = 3,
+      minPairCount: Long = 3L, topK: Int = 100): DataFrame = {
+    require(window >= 1 && minPairCount >= 1L && topK >= 1,
+      "pmiPairs: need window, minPairCount, topK >= 1")
+    val toks = df.select(col(id).as("doc"),
+      posexplode(expr(s"regexp_extract_all($text, '[a-z]+', 0)"))
+        .as(Seq("pos", "tok")))
+    val right = toks.select(col("doc"), col("pos").as("pos2"), col("tok").as("tok2"))
+    val pairCnt = toks
+      .select(col("doc"), col("tok"),
+        explode(sequence(col("pos") + 1, col("pos") + window)).as("pos2"))
+      .join(right, Seq("doc", "pos2"))
+      .select(least(col("tok"), col("tok2")).as("tok_a"),
+        greatest(col("tok"), col("tok2")).as("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("n_pair"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val t = uni.agg(sum(col("n_tok")).as("n_total"))
+    val p = pairCnt.agg(sum(col("n_pair")).as("n_pairs"))
+    pairCnt.where(col("n_pair") >= minPairCount)
+      .join(uni.select(col("tok").as("tok_a"), col("n_tok").as("n_a")), Seq("tok_a"))
+      .join(uni.select(col("tok").as("tok_b"), col("n_tok").as("n_b")), Seq("tok_b"))
+      .crossJoin(broadcast(t)).crossJoin(broadcast(p))
+      .select(col("tok_a"), col("tok_b"), col("n_pair"),
+        round(log(
+          (col("n_pair").cast("double") * col("n_total") * col("n_total")) /
+            (col("n_pairs").cast("double") * col("n_a") * col("n_b"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a").asc, col("tok_b").asc)
+      .limit(topK)
+  }
+
   /** Positional fingerprint: Σ h32(token_i) · ((i mod 997)+1) mod 1e9+7,
     * h32 = first 8 md5 hex chars as int. Order-sensitive (a permuted doc
     * fingerprints differently) yet associative-safe for distributed sum. */

@@ -163,6 +163,31 @@ object DataOps {
     sb.toString
   }
 
+  /** The ir_bm25_topk oracle program — a val so the RRF-fusion oracle
+    * embeds THE SAME ranking derivation instead of a drift-prone copy.
+    * Constants are pre-folded to the exact doubles bm25TopK receives
+    * (2.2 = k1+1; 0.25 = 1−b) — folding them in SQL instead would go
+    * through DuckDB DECIMAL arithmetic and drift in the last ulp. */
+  private val bm25TopkSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS term FROM documents),
+      |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+      |       WHERE term IN ('spark', 'join', 'hash', 'window') GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |         round(sum(ln(1.0::DOUBLE + (s.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) *
+      |                   tf.tf * 2.2::DOUBLE /
+      |                   (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl / s.avgdl))), 4) AS score
+      |  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+      |  GROUP BY 1)
+      |SELECT doc_id, score, rank FROM (
+      |  SELECT doc_id, score,
+      |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      |  FROM scored) WHERE rank <= 20""".stripMargin
+
   private val ddInputSql: String =
     s"""dd_input AS (
        |  SELECT doc_id, text FROM documents
@@ -322,6 +347,13 @@ object DataOps {
     "sim_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(emb(s, dir), "vec_id", "embedding")),
 
+    // SemDeDup-style semantic dedup: IVF k-means partition (same model
+    // params as sim_ivf_topk) bounds the pair enumeration to
+    // within-cluster; exact cosine >= 0.35 keeps the verified pairs
+    "dd_semantic_pairs" -> ((s, dir) =>
+      Similarity.semanticNearDups(emb(s, dir), "vec_id", "embedding",
+        threshold = 0.35, nClusters = 8, lloydSteps = 2)),
+
     // ---- retrieval scoring ----
     "ir_bm25_topk" -> ((s, dir) =>
       Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
@@ -331,6 +363,21 @@ object DataOps {
     // corpus scans; bm25FromIndex equality is OpsSpec-pinned)
     "ir_index_build" -> ((s, dir) =>
       Retrieval.buildIndex(docs(s, dir), "doc_id", "text")),
+
+    // hybrid retrieval: the sparse BM25 list and the dense cosine list
+    // (probe = vec 0; vec_id ≡ doc_id in the testdata universe) fused
+    // by reciprocal rank — rank-only fusion needs no score
+    // normalization across the incomparable BM25/cosine scales
+    "ir_rrf_fusion" -> ((s, dir) => {
+      val sparse = Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
+        Seq("spark", "join", "hash", "window"), 20)
+        .select(col("doc_id"), col("rank"))
+      val e = emb(s, dir)
+      val dense = Similarity.cosineTopK(e, e.where(col("vec_id") === 0),
+        "vec_id", "embedding", 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(Seq(sparse, dense), "doc_id", "rank", topK = 15)
+    }),
 
     // ---- corpus curation ----
     // deterministic stratified sampling: en in full, de at 25%, the
@@ -490,6 +537,28 @@ object DataOps {
         .select(col("token"), col("n_exact"), col("est_n"))
     }),
 
+    // ordered funnel signup→view→click→purchase: ONE shuffle (groupBy
+    // user collects the sorted step-event list, a codegen'd aggregate
+    // lambda folds it) vs the oracle's textbook k-pass min-ts chain —
+    // same greedy-earliest semantics, different program
+    "ev_funnel" -> ((s, dir) =>
+      graft.ops.Events.funnel(
+        s.read.parquet(s"$dir/events.parquet"), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))),
+
+    // rolling z-score spike detection on per-type hourly event counts:
+    // integer-exact x > mean + 2σ over the trailing 24 observed buckets
+    "ev_rolling_anomaly" -> ((s, dir) =>
+      graft.ops.Events.rollingAnomalies(
+        s.read.parquet(s"$dir/events.parquet"), "event_type", "ts",
+        lookback = 24, zNum = 2L, zDen = 1L, minPrev = 8)),
+
+    // first-order Markov transition matrix over per-user event
+    // sequences, conditional probabilities as exact integer ppm
+    "ev_transitions" -> ((s, dir) =>
+      graft.ops.Events.transitionMatrix(
+        s.read.parquet(s"$dir/events.parquet"), "user_id", "ts", "event_type")),
+
     // ---- text analysis ----
     "ta_langid" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
@@ -501,6 +570,12 @@ object DataOps {
       TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")),
     "ta_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")),
+
+    // skip-gram PMI co-occurrence pairs (the word2vec/GloVe prep
+    // statistic): window-3 unordered pairs, count >= 3, top 100 by PMI
+    "ta_pmi_pairs" -> ((s, dir) =>
+      TextAnalysis.pmiPairs(docs(s, dir), "doc_id", "text",
+        window = 3, minPairCount = 3L, topK = 100)),
 
     // corpus unigram-LM surprisal (the KenLM-style quality filter):
     // integer-floored per-token surprisal so per-doc sums hash-exact
@@ -557,6 +632,19 @@ object DataOps {
       val e = graft.ops.Web.hostEdges(hostPages(s, dir), col("src_host"), col("html"))
       graft.ops.Graph.ssspDistances(
         e, "src_host", "dst_host", "n_links", "host0.example.com", rounds = 4)
+    }),
+
+    // deterministic random walks (the node2vec/DeepWalk corpus
+    // generator) over the mirrored part↔supplier bipartite graph
+    // (suppliers negated so the id spaces can't collide): 2 hash-driven
+    // walks of length 4 from each part node < 20
+    "gr_random_walks" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val fwd = li.select(col("l_partkey").as("src"), (-col("l_suppkey")).as("dst"))
+      val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Graph.randomWalks(edges, "src", "dst",
+        fwd.where(col("src") < 20).select(col("src")), "src",
+        walkLength = 4, walksPerNode = 2)
     }),
 
     // ---- table maintenance ----
@@ -737,8 +825,13 @@ object DataOps {
     * derived from them by the same IEEE ops in the same order as the
     * Spark side, so seeds and assignments are bit-identical. Probes are
     * `vec_id < 10` (the driver query's probe set). */
-  private def ivfSql(nClusters: Int, nProbe: Int, lloydSteps: Int, k: Int,
-      sampleBp: Int = 2000): String = {
+  /** The IVF model re-derivation (quantize → sample → farthest-point
+    * seeds → `lloydSteps` Lloyd refinements) as a CTE chain ending in
+    * the final assignment table `a<lloydSteps>` (vec_id, cid) — shared
+    * verbatim by the ivfTopK and semanticNearDups oracles, which differ
+    * only in what they do WITH the assignments. */
+  private def ivfAssignCtes(nClusters: Int, lloydSteps: Int,
+      sampleBp: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH qd AS MATERIALIZED (
@@ -789,6 +882,47 @@ object DataOps {
         s"JOIN cn$step c ON c.cid = d$step.cid),\n")
       sb.append(s"a$step AS (SELECT vec_id, cid FROM r$step WHERE rn = 1),\n")
     }
+    sb.toString
+  }
+
+  /** DuckDB form of Graph.randomWalks over the mirrored part↔supplier
+    * graph (the gr_random_walks driver query): `steps` hash-argmin walk
+    * steps unrolled as CTE pairs (candidates cN → chosen sN), the same
+    * md5(start:wid:step:neighbor) hash and (h, neighbor) tie order as
+    * the Scala program. */
+  private def randomWalksSql(steps: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH edges AS (
+        |  SELECT l_partkey AS src, -l_suppkey AS dst FROM lineitem
+        |  UNION ALL SELECT -l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        |s0 AS (
+        |  SELECT start, wid, 0 AS step, start AS node
+        |  FROM (SELECT DISTINCT l_partkey AS start FROM lineitem WHERE l_partkey < 20),
+        |       (SELECT unnest([0, 1]) AS wid)),
+        |""".stripMargin)
+    for (s <- 1 to steps) {
+      sb.append(
+        s"""c$s AS (
+           |  SELECT p.start, p.wid, e.dst AS nxt,
+           |         ('0x' || substr(md5(concat_ws(':', p.start, p.wid, $s, e.dst)), 1, 8))::BIGINT AS h
+           |  FROM s${s - 1} p JOIN edges e ON e.src = p.node),
+           |s$s AS (
+           |  SELECT start, wid, $s AS step, nxt AS node FROM (
+           |    SELECT start, wid, nxt,
+           |           row_number() OVER (PARTITION BY start, wid ORDER BY h, nxt) AS rn
+           |    FROM c$s) WHERE rn = 1),
+           |""".stripMargin)
+    }
+    sb.append((0 to steps).map(s => s"SELECT start, wid, step, node FROM s$s")
+      .mkString("u AS (", " UNION ALL ", ")\nSELECT start, wid, step, node FROM u"))
+    sb.toString
+  }
+
+  private def ivfSql(nClusters: Int, nProbe: Int, lloydSteps: Int, k: Int,
+      sampleBp: Int = 2000): String = {
+    val sb = new StringBuilder
+    sb.append(ivfAssignCtes(nClusters, lloydSteps, sampleBp))
     sb.append(
       s"""pl AS (SELECT vec_id AS probe_id, cid FROM r$lloydSteps WHERE vec_id < 10 AND rn <= $nProbe),
          |cand AS (SELECT pl.probe_id, a$lloydSteps.vec_id AS neighbor_id
@@ -804,6 +938,24 @@ object DataOps {
          |  FROM scored) WHERE rank <= $k""".stripMargin)
     sb.toString
   }
+
+  /** DuckDB form of Similarity.semanticNearDups: THE SAME assignment
+    * CTE chain as the ivfTopK oracle, then within-cluster pairs with
+    * exact rounded cosine ≥ threshold. */
+  private def semanticNearDupsSql(nClusters: Int, lloydSteps: Int,
+      threshold: Double, sampleBp: Int = 2000): String =
+    ivfAssignCtes(nClusters, lloydSteps, sampleBp) +
+      s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cand AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.cid
+         |         FROM a$lloydSteps a JOIN a$lloydSteps b USING (cid)
+         |         WHERE a.vec_id < b.vec_id)
+         |SELECT id1, id2, cos_sim, cid FROM (
+         |  SELECT id1, id2,
+         |         round(list_dot_product(x.e, y.e) /
+         |               (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 4) + 0 AS cos_sim,
+         |         cid
+         |  FROM cand JOIN v x ON x.vec_id = id1 JOIN v y ON y.vec_id = id2)
+         |WHERE cos_sim >= $threshold""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
@@ -1283,6 +1435,11 @@ object DataOps {
     // assignments are bit-identical to Spark's.
     "sim_ivf_topk" -> ivfSql(nClusters = 8, nProbe = 2, lloydSteps = 2, k = 5),
 
+    // the semantic-dedup pairs: the SAME IVF assignment derivation,
+    // consumed as a cluster partition instead of an inverted index
+    "dd_semantic_pairs" -> semanticNearDupsSql(
+      nClusters = 8, lloydSteps = 2, threshold = 0.35),
+
     "sim_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS maxabs FROM v)
@@ -1296,25 +1453,34 @@ object DataOps {
     // constants pre-folded to the exact doubles bm25TopK receives
     // (2.2 = k1+1; 0.25 = 1-b) — folding them in SQL instead would go
     // through DuckDB DECIMAL arithmetic and drift in the last ulp
-    "ir_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS term FROM documents),
-        |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
-        |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
-        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
-        |       WHERE term IN ('spark', 'join', 'hash', 'window') GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |         round(sum(ln(1.0::DOUBLE + (s.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) *
-        |                   tf.tf * 2.2::DOUBLE /
-        |                   (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl / s.avgdl))), 4) AS score
-        |  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
-        |  GROUP BY 1)
-        |SELECT doc_id, score, rank FROM (
-        |  SELECT doc_id, score,
-        |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
-        |  FROM scored) WHERE rank <= 20""".stripMargin,
+    "ir_bm25_topk" -> bm25TopkSql,
+
+    // sparse (BM25) + dense (cosine) lists fused by reciprocal rank:
+    // both rankings re-derived by their own oracle programs (the BM25
+    // CTE chain is THE ir_bm25_topk string — one definition), then
+    // integer ⌊1e6/(60+rank)⌋ contributions summed per doc — floor
+    // before sum keeps the fused scores order-free and hash-exact
+    "ir_rrf_fusion" ->
+      s"""WITH sparse AS ($bm25TopkSql),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |dscored AS (
+         |  SELECT c.vec_id AS doc_id,
+         |         round(list_dot_product(p.e, c.e) /
+         |               (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))), 4) + 0 AS cos_sim
+         |  FROM v p, v c WHERE p.vec_id = 0 AND p.vec_id <> c.vec_id),
+         |dense AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS rank
+         |    FROM dscored) WHERE rank <= 20),
+         |u AS (SELECT doc_id, rank FROM sparse UNION ALL SELECT doc_id, rank FROM dense),
+         |f AS (SELECT doc_id, sum(1000000 // (60 + rank))::BIGINT AS score,
+         |             count(*) AS n_lists
+         |      FROM u GROUP BY 1),
+         |top AS (SELECT doc_id, score, n_lists FROM f
+         |        ORDER BY score DESC, doc_id ASC LIMIT 15)
+         |SELECT doc_id, score, n_lists,
+         |       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+         |FROM top""".stripMargin,
 
     "cu_hash_sample" ->
       """SELECT doc_id, stratum, bucket FROM (
@@ -1501,6 +1667,92 @@ object DataOps {
          |       min(coalesce(c.n, 0))::BIGINT AS est_n
          |FROM probes p LEFT JOIN cells c USING (seed, bucket)
          |GROUP BY 1, p.n_exact""".stripMargin,
+
+    // skip-gram PMI: same linear pair generation (positions pair with
+    // the window ahead), same single IEEE ln expression tree
+    "ta_pmi_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS doc, generate_subscripts(a, 1) AS pos, unnest(a) AS tok
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS a FROM documents)),
+        |pairs AS (
+        |  SELECT least(x.tok, y.tok) AS tok_a, greatest(x.tok, y.tok) AS tok_b
+        |  FROM toks x JOIN toks y
+        |    ON x.doc = y.doc AND y.pos BETWEEN x.pos + 1 AND x.pos + 3),
+        |pc AS (SELECT tok_a, tok_b, count(*)::BIGINT AS n_pair FROM pairs GROUP BY 1, 2),
+        |uni AS (SELECT tok, count(*)::BIGINT AS n_tok FROM toks GROUP BY 1),
+        |t AS (SELECT sum(n_tok)::BIGINT AS n_total FROM uni),
+        |p AS (SELECT sum(n_pair)::BIGINT AS n_pairs FROM pc)
+        |SELECT tok_a, tok_b, n_pair,
+        |       round(ln((n_pair::DOUBLE * n_total * n_total) /
+        |                (n_pairs::DOUBLE * a.n_tok * b.n_tok)), 4) AS pmi
+        |FROM pc JOIN uni a ON a.tok = pc.tok_a JOIN uni b ON b.tok = pc.tok_b
+        |CROSS JOIN t CROSS JOIN p
+        |WHERE n_pair >= 3
+        |ORDER BY pmi DESC, tok_a, tok_b LIMIT 100""".stripMargin,
+
+    // per-user lead() sequence -> transition counts -> integer-ppm
+    // conditional probabilities; same (ts, type) tie order both engines
+    "ev_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS to_type
+        |  FROM events),
+        |cnt AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+        |        FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n)::BIGINT AS n_from FROM cnt GROUP BY 1)
+        |SELECT c.from_type, c.to_type, n, n_from,
+        |       (n * 1000000 // n_from)::BIGINT AS p_ppm
+        |FROM cnt c JOIN tot USING (from_type)""".stripMargin,
+
+    // hash-argmin walk steps unrolled as CTEs; same md5-based step hash,
+    // same (h, neighbor) tie order
+    "gr_random_walks" -> randomWalksSql(4),
+
+    // the textbook k-pass min-ts chain — a DIFFERENT program computing
+    // the same greedy-earliest funnel as the single-shuffle array fold
+    // (taking the EARLIEST qualifying event at each level maximizes
+    // eligibility for the next level, so min-chain ≡ fold)
+    "ev_funnel" ->
+      """WITH ev AS (SELECT user_id, ts, event_type FROM events
+        |            WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+        |f1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |f2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN f1 USING (user_id)
+        |       WHERE e.event_type = 'view' AND e.ts > f1.t1 GROUP BY 1),
+        |f3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e JOIN f2 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > f2.t2 GROUP BY 1),
+        |f4 AS (SELECT e.user_id, min(e.ts) AS t4 FROM ev e JOIN f3 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > f3.t3 GROUP BY 1),
+        |base AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT b.user_id,
+        |       CASE WHEN t4 IS NOT NULL THEN 4 WHEN t3 IS NOT NULL THEN 3
+        |            WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1
+        |            ELSE 0 END AS steps_completed,
+        |       t1 AS t_first,
+        |       coalesce(t4, t3, t2, t1) AS t_last
+        |FROM base b LEFT JOIN f1 USING (user_id) LEFT JOIN f2 USING (user_id)
+        |     LEFT JOIN f3 USING (user_id) LEFT JOIN f4 USING (user_id)""".stripMargin,
+
+    // integer-exact rolling z-score: same window program, same
+    // (x·n−s)²·zDen² > zNum²·(n·ss−s²) comparison — all BIGINT
+    "ev_rolling_anomaly" ->
+      """WITH b AS (
+        |  SELECT event_type AS key, date_trunc('hour', ts) AS bucket_hour,
+        |         count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT key, bucket_hour, cnt,
+        |         count(*) OVER win::BIGINT AS n_prev,
+        |         coalesce(sum(cnt) OVER win, 0)::BIGINT AS sum_prev,
+        |         coalesce(sum(cnt * cnt) OVER win, 0)::BIGINT AS ssq_prev
+        |  FROM b
+        |  WINDOW win AS (PARTITION BY key ORDER BY bucket_hour
+        |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT key, bucket_hour, cnt, n_prev, sum_prev,
+        |       (n_prev >= 8 AND cnt * n_prev - sum_prev > 0 AND
+        |        (cnt * n_prev - sum_prev) * (cnt * n_prev - sum_prev) >
+        |        4 * (n_prev * ssq_prev - sum_prev * sum_prev)) AS is_anomaly
+        |FROM w""".stripMargin,
 
     // the bloom bit/probe buckets reuse minhashHashSql (seed = hash fn)
     "cu_bloom_prefilter" ->

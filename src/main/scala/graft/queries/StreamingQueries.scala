@@ -226,6 +226,52 @@ object StreamingQueries {
         .select(col("hour"), col("event_type"), col("n"), col("sum_value"))
     }),
 
+    // streaming MATERIALIZED-VIEW maintenance — the lambda shape of
+    // tb_mv_refresh: each micro-batch of facts folds into the
+    // accumulated summary via Cdc.refreshSummary (delta aggregates
+    // map-side, ONE key-sized full-outer join — never a rescan of old
+    // facts), and the converged view must equal a single-pass GROUP BY
+    // over ALL the facts. The fold itself is plain batch code inside
+    // foreachBatch; each fold lands in a batchId-NAMED versioned dir
+    // (read latest < b, write b, _SUCCESS-gated) — so an at-least-once
+    // REPLAY of batch b overwrites version b with the identical fold of
+    // the identical input instead of double-counting it, and a restart
+    // resumes from the last durable version. State here is the
+    // key-sized summary ON DISK, not in the streaming store — which is
+    // why MIN/MAX survive (complete/update-mode aggs could maintain
+    // COUNT/SUM, but a streaming MIN over retractions cannot exist;
+    // append-only facts + disk folds sidestep that boundary).
+    "st_mv_refresh" -> ((s, dir) => {
+      val work = TmpDirs.fresh("st_mv")
+      val keys = Seq("event_type", "hour"); val ms = Seq("m1", "m2")
+      def versions(): Seq[Long] = {
+        val d = new java.io.File(work)
+        if (!d.isDirectory) Nil
+        else d.listFiles.toSeq
+          .filter(f => f.getName.startsWith("summary_v") &&
+            new java.io.File(f, "_SUCCESS").isFile)
+          .map(_.getName.stripPrefix("summary_v").toLong)
+      }
+      val q = streamTbl(s, dir, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+          (col("event_id") % 97).as("m1"), expr("nullif(user_id % 5, 0)").as("m2"))
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val prev = versions().filter(_ < batchId)
+          val folded =
+            if (prev.isEmpty) graft.ops.Cdc.aggregateSummary(batch, keys, ms)
+            else graft.ops.Cdc.refreshSummary(
+              s.read.parquet(s"$work/summary_v${prev.max}"), batch, keys, ms)
+          folded.write.mode("overwrite").parquet(s"$work/summary_v$batchId")
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/summary_v${versions().max}")
+    }),
+
     // streaming EXACT DEDUP — the training-pipeline staple, stateful
     // across micro-batches: `dropDuplicates` keeps the first arrival of
     // each content fingerprint in the state store and suppresses every
@@ -321,6 +367,18 @@ object StreamingQueries {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the micro-batch-folded view must converge to the same single-pass
+    // GROUP BY the batch tb_mv_refresh oracle re-derives
+    "st_mv_refresh" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |         event_id % 97 AS m1, nullif(user_id % 5, 0) AS m2
+        |  FROM events)
+        |SELECT event_type, hour, count(*) AS n_rows,
+        |       sum(m1)::BIGINT AS sum_m1, min(m1) AS min_m1, max(m1) AS max_m1,
+        |       sum(m2)::BIGINT AS sum_m2, min(m2) AS min_m2, max(m2) AS max_m2
+        |FROM ev GROUP BY 1, 2""".stripMargin,
+
     // stream-dedup'd fingerprints ≡ batch DISTINCT
     "st_exact_dedup" ->
       "SELECT DISTINCT md5(coalesce(text, '')) AS text_md5 FROM documents",

@@ -284,6 +284,47 @@ class PlanSpec extends AnyFunSuite {
       s"closed rows must union around the join unshuffled:\n$p")
   }
 
+  test("funnel is ONE shuffle (user groupBy) with zero join nodes") {
+    val p = plan(graft.ops.Events.funnel(
+      spark.read.parquet(s"$dir/events.parquet"), "user_id", "ts", "event_type",
+      Seq("signup", "view", "click", "purchase")))
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size == 1,
+      s"funnel must shuffle exactly once:\n$p")
+    assert(!p.contains("Join"), s"the fold formulation has no joins:\n$p")
+  }
+
+  test("rolling anomalies: partial-agg events shuffle + bucket-sized window shuffle") {
+    val df = graft.ops.Events.rollingAnomalies(
+      spark.read.parquet(s"$dir/events.parquet"), "event_type", "ts")
+    val p = plan(df)
+    // exactly 2 exchanges: (key,hour) agg over events, then the tiny
+    // bucket table re-keyed for the trailing window
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size == 2,
+      s"expected agg + window exchanges only:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"the events-sized agg must combine map-side:\n$p")
+  }
+
+  test("RRF fusion: partial agg + TakeOrderedAndProject, no global sort") {
+    val lists = Seq(1, 2).map(i =>
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", (($"doc_id" * i) % 20 + 1).as("rank")).limit(20))
+    val p = plan(graft.ops.Retrieval.rrfFuse(lists, "doc_id", "rank", topK = 10))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not globally sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"score sum must combine map-side:\n$p")
+  }
+
+  test("semantic near-dups join on cluster id, never all-pairs") {
+    val p = plan(graft.ops.Similarity.semanticNearDups(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+      threshold = 0.35))
+    // the centroid-table crossJoin broadcasts (tiny side); row×row
+    // enumeration must ride the cid equi-join, never a cartesian
+    assert(!p.contains("CartesianProduct"),
+      s"pair enumeration must ride the cid equi-join:\n$p")
+  }
+
   test("z-value computation is one broadcast stats join over a narrow pass") {
     val p = plan(graft.ops.Layout.zValue(
       spark.read.parquet(s"$dir/lineitem.parquet"), "l_partkey", "l_suppkey", 8))

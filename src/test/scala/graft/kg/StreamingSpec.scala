@@ -85,6 +85,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming MV refresh: micro-batch folds converge to the full recompute") {
+    import org.apache.spark.sql.functions._
+    // the driver-contract query itself: 4 event micro-batches folded
+    // through Cdc.refreshSummary into versioned on-disk summaries
+    val got = graft.queries.StreamingQueries.queries("st_mv_refresh")(
+      spark, "/root/testdata/sf0.001")
+    val full = graft.ops.Cdc.aggregateSummary(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+          (col("event_id") % 97).as("m1"), expr("nullif(user_id % 5, 0)").as("m2")),
+      Seq("event_type", "hour"), Seq("m1", "m2"))
+    assert(got.collect().toSet == full.collect().toSet)
+    assert(got.count() > 0)
+  }
+
   test("flatMapGroupsWithState carries entity totals across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -186,6 +186,58 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.9, f"clustered recall@3 at probe 2/8 must clear 0.9: $recall%.3f")
   }
 
+  test("semanticNearDups: within-cluster pairs only, sound vs exact, capped clusters") {
+    // same planted-cluster workload as the IVF recall test: tight
+    // same-cluster cosines (~0.97+), near-orthogonal cross-cluster
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(16)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    val rows = (0L until 160L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f).toSeq)
+    }
+    val cemb = rows.toDF("vec_id", "embedding")
+    val got = Similarity.semanticNearDups(cemb, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact ground truth in-memory (160 rows): all pairs with cos >= .9
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val (dab, daa, dbb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((s, sa, sb), (x, y)) =>
+          (s + x.toDouble * y, sa + x.toDouble * x, sb + y.toDouble * y)
+      }
+      dab / (math.sqrt(daa) * math.sqrt(dbb))
+    }
+    val byId = rows.toMap
+    val exact = (for {
+      i <- 0L until 160L; j <- (i + 1) until 160L
+      if BigDecimal(cos(byId(i), byId(j))).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.9
+    } yield (i, j)).toSet
+    assert(got.subsetOf(exact), "every reported pair must truly clear the threshold")
+    assert(got.size >= (exact.size * 0.9).toInt,
+      s"cluster partition must recover >=90% of exact pairs: ${got.size}/${exact.size}")
+    assert((got -- exact).isEmpty && exact.nonEmpty && got.nonEmpty)
+    // PARTIAL cap: one oversized planted cluster (40 ids) is dropped
+    // loudly while the 15-id clusters survive — its pairs vanish, the
+    // observe row reports it. (An ALL-capped run would leave the result
+    // empty and AQE's empty-relation propagation would prune the
+    // executed CollectMetrics stage with it — the documented caveat;
+    // partial caps, the realistic case, always report.)
+    val skewRows = (0L until 145L).map { i =>
+      val c = if (i < 40L) centers(0) else centers((i % 7).toInt + 1)
+      (i, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f).toSeq)
+    }
+    val semb = skewRows.toDF("vec_id", "embedding")
+    val capped = Similarity.semanticNearDups(semb, "vec_id", "embedding",
+      threshold = 0.9, maxClusterSize = 25L)
+    val m = observedMetric(capped, "semdedup_clusters")
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cappedPairs.nonEmpty, "surviving clusters still pair")
+    assert(!cappedPairs.exists { case (a, b) => a < 40L && b < 40L },
+      "the oversized cluster's pairs are gone")
+    assert(m.getAs[Long]("capped_clusters") == 1L, m.toString)
+    assert(m.getAs[Long]("max_cluster") == 40L, m.toString)
+  }
+
   test("int8 quantization: range, sign, and reconstruction error bound") {
     val out = Similarity.quantizeInt8(emb, "vec_id", "embedding").collect()
     assert(out.length == emb.count())
@@ -1323,6 +1375,165 @@ class OpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Cdc.refreshSummary(old, delta, keys, ms)
     }
+  }
+
+  test("funnel: greedy-earliest chain, strict-after ties, partial depth, guards") {
+    import graft.ops.Events
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      // u1 completes all three: a(1) -> b(3) -> c(4); the later a(2) and
+      // the pre-a b(0) must not matter
+      (1L, ts(0), "b"), (1L, ts(1), "a"), (1L, ts(2), "a"),
+      (1L, ts(3), "b"), (1L, ts(4), "c"),
+      // u2: b at the SAME minute as a — strict-after rejects it
+      (2L, ts(1), "a"), (2L, ts(1), "b"),
+      // u3: only step-2/3 events — depth 0, null timestamps
+      (3L, ts(1), "b"), (3L, ts(2), "c"),
+      // u4: off-funnel types only — must not appear at all
+      (4L, ts(1), "x")).toDF("u", "ts", "typ")
+    val out = Events.funnel(ev, "u", "ts", "typ", Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), Option(r.getTimestamp(2)), Option(r.getTimestamp(3))))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((3, Some(ts(1)), Some(ts(4)))))
+    assert(out(2L) == ((1, Some(ts(1)), Some(ts(1)))))
+    assert(out(3L) == ((0, None, None)))
+    // result is invariant under partitioning/arrival order
+    val shuffled = Events.funnel(ev.repartition(7).orderBy(rand(42)),
+      "u", "ts", "typ", Seq("a", "b", "c")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(shuffled == Set((1L, 3), (2L, 1), (3L, 0)))
+    assertThrows[IllegalArgumentException] {
+      Events.funnel(ev, "u", "ts", "typ", Seq("a"))
+    }
+    assertThrows[IllegalArgumentException] {
+      Events.funnel(ev, "u", "ts", "typ", Seq("a", "a"))
+    }
+  }
+
+  test("transitionMatrix: counts, ppm math, and same-ts tie order") {
+    import graft.ops.Events
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      (1L, ts(0), "a"), (1L, ts(1), "b"), (1L, ts(2), "a"), (1L, ts(3), "c"),
+      (2L, ts(0), "a"), (2L, ts(1), "b"),
+      // u3: b and c at the SAME ts — type order makes it b -> c
+      (3L, ts(0), "a"), (3L, ts(1), "c"), (3L, ts(1), "b")).toDF("u", "ts", "typ")
+    val out = Events.transitionMatrix(ev, "u", "ts", "typ").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // from a: ->b (u1, u2, u3), ->c (u1) — 4 transitions out of a
+    assert(out(("a", "b")) == ((3L, 4L, 750000L)))
+    assert(out(("a", "c")) == ((1L, 4L, 250000L)))
+    assert(out(("b", "a")) == ((1L, 2L, 500000L)))
+    assert(out(("b", "c")) == ((1L, 2L, 500000L)))
+    assert(out.size == 4)
+    // invariant under partitioning
+    val shuffled = Events.transitionMatrix(
+      ev.repartition(5).orderBy(rand(7)), "u", "ts", "typ").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(4))).toSet
+    assert(shuffled == out.map { case ((f, t), (_, _, p)) => (f, t, p) }.toSet)
+  }
+
+  test("pmiPairs: planted collocation tops, symmetry, floor and guards") {
+    import graft.ops.TextAnalysis
+    // "zq xv" always adjacent; filler tokens are common everywhere
+    val docsDf = (0 until 40).map(i =>
+      (i.toLong, s"zq xv the of and the of and tok$i the of")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairs(docsDf, "doc_id", "text",
+      window = 2, minPairCount = 3L, topK = 10).collect()
+    val top = out.head
+    assert(Set(top.getString(0), top.getString(1)) == Set("xv", "zq"),
+      s"the planted collocation must have the highest PMI: $top")
+    // pairs are unordered: tok_a <= tok_b always, no duplicate mirror
+    assert(out.forall(r => r.getString(0) <= r.getString(1)))
+    val keys = out.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length)
+    // PMI sorted descending with (tok_a, tok_b) tie order
+    val pmis = out.map(_.getDouble(3))
+    assert(pmis.zip(pmis.tail).forall { case (x, y) => x >= y })
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.pmiPairs(docsDf, "doc_id", "text", window = 0)
+    }
+  }
+
+  test("randomWalks: edge-respecting, deterministic, dead-ends stop") {
+    import graft.ops.Graph
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst") // 5 is a dead end
+    val starts = Seq(1L).toDF("v")
+    val out = Graph.randomWalks(edges, "src", "dst", starts, "v",
+      walkLength = 6, walksPerNode = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val byWalk = out.groupBy(w => (w._1, w._2)).view.mapValues(
+      _.sortBy(_._3).map(_._4).toList).toMap
+    assert(byWalk.size == 3)
+    val edgeSet = Set((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    byWalk.values.foreach { path =>
+      assert(path.head == 1L)
+      path.zip(path.tail).foreach(p => assert(edgeSet.contains(p),
+        s"walk must follow edges: $path"))
+      // 1 -> {2,3} -> 4 -> 5 -> dead end: exactly 4 nodes, never 7
+      assert(path.length == 4, s"dead end must stop the walk: $path")
+    }
+    // hash-deterministic: identical under repartitioning
+    val out2 = Graph.randomWalks(edges.repartition(4), "src", "dst",
+      starts, "v", walkLength = 6, walksPerNode = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(out.toSet == out2.toSet)
+    // different wids CAN branch differently at node 1 (not a fixed path)
+    assert(byWalk.values.toSet.size >= 1)
+  }
+
+  test("rollingAnomalies: spike flagged, warm-up masked, integer z-boundary") {
+    import graft.ops.Events
+    // 30 hourly buckets of 4 events each, then one 40-event spike hour
+    def t(h: Int, i: Int) = new java.sql.Timestamp(1700000000000L / 3600000L * 3600000L
+      + h * 3600000L + i * 1000L)
+    val rows = (0 until 30).flatMap(h => (0 until 4).map(i => ("k", t(h, i)))) ++
+      (0 until 40).map(i => ("k", t(30, i)))
+    val out = Events.rollingAnomalies(rows.toDF("key", "ts"), "key", "ts",
+      lookback = 24, zNum = 3L, zDen = 1L, minPrev = 8)
+      .collect().map(r => (r.getTimestamp(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(5))).sortBy(_._1.getTime)
+    assert(out.length == 31)
+    // constant-rate hours never flag; the first 8 are warm-up-masked too
+    assert(out.init.forall(!_._4), "steady hours must not flag")
+    assert(out.take(8).forall(r => r._3 < 8 || !r._4), "warm-up is masked")
+    val spike = out.last
+    assert(spike._2 == 40L && spike._3 == 24L && spike._4,
+      s"the spike over a zero-variance trailing window must flag: $spike")
+    // boundary: variance 0 history (all-equal counts) — any x > mean
+    // flags only when (x·n−s)² > 0, i.e. strictly above the mean
+    val flat = Events.rollingAnomalies(
+      rows.toDF("key", "ts"), "key", "ts", 24, 1L, 1L, 8)
+      .where(col("cnt") === 4L).collect()
+    assert(flat.forall(!_.getBoolean(5)), "x == mean never flags even at z=1")
+    assertThrows[IllegalArgumentException] {
+      Events.rollingAnomalies(rows.toDF("key", "ts"), "key", "ts", 4, 1L, 1L, 8)
+    }
+  }
+
+  test("rrfFuse: integer contributions, both-lists boost, tie-break, guards") {
+    import graft.ops.Retrieval
+    val a = Seq(("d1", 1), ("d2", 2), ("d3", 3)).toDF("id", "rank")
+    val b = Seq(("d2", 1), ("d4", 2)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), "id", "rank", topK = 10,
+      k0 = 60, scale = 1000L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // ⌊1000/61⌋=16 ⌊1000/62⌋=16 ⌊1000/63⌋=15; d2 fuses 16+16
+    assert(out.toSeq == Seq(
+      ("d2", 32L, 2L, 1), ("d1", 16L, 1L, 2), ("d4", 16L, 1L, 3), ("d3", 15L, 1L, 4)),
+      "both-lists doc first; equal-score tie broken by id asc")
+    assertThrows[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(a), "id", "rank", topK = 5)
+    }
+    // a 0-indexed ranking fails loudly in-plan
+    val ex = intercept[Exception] {
+      Retrieval.rrfFuse(Seq(a, Seq(("d9", 0)).toDF("id", "rank")),
+        "id", "rank", topK = 5).collect()
+    }
+    assert(ex.getMessage.contains("rank must be >= 1"))
   }
 
   test("normalizeUrl: case, ports, tracking params, fragments, empty path") {
