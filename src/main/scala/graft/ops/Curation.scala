@@ -31,6 +31,28 @@ object Curation {
       .where(col("bucket") < rate)
   }
 
+  /** Deterministic QUOTA sampling: exactly `quota` rows per stratum
+    * (or all of a smaller stratum), chosen as the `quota` smallest
+    * md5(id) hashes — where [[hashSample]]'s rate produces BINOMIAL
+    * stratum sizes, this produces exact ones (the "give me 10k eval
+    * docs per language" ask). Same determinism property: a given id's
+    * membership depends only on the ids present, never on partitioning
+    * or rerun; growing a stratum can only evict the largest hashes
+    * (bottom-k stability, the KMV property). The rank filter plans as
+    * a WindowGroupLimit (per-partition top-k below the sort — no
+    * stratum ever fully sorts). Ties on the 128-bit hash are broken by
+    * id. Output: (id, stratum, rn 1..quota). */
+  def quotaSample(df: DataFrame, id: String, stratum: String, quota: Int): DataFrame = {
+    require(quota >= 1, "quotaSample: need quota >= 1")
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("__h").asc, col(id).asc)
+    df.select(col(id), col(stratum).as("stratum"))
+      .withColumn("__h", md5(col(id).cast("string")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= quota)
+      .select(col(id), col("stratum"), col("rn"))
+  }
+
   /** Deterministic negative sampling for contrastive training pairs:
     * for each (query, positive) row, emit `k` pseudo-random negatives
     *   neg_j = h(query_id, j) mod corpusSize,   h = first-8-hex md5

@@ -149,6 +149,56 @@ object Retrieval {
       .select(col(id), col("score"), col("n_lists"), col("rank"))
   }
 
+  /** Sparse TF-IDF cosine document-pair similarity — the lexical
+    * counterpart to `Similarity.cosineNearDups` (dense embeddings) and
+    * the classic plagiarism/near-dup detector when no embedding model
+    * is in the loop: weight each (doc, term) by tf·ln(N/df), join the
+    * postings with themselves ON THE TERM (a pair of docs meets once
+    * per shared term — never an all-pairs doc join), partial-agg the
+    * dot products, normalize by the per-doc norms, keep the global
+    * top-k pairs by rounded cosine.
+    *
+    * The scale guard is `maxDf`: a term in more than `maxDf` docs
+    * contributes df² pair rows (the stopword quadratic — "the" at
+    * 10^10 docs is 10^20 rows), so ubiquitous terms are DROPPED —
+    * exactly the pruning every production sparse-similarity system
+    * applies (such terms carry ~zero idf weight anyway), capped and
+    * OBSERVED via `metricName` (dropped_terms, max_df — a run that
+    * pruned everything is visible, never silent). The df table is
+    * vocabulary-sized; n_docs rides a broadcast scalar, norms a
+    * doc-keyed join of aggregates.
+    * Output: (doc_a, doc_b, n_shared_terms, cos_sim), doc_a < doc_b,
+    * top `k` by (cos_sim desc, doc_a, doc_b). */
+  def sparseCosinePairs(df: DataFrame, id: String, text: String, k: Int,
+      maxDf: Long = 1000L, metricName: String = "sparse_sim_terms"): DataFrame = {
+    require(k >= 1 && maxDf >= 2L, "sparseCosinePairs: need k >= 1, maxDf >= 2")
+    val dt = df.select(col(id).as("doc"), tokens(text).as("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val nd = df.agg(count(lit(1)).as("n_docs"))
+    val kept = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .observe(metricName,
+        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("dropped_terms"),
+        max(col("df")).as("max_df"))
+      .where(col("df") <= maxDf)
+    val wtd = dt.join(kept, Seq("term")).crossJoin(broadcast(nd))
+      .select(col("doc"), col("term"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+    val norms = wtd.groupBy(col("doc")).agg(sum(col("w") * col("w")).as("nsq"))
+    wtd.select(col("term"), col("doc").as("doc_a"), col("w").as("wa"))
+      .join(wtd.select(col("term"), col("doc").as("doc_b"), col("w").as("wb")),
+        Seq("term"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"),
+        count(lit(1)).as("n_shared_terms"))
+      .join(norms.select(col("doc").as("doc_a"), col("nsq").as("nsq_a")), Seq("doc_a"))
+      .join(norms.select(col("doc").as("doc_b"), col("nsq").as("nsq_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_terms"),
+        round(col("dot") / (sqrt(col("nsq_a")) * sqrt(col("nsq_b"))), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(k)
+  }
+
   /** Per-document top-n TF-IDF terms — the classic salience profile a
     * corpus browser/keyword extractor wants, and the lexical
     * feature-vector builder's core. tfidf = tf · ln(N/df); every

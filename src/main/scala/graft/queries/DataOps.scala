@@ -379,6 +379,18 @@ object DataOps {
       Retrieval.rrfFuse(Seq(sparse, dense), "doc_id", "rank", topK = 15)
     }),
 
+    // exact per-stratum quotas (vs hashSample's binomial sizes): the 25
+    // smallest md5(doc_id) per language — bottom-k-stable, rerun-proof
+    "cu_quota_sample" -> ((s, dir) =>
+      graft.ops.Curation.quotaSample(docs(s, dir), "doc_id", "lang", 25)),
+
+    // sparse TF-IDF cosine doc pairs (the lexical near-dup detector):
+    // postings self-joined per term, stopword terms (df > 100) pruned
+    // loudly, top 50 pairs by rounded cosine
+    "ir_sparse_sim" -> ((s, dir) =>
+      Retrieval.sparseCosinePairs(docs(s, dir), "doc_id", "text",
+        k = 50, maxDf = 100L)),
+
     // ---- corpus curation ----
     // deterministic stratified sampling: en in full, de at 25%, the
     // long tail at 5% — stable under reruns and repartitioning
@@ -648,6 +660,16 @@ object DataOps {
     }),
 
     // ---- table maintenance ----
+    // one-scan column profiler (ingest-gate data-quality summary):
+    // counts, nulls, KMV distinct estimate, lexicographic min/max per
+    // column — the double column (o_totalprice) deliberately excluded
+    // per the documented float-string caveat
+    "tb_profile" -> ((s, dir) =>
+      graft.ops.Profile.profileColumns(
+        s.read.parquet(s"$dir/orders.parquet"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+          "o_orderpriority"))),
+
     // incremental materialized-view refresh: base summary over 80% of
     // the facts + one delta fold over the other 20% ≡ a full recompute —
     // two measures exercise the null paths (m2 is null on every
@@ -1667,6 +1689,71 @@ object DataOps {
          |       min(coalesce(c.n, 0))::BIGINT AS est_n
          |FROM probes p LEFT JOIN cells c USING (seed, bucket)
          |GROUP BY 1, p.n_exact""".stripMargin,
+
+    // one-scan profiler: UNION-ALL unpivot + the ev_kmv_distinct
+    // program grouped by column name
+    "tb_profile" -> {
+      val colsP = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderdate", "o_orderpriority")
+      val unp = colsP.map(c =>
+        s"SELECT '$c' AS \"column\", $c::VARCHAR AS value FROM orders")
+        .mkString("\n  UNION ALL ")
+      s"""WITH unp AS (
+         |  $unp),
+         |counts AS (
+         |  SELECT "column", count(*)::BIGINT AS n_rows,
+         |         count(value)::BIGINT AS n_nonnull,
+         |         min(value) AS min_val, max(value) AS max_val
+         |  FROM unp GROUP BY 1),
+         |uq AS (SELECT DISTINCT "column", value FROM unp WHERE value IS NOT NULL),
+         |h AS (
+         |  SELECT "column",
+         |         (('0x' || substr(md5(value), 1, 15))::BIGINT)::DOUBLE
+         |           / 1152921504606846976.0 AS u
+         |  FROM uq),
+         |rk AS (
+         |  SELECT "column", u,
+         |         row_number() OVER (PARTITION BY "column" ORDER BY u ASC) AS rn
+         |  FROM h),
+         |kmv AS (SELECT "column", count(*)::BIGINT AS n_minima, max(u) AS uk
+         |        FROM rk WHERE rn <= 64 GROUP BY 1)
+         |SELECT c."column", n_rows, n_nonnull,
+         |       coalesce(round(CASE WHEN n_minima < 64 THEN n_minima::DOUBLE
+         |                           ELSE 63 / uk END, 4), 0.0) AS est_distinct,
+         |       min_val, max_val
+         |FROM counts c LEFT JOIN kmv USING ("column")""".stripMargin
+    },
+
+    // exact per-stratum quotas: same bottom-k-by-md5 rank program
+    "cu_quota_sample" ->
+      """SELECT doc_id, stratum, rn FROM (
+        |  SELECT doc_id, lang AS stratum,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
+        |  FROM documents) WHERE rn <= 25""".stripMargin,
+
+    // sparse TF-IDF cosine pairs: same postings self-join, same single
+    // IEEE weight/normalization expression trees
+    "ir_sparse_sim" ->
+      """WITH dt AS (
+        |  SELECT doc_id AS doc, unnest(regexp_extract_all(text, '[a-z]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc, term, count(*)::BIGINT AS tf FROM dt GROUP BY 1, 2),
+        |nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+        |          GROUP BY 1 HAVING count(*) <= 100),
+        |w AS (SELECT doc, term, tf * ln(n_docs::DOUBLE / df) AS w
+        |      FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+        |norms AS (SELECT doc, sum(w * w) AS nsq FROM w GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc AS doc_a, b.doc AS doc_b, sum(a.w * b.w) AS dot,
+        |         count(*)::BIGINT AS n_shared_terms
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc < b.doc
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared_terms,
+        |       round(dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 4) AS cos_sim
+        |FROM pairs JOIN norms na ON na.doc = doc_a JOIN norms nb ON nb.doc = doc_b
+        |ORDER BY cos_sim DESC, doc_a, doc_b LIMIT 50""".stripMargin,
 
     // skip-gram PMI: same linear pair generation (positions pair with
     // the window ahead), same single IEEE ln expression tree

@@ -325,6 +325,33 @@ class PlanSpec extends AnyFunSuite {
       s"pair enumeration must ride the cid equi-join:\n$p")
   }
 
+  test("quota sampling pushes a WindowGroupLimit (no stratum fully sorts)") {
+    val p = plan(graft.ops.Curation.quotaSample(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "lang", 25))
+    assert(p.contains("WindowGroupLimit"), s"rank filter must push below the sort:\n$p")
+  }
+
+  test("sparse cosine pairs join postings on the term, never all-pairs docs") {
+    val p = plan(graft.ops.Retrieval.sparseCosinePairs(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 50,
+      maxDf = 100L, metricName = "sparse_plan_gate"))
+    assert(!p.contains("CartesianProduct"), s"no doc×doc cartesian:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not globally sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"dot products must combine map-side:\n$p")
+  }
+
+  test("profiler is ONE scan: unpivot + two aggregations, no per-column passes") {
+    val df = graft.ops.Profile.profileColumns(
+      spark.read.parquet(s"$dir/orders.parquet"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+    val p = plan(df)
+    // two scans regardless of column count (the counts pass + the
+    // sketch pass over the same unpivot) — never a scan PER column
+    assert("FileScan parquet".r.findAllIn(p).size <= 2,
+      s"profiler must not rescan per column:\n$p")
+  }
+
   test("z-value computation is one broadcast stats join over a narrow pass") {
     val p = plan(graft.ops.Layout.zValue(
       spark.read.parquet(s"$dir/lineitem.parquet"), "l_partkey", "l_suppkey", 8))

@@ -1411,6 +1411,72 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("profileColumns: counts, nulls, exact-below-k distinct, lexicographic bounds") {
+    import graft.ops.Profile
+    val t = Seq(
+      (1L, Option("a"), Option(10L)), (2L, Option("b"), None),
+      (3L, Option("a"), Option(2L)), (4L, None, Option(10L))
+    ).toDF("id", "s", "v")
+    val out = Profile.profileColumns(t, Seq("id", "s", "v"), kmvK = 64)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4), r.getString(5)))).toMap
+    assert(out("id") == ((4L, 4L, 4.0, "1", "4")))
+    assert(out("s") == ((4L, 3L, 2.0, "a", "b")))
+    // v: distinct {10, 2}; min/max are LEXICOGRAPHIC on the string form
+    assert(out("v") == ((4L, 3L, 2.0, "10", "2")))
+    // an all-null column still profiles (est 0, null bounds)
+    val nul = Profile.profileColumns(
+      t.withColumn("z", lit(null).cast("string")), Seq("z")).collect().head
+    assert(nul.getLong(2) == 0L && nul.getDouble(3) == 0.0 && nul.isNullAt(4))
+    assertThrows[IllegalArgumentException] {
+      Profile.profileColumns(t, Seq("id", "id"))
+    }
+  }
+
+  test("quotaSample: exact quotas, bottom-k stability, small strata whole") {
+    import graft.ops.Curation
+    val rows = (0L until 300L).map(i => (i, if (i < 290) "big" else "small"))
+    val df = rows.toDF("id", "grp")
+    val out = Curation.quotaSample(df, "id", "grp", 15).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byStratum = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byStratum("big").size == 15, "exactly the quota from the big stratum")
+    assert(byStratum("small").size == 10, "small strata pass through whole")
+    // bottom-k stability: adding rows can only evict, never admit a
+    // formerly-rejected id
+    val grown = Curation.quotaSample(
+      rows.union((1000L until 1100L).map(i => (i, "big"))).toDF("id", "grp"),
+      "id", "grp", 15).collect()
+      .filter(_.getString(1) == "big").map(_.getLong(0)).toSet
+    assert(grown.subsetOf(byStratum("big") ++ (1000L until 1100L)),
+      "growth must not admit a previously-rejected old id")
+  }
+
+  test("sparseCosinePairs: identical docs hit 1.0, stopword prune observed") {
+    import graft.ops.Retrieval
+    val docsDf = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta"), (4L, "alpha epsilon unrelated words here")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.sparseCosinePairs(docsDf, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.head._1 == 1L && out.head._2 == 2L && out.head._4 == 1.0,
+      s"identical docs must top at cosine 1.0: ${out.head}")
+    assert(out.forall(p => p._1 < p._2))
+    assert(out.forall(p => p._4 <= 1.0 && p._4 >= 0.0))
+    // stopword prune: a term in EVERY doc is dropped and observed
+    val everywhere = docsDf.select($"doc_id",
+      concat($"text", lit(" common")).as("text"))
+    val pruned = Retrieval.sparseCosinePairs(everywhere, "doc_id", "text",
+      k = 10, maxDf = 3L, metricName = "sparse_test")
+    val m = observedMetric(pruned, "sparse_test")
+    assert(m.getAs[Long]("dropped_terms") == 1L, m.toString)
+    assert(m.getAs[Long]("max_df") == 4L, m.toString)
+    // with "common" pruned, doc pairs sharing ONLY it vanish
+    val keys = pruned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!keys.contains((2L, 3L)), "a pair sharing only the pruned term must drop")
+  }
+
   test("transitionMatrix: counts, ppm math, and same-ts tie order") {
     import graft.ops.Events
     def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
