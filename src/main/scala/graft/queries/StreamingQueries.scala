@@ -290,6 +290,26 @@ object StreamingQueries {
           .dropDuplicates("text_md5"),
         "append")),
 
+    // STREAM-STATIC enrichment join — the standard lambda shape for
+    // dimension lookups (the Iceberg-table equivalent: each micro-batch
+    // re-reads the dim snapshot, so the static side may be UPDATED
+    // between batches without restarting the stream): every streamed
+    // event inner-joins a batch-computed per-user profile. Stateless —
+    // nothing crosses batch boundaries, no watermark needed; the static
+    // side is a plain DataFrame the planner is free to broadcast under
+    // every micro-batch's plan
+    "st_static_enrich" -> ((s, dir) => {
+      val profile = s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("user_total"),
+          countDistinct(col("event_type")).as("user_types"))
+      runToSink(s,
+        streamTbl(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .join(profile, Seq("user_id")),
+        "append")
+    }),
+
     // STREAM-STREAM interval join — both sides are live streams with
     // per-side state: each error waits (in the state store) for clicks
     // from the same user within the preceding 30 minutes, across
@@ -382,6 +402,16 @@ object StreamingQueries {
     // stream-dedup'd fingerprints ≡ batch DISTINCT
     "st_exact_dedup" ->
       "SELECT DISTINCT md5(coalesce(text, '')) AS text_md5 FROM documents",
+
+    // streamed events enriched against the static per-user profile ≡
+    // the same join done wholly in batch
+    "st_static_enrich" ->
+      """WITH profile AS (
+        |  SELECT user_id, count(*)::BIGINT AS user_total,
+        |         count(DISTINCT event_type)::BIGINT AS user_types
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, event_id, event_type, user_total, user_types
+        |FROM events JOIN profile USING (user_id)""".stripMargin,
     // the streamed interval join must land exactly the batch self-join
     "st_stream_join" ->
       """SELECT e.event_id AS error_id, c.event_id AS click_id, e.user_id,
