@@ -130,6 +130,52 @@ object Dedup {
       .distinct()
   }
 
+  /** DELTA candidate pairs: near-dup candidates of a newly ingested
+    * batch against the full band index (corpus ∪ delta) WITHOUT
+    * re-pairing the corpus — the continuous-ingestion shape of
+    * MinHash-LSH dedup (each shard that lands is checked against
+    * everything already accepted; corpus×corpus pairs were emitted when
+    * THOSE shards landed). `isNew` marks the delta rows (a predicate on
+    * the id, e.g. membership in the incoming shard).
+    *
+    * Equivalence contract (OpsSpec-pinned): output ≡
+    * `candidatePairs(allBands)` restricted to pairs with ≥1 new member,
+    * under the same bucket cap over the same full index — so a shard
+    * sequence accumulates exactly the batch rebuild's pair set.
+    *
+    * Scale shape: the corpus side is first LEFT-SEMI pruned to the
+    * (band, bucket) keys the delta actually touches — delta-sized, so
+    * the planner can broadcast it — meaning corpus band rows in
+    * untouched buckets are never shuffled and the pair join's left side
+    * is delta-sized: per-shard work scales with the DELTA, not the
+    * corpus. In production `allBands` is the persisted band index (the
+    * `ir_index_build` pattern): fingerprinting too is paid only on the
+    * delta, and the shard's bands are appended after the check. Same
+    * cap + observe semantics as `candidatePairs`. */
+  def deltaCandidatePairs(allBands: DataFrame, isNew: Column, id: String,
+      maxBucketSize: Long = 100000L,
+      metricName: String = "minhash_delta_buckets"): DataFrame = {
+    val keptBuckets = allBands
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .observe(metricName,
+        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("capped_buckets"),
+        max(col("bucket_n")).as("max_bucket"))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val inBuckets = allBands.join(keptBuckets, Seq("band", "bucket"))
+    val newBands = inBuckets.where(isNew)
+    val touched = newBands.select(col("band"), col("bucket")).distinct()
+    val l = newBands.select(col("band"), col("bucket"), col(id).as("id_new"))
+    val r = inBuckets.join(touched, Seq("band", "bucket"), "left_semi")
+      .select(col("band"), col("bucket"), col(id).as("id_any"))
+    l.join(r, Seq("band", "bucket"))
+      .where(col("id_new") =!= col("id_any"))
+      .select(least(col("id_new"), col("id_any")).as("id1"),
+        greatest(col("id_new"), col("id_any")).as("id2"))
+      .distinct()
+  }
+
   /** Exact token-set Jaccard for given candidate pairs (verification
     * step of MinHash-LSH dedup). Output: (id1, id2, jaccard). */
   def jaccardVerify(pairs: DataFrame, tokens: DataFrame, id: String): DataFrame = {

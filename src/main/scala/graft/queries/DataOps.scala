@@ -209,7 +209,7 @@ object DataOps {
   /** MinHash-LSH candidate + shingle-intersection CTEs (sigs → bands →
     * cands → sizes/inter), shared by the dd_minhash_pairs and
     * dd_dedup_clusters oracles. */
-  private val minhashPairCtes: String =
+  private def minhashPairCtesWith(candsSql: String): String =
     s"""sigs AS (
        |  SELECT doc_id, seed, min(${minhashHashSql("shingle")}) AS minhash
        |  FROM shingles, generate_series(0, 7) AS t(seed) GROUP BY 1, 2),
@@ -218,9 +218,7 @@ object DataOps {
        |         md5(string_agg(minhash::VARCHAR, ':' ORDER BY seed)) AS bucket
        |  FROM sigs GROUP BY 1, 2),
        |cands AS (
-       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-       |  FROM bands a JOIN bands b USING (band, bucket)
-       |  WHERE a.doc_id < b.doc_id),
+       |$candsSql),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
        |inter AS (
        |  SELECT c.id1, c.id2, count(*) AS i
@@ -228,6 +226,21 @@ object DataOps {
        |  JOIN shingles s1 ON s1.doc_id = c.id1
        |  JOIN shingles s2 ON s2.doc_id = c.id2 AND s2.shingle = s1.shingle
        |  GROUP BY 1, 2)""".stripMargin
+
+  private val minhashPairCtes: String = minhashPairCtesWith(
+    """  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM bands a JOIN bands b USING (band, bucket)
+      |  WHERE a.doc_id < b.doc_id""".stripMargin)
+
+  /** Delta variant of `cands`: the a-side is restricted to the incoming
+    * shard (ids ≥ 2000000 in the dd_input construction), so pairs carry
+    * ≥1 new member — pre-existing corpus×corpus pairs are excluded,
+    * mirroring `Dedup.deltaCandidatePairs`. */
+  private val minhashDeltaPairCtes: String = minhashPairCtesWith(
+    """  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+      |         greatest(a.doc_id, b.doc_id) AS id2
+      |  FROM bands a JOIN bands b USING (band, bucket)
+      |  WHERE a.doc_id >= 2000000 AND a.doc_id <> b.doc_id""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----
@@ -243,6 +256,22 @@ object DataOps {
       // only the exact-Jaccard verification needs the shingle table
       val sigs = Dedup.minhashShingles(input, "doc_id", "text", 8, 8)
       val pairs = Dedup.candidatePairs(Dedup.minhashBands(sigs, "doc_id", 4), "doc_id")
+      val sh = Dedup.charShingles(input, "doc_id", "text", 8)
+        .withColumnRenamed("shingle", "token")
+      Dedup.jaccardVerify(pairs, sh, "doc_id").where(col("jaccard") >= 0.5)
+    }),
+
+    // DELTA dedup: the near-dup shard (ids ≥ 2000000) plays the newly
+    // ingested batch, checked against corpus ∪ delta without re-pairing
+    // the corpus — corpus×corpus pairs (the planted exact dups, already
+    // found when those shards landed) must NOT re-emit. In production
+    // the band index is persisted (ir_index_build pattern) and only the
+    // shard is fingerprinted; the stateless contract recomputes it here
+    "dd_delta_pairs" -> ((s, dir) => {
+      val input = ddInput(s, dir)
+      val sigs = Dedup.minhashShingles(input, "doc_id", "text", 8, 8)
+      val pairs = Dedup.deltaCandidatePairs(
+        Dedup.minhashBands(sigs, "doc_id", 4), col("doc_id") >= 2000000L, "doc_id")
       val sh = Dedup.charShingles(input, "doc_id", "text", 8)
         .withColumnRenamed("shingle", "token")
       Dedup.jaccardVerify(pairs, sh, "doc_id").where(col("jaccard") >= 0.5)
@@ -993,6 +1022,14 @@ object DataOps {
 
     "dd_minhash_pairs" ->
       s"""WITH $ddInputSql, $shinglesSql, $minhashPairCtes
+         |SELECT id1, id2, round(i * 1.0 / (z1.sz + z2.sz - i), 4) AS jaccard
+         |FROM inter JOIN sizes z1 ON z1.doc_id = id1 JOIN sizes z2 ON z2.doc_id = id2
+         |WHERE round(i * 1.0 / (z1.sz + z2.sz - i), 4) >= 0.5""".stripMargin,
+
+    // delta-vs-index pairs: same scheme, candidates restricted to pairs
+    // touching the incoming shard (a-side new) — verified the same way
+    "dd_delta_pairs" ->
+      s"""WITH $ddInputSql, $shinglesSql, $minhashDeltaPairCtes
          |SELECT id1, id2, round(i * 1.0 / (z1.sz + z2.sz - i), 4) AS jaccard
          |FROM inter JOIN sizes z1 ON z1.doc_id = id1 JOIN sizes z2 ON z2.doc_id = id2
          |WHERE round(i * 1.0 / (z1.sz + z2.sz - i), 4) >= 0.5""".stripMargin,

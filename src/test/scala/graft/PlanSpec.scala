@@ -198,6 +198,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"LSH degenerated to NL join:\n$p")
   }
 
+  test("delta candidate pairs semi-prune the corpus to delta-touched buckets") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
+    val sigs = graft.ops.Dedup.minhashShingles(docs, "doc_id", "text", 8, 8)
+    val p = plan(graft.ops.Dedup.deltaCandidatePairs(
+      graft.ops.Dedup.minhashBands(sigs, "doc_id", 4),
+      org.apache.spark.sql.functions.col("doc_id") % 5 === 0, "doc_id"))
+    // the corpus side must pass a LeftSemi against the delta's touched
+    // buckets before pairing — corpus rows in untouched buckets never
+    // reach the pair join's shuffle
+    assert(p.contains("LeftSemi"), s"corpus side is not semi-pruned:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"delta pairing degenerated to all-pairs:\n$p")
+  }
+
   test("split assignment and PII redaction are narrow passes (zero shuffles)") {
     val p1 = plan(SparkEntry.queries("cu_split")(spark, dir))
     assert("Exchange".r.findAllIn(p1).size == 0, s"splits must not shuffle:\n$p1")

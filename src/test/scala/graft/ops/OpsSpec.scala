@@ -919,6 +919,36 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.candidatePairs(bands, "doc_id").count() == 67L)
   }
 
+  test("delta candidate pairs equal batch pairs restricted to the delta") {
+    // randomized band index over 40 ids; ids ≥ 30 play the incoming
+    // shard — so the instance carries all three pair classes
+    // (new×new, new×old, old×old) and old×old must be excluded
+    var state = 20260818L
+    def next(bound: Int): Int = { state = state * 6364136223846793005L + 1442695040888963407L
+      (math.abs(state >> 33) % bound).toInt }
+    val bands = Seq.tabulate(160)(_ =>
+      (next(4), s"b${next(12)}", next(40).toLong)).distinct
+      .toDF("band", "bucket", "doc_id")
+    val isNew = $"doc_id" >= 30L
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.candidatePairs(bands, "doc_id")
+      .where($"id1" >= 30L || $"id2" >= 30L)
+    val delta = Dedup.deltaCandidatePairs(bands, isNew, "doc_id")
+    val (bp, dp) = (pairSet(batch), pairSet(delta))
+    assert(bp == dp, s"batch-restricted ${bp.size} vs delta ${dp.size}")
+    assert(dp.exists { case (a, b) => a >= 30L && b >= 30L }, "wants a new×new pair")
+    assert(dp.exists { case (a, b) => a < 30L && b >= 30L }, "wants a new×old pair")
+    // an old×old-only bucket contributes nothing
+    assert(pairSet(Dedup.candidatePairs(bands, "doc_id")).exists {
+      case (a, b) => a < 30L && b < 30L
+    }, "instance must carry old×old pairs for the exclusion to mean anything")
+    // cap applies over the FULL index, same as the batch run
+    val capped = Dedup.deltaCandidatePairs(bands, isNew, "doc_id", maxBucketSize = 2L)
+    val m = observedMetric(capped, "minhash_delta_buckets")
+    assert(m.getAs[Long]("max_bucket") >= 2L, m.toString)
+  }
+
   test("as-of join enforces its column contract loudly") {
     val refs = Seq((1L, 100L, "a")).toDF("k", "rt", "tag")
     // shared non-key column name
