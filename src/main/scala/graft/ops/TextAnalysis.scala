@@ -11,6 +11,68 @@ import org.apache.spark.sql.functions._
   * oracles recompute them exactly). */
 object TextAnalysis {
 
+  /** NFC kernel: Unicode canonical composition via the JVM's Normalizer.
+    * A UDF because NFC needs the Unicode composition tables — no Spark
+    * builtin exists; the DuckDB oracle recomputes it with utf8proc's
+    * `nfc_normalize`, an INDEPENDENT implementation, so the oracle pins
+    * cross-library agreement on the composition itself. */
+  private val nfcUdf = udf((s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
+  /** Unicode normalization for crawl text — the decode-adjacent cleaning
+    * pass a Common-Crawl pipeline runs before any hashing or dedup, so
+    * 'é' hashes identically whether the page encoded it composed
+    * (U+00E9) or decomposed (e + U+0301): strips C0/C1 control chars
+    * (keeping \t and \n) with a codegen'd regexp pass, then NFC-composes.
+    * Deliberately NFC, not NFKC: compatibility foldings (ligatures,
+    * full-width forms) are lossy and belong to tokenizer policy, not
+    * text repair. `changed` marks rows the pass actually altered (the
+    * null-safe comparison vs the ORIGINAL text) — at crawl scale the
+    * cheap flag lets downstream stages re-hash only changed rows.
+    * Narrow, zero shuffles. Output: (id, nfc_text, changed). */
+  def nfcNormalize(df: DataFrame, id: String, text: String): DataFrame = {
+    val stripped = regexp_replace(col(text),
+      "[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]", "")
+    val nfc = nfcUdf(stripped)
+    df.select(col(id), nfc.as("nfc_text"),
+      not(nfc <=> col(text)).as("changed"))
+  }
+
+  /** The major Unicode script classes `scriptProfile` counts, in the
+    * deterministic dominance-priority order (first max wins a tie).
+    * Each pair is (output column, Java regex class); the DuckDB oracle
+    * uses RE2's `\p{Script}` spelling of the same Unicode property. */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "\\p{IsLatin}", "cyrillic" -> "\\p{IsCyrillic}",
+    "greek" -> "\\p{IsGreek}", "arabic" -> "\\p{IsArabic}",
+    "han" -> "\\p{IsHan}", "hangul" -> "\\p{IsHangul}")
+
+  /** Unicode script profile: per-document codepoint counts for the major
+    * script classes + the dominant script — the routing signal a crawl
+    * pipeline applies BEFORE language-ID (`langId`'s stopword profile
+    * only reads space-delimited Latin-script text; a Cyrillic or CJK
+    * page must be routed to its own model, not scored 'und'). Counts are
+    * k regexp-strip passes (`length(text) − length(strip(class))`) —
+    * narrow, codegen'd, zero shuffles; both engines measure string
+    * length in CODEPOINTS (Spark's UTF8String.numChars, DuckDB strlen),
+    * so counts agree beyond the BMP too. Dominant script = first class
+    * in `ScriptClasses` order reaching the max count; 'none' when no
+    * scripted codepoint occurs (digits/punct/space are script-Common and
+    * deliberately count toward nothing). Output: (id, n_chars,
+    * <class counts...>, dominant). */
+  def scriptProfile(df: DataFrame, id: String, text: String): DataFrame = {
+    val counts = ScriptClasses.map { case (name, cls) =>
+      (length(col(text)) - length(regexp_replace(col(text), cls, ""))).as(name)
+    }
+    val withCounts = df.select(col(id) +: length(col(text)).as("n_chars") +: counts: _*)
+    val maxCount = greatest(ScriptClasses.map { case (n, _) => col(n) }: _*)
+    val dominant = ScriptClasses.foldRight(lit("none")) { case ((n, _), acc) =>
+      when(col(n) > 0 && col(n) === maxCount, lit(n)).otherwise(acc)
+    }
+    withCounts.withColumn("dominant", dominant)
+  }
+
   /** Tiny English function-word profile for the n-gram/langid heuristic. */
   val EnStopwords: Seq[String] = Seq(
     "the", "a", "and", "of", "to", "in", "is", "it", "for", "on",

@@ -603,6 +603,31 @@ object DataOps {
     // ---- text analysis ----
     "ta_langid" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
+    // NFC normalization: even rows get a deterministic "dirty" tail
+    // (combining acute/diaeresis to compose, a BEL control to strip, an
+    // fi-ligature NFC must NOT fold); odd rows pass through unchanged so
+    // the `changed` flag is exercised both ways
+    "ta_nfc" -> ((s, dir) =>
+      TextAnalysis.nfcNormalize(
+        docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            concat(col("text"), lit(" e\u0301cole A\u0308, \uFB01n\u0007al")))
+            .otherwise(col("text")).as("text")),
+        "doc_id", "text")),
+    // Unicode script profile: %4 rows become Cyrillic-only (dominant
+    // flips), others get Han+Hangul / Greek+Arabic tails or stay plain
+    // Latin; same chr codes on the DuckDB side
+    "ta_script" -> ((s, dir) =>
+      TextAnalysis.scriptProfile(
+        docs(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            lit("\u041F\u0440\u0438\u0432\u0435\u0442 123"))
+            .when(col("doc_id") % 4 === 1,
+              concat(col("text"), lit(" \u4E2D\u6587 \uD55C\uAE00")))
+            .when(col("doc_id") % 4 === 2,
+              concat(col("text"), lit(" \u03B1\u03B2 \u0627\u0644")))
+            .otherwise(col("text")).as("text")),
+        "doc_id", "text")),
     "ta_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text").drop("toks")),
     "ta_tokens" -> ((s, dir) =>
@@ -1124,6 +1149,58 @@ object DataOps {
          |            THEN 'en' ELSE 'und' END AS lang_pred
          |FROM t""".stripMargin,
 
+    // NFC via utf8proc — an independent implementation of the Unicode
+    // composition the Spark side computes with the JVM's Normalizer, so
+    // a hash match pins cross-library agreement; same dirty-tail
+    // construction (chr codes = the Scala \u escapes)
+    "ta_nfc" ->
+      """WITH input AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 2 = 0
+        |              THEN text || ' e' || chr(769) || 'cole A' || chr(776) ||
+        |                   ', ' || chr(64257) || 'n' || chr(7) || 'al'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, text,
+        |         nfc_normalize(regexp_replace(text,
+        |           '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g')) AS nfc_text
+        |  FROM input)
+        |SELECT doc_id, nfc_text,
+        |       nfc_text IS DISTINCT FROM text AS changed
+        |FROM n""".stripMargin,
+
+    // RE2's \p{Script} spelling of the same Unicode script property the
+    // Spark side counts with Java's \p{IsScript}; dominance CASE ladder
+    // mirrors ScriptClasses order (first max wins)
+    "ta_script" -> {
+      val g = "greatest(latin, cyrillic, greek, arabic, han, hangul)"
+      val ladder = graft.ops.TextAnalysis.ScriptClasses.map { case (n, _) =>
+        s"WHEN $n > 0 AND $n = $g THEN '$n'"
+      }.mkString(" ")
+      s"""WITH input AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 4 = 0
+         |           THEN chr(1055)||chr(1088)||chr(1080)||chr(1074)||chr(1077)||chr(1090)||' 123'
+         |         WHEN doc_id % 4 = 1
+         |           THEN text || ' ' || chr(20013)||chr(25991)||' '||chr(54620)||chr(44544)
+         |         WHEN doc_id % 4 = 2
+         |           THEN text || ' ' || chr(945)||chr(946)||' '||chr(1575)||chr(1604)
+         |         ELSE text END AS text
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |    length(text) - length(regexp_replace(text, '\\p{Latin}', '', 'g')) AS latin,
+         |    length(text) - length(regexp_replace(text, '\\p{Cyrillic}', '', 'g')) AS cyrillic,
+         |    length(text) - length(regexp_replace(text, '\\p{Greek}', '', 'g')) AS greek,
+         |    length(text) - length(regexp_replace(text, '\\p{Arabic}', '', 'g')) AS arabic,
+         |    length(text) - length(regexp_replace(text, '\\p{Han}', '', 'g')) AS han,
+         |    length(text) - length(regexp_replace(text, '\\p{Hangul}', '', 'g')) AS hangul
+         |  FROM input)
+         |SELECT doc_id, n_chars, latin, cyrillic, greek, arabic, han, hangul,
+         |       CASE $ladder ELSE 'none' END AS dominant
+         |FROM c""".stripMargin
+    },
     "ta_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id, strlen(text) AS n_chars,

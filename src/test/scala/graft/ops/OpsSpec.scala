@@ -919,6 +919,47 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.candidatePairs(bands, "doc_id").count() == 67L)
   }
 
+  test("NFC normalization composes, strips controls, keeps ligatures, flags changes") {
+    val rows = Seq(
+      (1L, "e\u0301cole"),          // decomposed -> composed U+00E9
+      (2L, "A\u0308"),              // decomposed -> composed U+00C4
+      (3L, "fi\uFB01"),             // ligature: NFC must NOT fold (NFKC would)
+      (4L, "ab\u0007\tc\u0085\nd"), // BEL (C0) + NEL (C1) stripped, \t \n kept
+      (5L, "plain"),                 // untouched -> changed = false
+      (6L, null.asInstanceOf[String]))
+    val out = TextAnalysis.nfcNormalize(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getString(1)), r.getBoolean(2))).toMap
+    assert(out(1L) == (Some("\u00E9cole"), true))
+    assert(out(2L) == (Some("\u00C4"), true))
+    assert(out(3L) == (Some("fi\uFB01"), false))
+    assert(out(4L) == (Some("ab\tc\nd"), true))
+    assert(out(5L) == (Some("plain"), false))
+    assert(out(6L) == (None, false), "null text stays null, un-flagged")
+  }
+
+  test("script profile counts codepoints per script and picks the dominant") {
+    val rows = Seq(
+      (1L, "hello \u041F\u0440\u0438\u0432\u0435\u0442"), // 5 latin, 6 cyrillic
+      (2L, "\u4E2D\u6587 \uD55C\uAE00 ok"),                 // 2 han, 2 hangul, 2 latin
+      (3L, "123 ,,, !!!"),                                   // Common only -> none
+      (4L, "ab \u03B1\u03B2"),                               // 2 latin = 2 greek tie -> latin (order)
+      (5L, "\uD841\uDF0E"),                                  // astral Han U+2070E: codepoint count = 1
+      (6L, null.asInstanceOf[String]))
+    val out = TextAnalysis.scriptProfile(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def c(id: Long, name: String) = out(id).getAs[Any](name)
+    assert(c(1L, "latin") == 5 && c(1L, "cyrillic") == 6 &&
+      c(1L, "dominant") == "cyrillic")
+    assert(c(2L, "han") == 2 && c(2L, "hangul") == 2 && c(2L, "latin") == 2 &&
+      c(2L, "dominant") == "latin", "3-way tie resolves by ScriptClasses order")
+    assert(c(3L, "dominant") == "none" && c(3L, "latin") == 0)
+    assert(c(4L, "dominant") == "latin", "latin wins the tie by order")
+    assert(c(5L, "han") == 1 && c(5L, "n_chars") == 1,
+      "astral codepoints count once (not UTF-16 units)")
+    assert(c(6L, "dominant") == "none" && out(6L).isNullAt(1), "null text -> null counts, none")
+  }
+
   test("delta candidate pairs equal batch pairs restricted to the delta") {
     // randomized band index over 40 ids; ids ≥ 30 play the incoming
     // shard — so the instance carries all three pair classes
