@@ -15,6 +15,43 @@ import org.apache.spark.sql.functions._
   * counts that survive a 100-TB event table. */
 object Events {
 
+  /** Cohort retention matrix: users grouped by the week of their FIRST
+    * event (the cohort), counted in every week they were active, with
+    * the retention rate vs the cohort's size — the standard
+    * product-analytics view of a telemetry log.
+    *
+    * Scale shape: ONE user-keyed shuffle of the events, once. A single
+    * groupBy(user) yields both the cohort week (min ts) and the distinct
+    * active weeks (collect_set, bounded by the calendar — weeks, not
+    * events, so per-user state stays tiny no matter how hot the user);
+    * the exploded (cohort, week) pairs partial-agg into the matrix, and
+    * cohort sizes are read off the matrix's own DIAGONAL (a user's first
+    * event makes them active in their cohort week, so the
+    * active_week = cohort_week cell IS the cohort size) via a window
+    * over the calendar²-sized matrix — no second consumer of the
+    * per-user aggregate, so nothing is recomputed or joined back. The
+    * naive formulation (per-user first event joined back against raw
+    * events) shuffles the full event table twice. Output: (cohort_week,
+    * active_week, n_users, cohort_users, retention). */
+  def retention(events: DataFrame, user: String, ts: String): DataFrame = {
+    val perUser = events
+      .select(col(user).as("u"), col(ts).as("t"))
+      .where(col("u").isNotNull && col("t").isNotNull)
+      .groupBy(col("u"))
+      .agg(date_trunc("week", min(col("t"))).as("cohort_week"),
+        collect_set(date_trunc("week", col("t"))).as("weeks"))
+    val w = Window.partitionBy(col("cohort_week"))
+    perUser
+      .select(col("cohort_week"), explode(col("weeks")).as("active_week"))
+      .groupBy(col("cohort_week"), col("active_week"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("cohort_users",
+        max(when(col("active_week") === col("cohort_week"), col("n_users"))).over(w))
+      .select(col("cohort_week"), col("active_week"), col("n_users"),
+        col("cohort_users"),
+        round(col("n_users") * lit(1.0) / col("cohort_users"), 4).as("retention"))
+  }
+
   /** Ordered funnel: how far through `steps` (an ordered list of event
     * types) each user progressed, where step i+1 must occur STRICTLY
     * after the chosen step-i event. Greedy earliest-first semantics —

@@ -73,6 +73,27 @@ object TextAnalysis {
     withCounts.withColumn("dominant", dominant)
   }
 
+  /** Flesch reading-ease score with the standard corpus-scale proxies:
+    * words = whitespace tokens, sentences = [.!?] runs (floored at 1),
+    * syllables = vowel-group runs per lowercased text ('quality' →
+    * ua+i+y = 3 groups; the classic cheap estimator). Score = 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words), rounded for
+    * cross-engine comparison; null/empty/wordless text scores null.
+    * Used as a curation band filter (boilerplate and OCR noise land far
+    * outside human-prose range). Pure `regexp_count` column program —
+    * codegen'd, zero shuffles, identical match semantics in RE2.
+    * Output: (id, n_words, n_sentences, n_syllables, flesch). */
+  def readability(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id),
+      size(filter(split(col(text), " "), t => t =!= "")).as("n_words"),
+      greatest(regexp_count(col(text), lit("[.!?]+")), lit(1)).as("n_sentences"),
+      regexp_count(lower(col(text)), lit("[aeiouy]+")).as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0,
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words") * lit(1.0) / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables") * lit(1.0) / col("n_words")), 4)))
+
   /** Tiny English function-word profile for the n-gram/langid heuristic. */
   val EnStopwords: Seq[String] = Seq(
     "the", "a", "and", "of", "to", "in", "is", "it", "for", "on",

@@ -587,6 +587,15 @@ object DataOps {
         s.read.parquet(s"$dir/events.parquet"), "user_id", "ts", "event_type",
         Seq("signup", "view", "click", "purchase"))),
 
+    // weekly cohort retention matrix over the event log
+    "ev_retention" -> ((s, dir) =>
+      graft.ops.Events.retention(
+        s.read.parquet(s"$dir/events.parquet"), "user_id", "ts")),
+
+    // Flesch reading-ease curation band over documents
+    "ta_readability" -> ((s, dir) =>
+      TextAnalysis.readability(docs(s, dir), "doc_id", "text")),
+
     // rolling z-score spike detection on per-type hourly event counts:
     // integer-exact x > mean + 2σ over the trailing 24 observed buckets
     "ev_rolling_anomaly" -> ((s, dir) =>
@@ -1201,6 +1210,40 @@ object DataOps {
          |       CASE $ladder ELSE 'none' END AS dominant
          |FROM c""".stripMargin
     },
+    // weekly cohort retention: DuckDB date_trunc('week') yields DATE, so
+    // both week columns are cast back to TIMESTAMP to match Spark's
+    "ev_retention" ->
+      """WITH pu AS (
+        |  SELECT user_id AS u,
+        |         date_trunc('week', min(ts))::TIMESTAMP AS cohort_week,
+        |         list(DISTINCT date_trunc('week', ts)::TIMESTAMP) AS weeks
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |act AS (SELECT cohort_week, unnest(weeks) AS active_week FROM pu),
+        |sizes AS (SELECT cohort_week, count(*) AS cohort_users FROM pu GROUP BY 1),
+        |agg AS (
+        |  SELECT cohort_week, active_week, count(*) AS n_users
+        |  FROM act GROUP BY 1, 2)
+        |SELECT a.cohort_week, a.active_week, a.n_users, s.cohort_users,
+        |       round(a.n_users * 1.0 / s.cohort_users, 4) AS retention
+        |FROM agg a JOIN sizes s USING (cohort_week)""".stripMargin,
+
+    // Flesch proxies: regexp_extract_all counts the same non-overlapping
+    // matches Spark's regexp_count sees
+    "ta_readability" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+        |         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+        |         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |       CASE WHEN n_words > 0
+        |            THEN round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+        |                       - 84.6 * (n_syllables * 1.0 / n_words), 4)
+        |            END AS flesch
+        |FROM t""".stripMargin,
+
     "ta_quality" ->
       s"""WITH t AS (
          |  SELECT doc_id, strlen(text) AS n_chars,

@@ -198,6 +198,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"LSH degenerated to NL join:\n$p")
   }
 
+  test("retention scans events once; cohort size rides the matrix diagonal") {
+    val p = plan(SparkEntry.queries("ev_retention")(spark, dir))
+    // one user shuffle + one (cohort,week) shuffle + the calendar²-sized
+    // window's — no join node, no second consumer of the events scan
+    assert(!p.contains("Join"), s"cohort sizes must not join back:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"retention must be 2 aggregate shuffles + 1 tiny window shuffle:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"events must be scanned exactly once:\n$p")
+  }
+
   test("delta candidate pairs semi-prune the corpus to delta-touched buckets") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
     val sigs = graft.ops.Dedup.minhashShingles(docs, "doc_id", "text", 8, 8)

@@ -960,6 +960,43 @@ class OpsSpec extends AnyFunSuite {
     assert(c(6L, "dominant") == "none" && out(6L).isNullAt(1), "null text -> null counts, none")
   }
 
+  test("cohort retention counts distinct weekly activity against cohort size") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // week of 2024-01-01 (Mon) and week of 2024-01-08
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00")), // u1 cohort w1
+      (1L, ts("2024-01-03 10:00:00")), // same week — must not double count
+      (1L, ts("2024-01-09 10:00:00")), // u1 active w2
+      (2L, ts("2024-01-04 10:00:00")), // u2 cohort w1, never returns
+      (3L, ts("2024-01-10 10:00:00"))  // u3 cohort w2
+    ).toDF("user_id", "ts")
+    val out = graft.ops.Events.retention(ev, "user_id", "ts")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getTimestamp(1).toString.take(10), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(out == Set(
+      ("2024-01-01", "2024-01-01", 2L, 2L, 1.0),   // w1 cohort, week 0
+      ("2024-01-01", "2024-01-08", 1L, 2L, 0.5),   // w1 cohort retained in w2
+      ("2024-01-08", "2024-01-08", 1L, 1L, 1.0)),  // w2 cohort, week 0
+      out.toString)
+  }
+
+  test("readability computes Flesch from word/sentence/vowel-group proxies") {
+    val rows = Seq(
+      (1L, "The cat sat. The dog ran!"),  // 6 words, 2 sentences, 6 groups
+      (2L, "no terminator here"),         // sentence count floored at 1
+      (3L, ""))                           // wordless -> null score
+    val out = graft.ops.TextAnalysis.readability(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n_words") == 6 && out(1L).getAs[Int]("n_sentences") == 2
+      && out(1L).getAs[Int]("n_syllables") == 6)
+    // 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    assert(out(1L).getAs[Double]("flesch") == 119.19)
+    assert(out(2L).getAs[Int]("n_sentences") == 1)
+    assert(out(3L).isNullAt(4), "empty text scores null")
+  }
+
   test("delta candidate pairs equal batch pairs restricted to the delta") {
     // randomized band index over 40 ids; ids ≥ 30 play the incoming
     // shard — so the instance carries all three pair classes
