@@ -587,6 +587,25 @@ object DataOps {
         s.read.parquet(s"$dir/events.parquet"), "user_id", "ts", "event_type",
         Seq("signup", "view", "click", "purchase"))),
 
+    // WARC ingest round-trip: documents → per-record-gzipped .warc.gz
+    // file blobs (the Common Crawl layout) → parsed back out; output is
+    // per-record header fields + payload digest, recomputable by the
+    // oracle straight off the documents table
+    "src_warc_roundtrip" -> ((s, dir) => {
+      val pages = docs(s, dir).where(col("text").isNotNull).select(
+        concat(lit("https://crawl.example.org/"), col("source"), lit("/"),
+          col("doc_id")).as("url"),
+        concat(lit("2024-01-0"), pmod(col("doc_id"), lit(9)) + 1,
+          lit("T00:00:00Z")).as("warc_date"),
+        encode(col("text"), "UTF-8").as("payload"),
+        pmod(col("doc_id"), lit(8)).as("shard"))
+      val files = graft.sources.Warc.writeFiles(
+        pages, "url", "warc_date", "payload", col("shard"))
+      graft.sources.Warc.readPages(files, "warc")
+        .select(col("url"), col("warc_date"), col("content_length"),
+          md5(col("payload")).as("payload_md5"))
+    }),
+
     // weekly cohort retention matrix over the event log
     "ev_retention" -> ((s, dir) =>
       graft.ops.Events.retention(
@@ -1210,6 +1229,17 @@ object DataOps {
          |       CASE $ladder ELSE 'none' END AS dominant
          |FROM c""".stripMargin
     },
+    // WARC round-trip: what comes out of the parser must be exactly the
+    // header fields and payload that went in, so the oracle recomputes
+    // the expected rows directly from documents (md5 hashes the string's
+    // UTF-8 bytes in both engines; strlen is DuckDB's byte length)
+    "src_warc_roundtrip" ->
+      """SELECT 'https://crawl.example.org/' || source || '/' || doc_id AS url,
+        |       '2024-01-0' || ((doc_id % 9) + 1) || 'T00:00:00Z' AS warc_date,
+        |       strlen(text) AS content_length,
+        |       md5(text) AS payload_md5
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
     // weekly cohort retention: DuckDB date_trunc('week') yields DATE, so
     // both week columns are cast back to TIMESTAMP to match Spark's
     "ev_retention" ->

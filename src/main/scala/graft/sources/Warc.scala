@@ -1,0 +1,186 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WARC ingest/egress — the container format Common-Crawl-style corpora
+  * actually ship in (the north-star input table of (url, warc_ts, html,
+  * text, lang) rows is the PARSED form of these files; the reference
+  * ingests one PDF per upload — at 10^12 docs the ingest unit is a
+  * ~1 GB `.warc.gz` segment instead).
+  *
+  * Format implemented from the public ISO 28500 framing: each record is
+  * a `WARC/1.0` header block (Target-URI, Date, Content-Length) ending
+  * in CRLFCRLF, `Content-Length` octets of payload, then CRLFCRLF; a
+  * Common-Crawl `.warc.gz` file is per-RECORD gzip members
+  * concatenated, so a reader can split a file without inflating all of
+  * it and a record is seekable by byte offset. `java.util.zip`'s
+  * GZIPInputStream reads concatenated members natively.
+  *
+  * Scale shape: `readPages` is a NARROW mapPartitions over whole-file
+  * byte blobs (one task per file — CC sizes files ~1 GB precisely so
+  * file == task granularity works) with Content-Length framing,
+  * magic-scan RESYNC past corrupt records, and per-file failure
+  * isolation — a truncated or garbage file yields its parseable prefix,
+  * never a failed job. `writeFiles` is ONE groupBy(shard) shuffle;
+  * group size is file size by construction, the same bound a real
+  * segment writer enforces. */
+object Warc {
+
+  /** One parsed record: the mandatory headers + the raw payload. */
+  final case class WarcRec(url: String, warc_date: String, payload: Array[Byte])
+
+  private val Sep = "\r\n\r\n".getBytes("US-ASCII")
+  private val Magic = "WARC/".getBytes("US-ASCII")
+
+  /** One plain (un-gzipped) response record. */
+  def record(url: String, date: String, payload: Array[Byte]): Array[Byte] = {
+    val header = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: $url\r\nWARC-Date: $date\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n"
+    val h = header.getBytes("UTF-8")
+    val out = new ByteArrayOutputStream(h.length + payload.length + 4)
+    out.write(h)
+    out.write(payload)
+    out.write(Sep)
+    out.toByteArray
+  }
+
+  /** Records → one `.warc.gz` file blob: each record its own gzip
+    * member (the Common Crawl layout — members concatenate to a valid
+    * multi-member stream). */
+  def gzFile(records: Iterator[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    records.foreach { r =>
+      val gz = new GZIPOutputStream(out)
+      gz.write(r)
+      gz.finish()
+    }
+    out.toByteArray
+  }
+
+  /** Multi-member gzip sniff + inflate; non-gzip bytes pass through. */
+  def inflateIfGz(bytes: Array[Byte]): Array[Byte] =
+    if (bytes != null && bytes.length >= 2 &&
+        (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+      val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+      val out = new ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } else if (bytes == null) Array.emptyByteArray
+    else bytes
+
+  /** Streaming record split of one file's bytes. Content-Length frames
+    * each payload (so payloads may freely CONTAIN `WARC/1.0` or
+    * CRLFCRLF — no content sniffing); a record with corrupt framing or
+    * missing mandatory headers is dropped and the scan RESYNCS at the
+    * next `WARC/` magic, keeping every later record. Total: never
+    * throws on malformed input. */
+  def parseRecords(fileBytes: Array[Byte]): Iterator[WarcRec] = {
+    val b = try inflateIfGz(fileBytes) catch { case NonFatal(_) => Array.emptyByteArray }
+
+    def bIndexOf(pat: Array[Byte], from: Int): Int = {
+      var i = math.max(from, 0)
+      val last = b.length - pat.length
+      while (i <= last) {
+        var j = 0
+        while (j < pat.length && b(i + j) == pat(j)) j += 1
+        if (j == pat.length) return i
+        i += 1
+      }
+      -1
+    }
+
+    new scala.collection.AbstractIterator[WarcRec] {
+      private var pos = 0
+      private var nxt: WarcRec = _
+
+      private def parseOne(): WarcRec = {
+        while (pos < b.length) {
+          val start = bIndexOf(Magic, pos)
+          if (start < 0) { pos = b.length; return null }
+          val hEnd = bIndexOf(Sep, start)
+          if (hEnd < 0) { pos = b.length; return null }
+          val fields = new String(b, start, hEnd - start, "UTF-8")
+            .split("\r\n").iterator.flatMap { line =>
+              val i = line.indexOf(':')
+              if (i > 0) Some(line.substring(0, i).trim.toLowerCase ->
+                line.substring(i + 1).trim)
+              else None
+            }.toMap
+          val len = fields.get("content-length")
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+          len match {
+            case Some(n) if n >= 0 && hEnd + 4 + n <= b.length =>
+              val payload =
+                java.util.Arrays.copyOfRange(b, hEnd + 4, (hEnd + 4 + n).toInt)
+              pos = (hEnd + 4 + n).toInt
+              (fields.get("warc-target-uri"), fields.get("warc-date")) match {
+                case (Some(u), Some(d)) => return WarcRec(u, d, payload)
+                case _                  => () // mandatory header missing: skip record
+              }
+            case _ =>
+              pos = start + Magic.length // corrupt framing: resync at next magic
+          }
+        }
+        null
+      }
+
+      override def hasNext: Boolean = { if (nxt == null) nxt = parseOne(); nxt != null }
+      override def next(): WarcRec = {
+        if (!hasNext) throw new NoSuchElementException("parseRecords")
+        val r = nxt; nxt = null; r
+      }
+    }
+  }
+
+  /** (url, date, payload) rows → (shard, warc:binary) file blobs in ONE
+    * groupBy(shard) shuffle. Rows are sorted (url, date) inside each
+    * file for byte-determinism (Spark group iterators are unordered);
+    * the in-memory group is file-sized BY CONSTRUCTION — pick the shard
+    * count so corpus/shards ≈ the ~1 GB segment size a real writer
+    * targets, exactly as CC does. */
+  def writeFiles(pages: DataFrame, url: String, date: String, payload: String,
+      shard: Column, gzip: Boolean = true): DataFrame = {
+    val s = pages.sparkSession
+    import s.implicits._
+    pages
+      .select(shard.cast("long").as("shard"), col(url).cast("string").as("u"),
+        col(date).cast("string").as("d"), col(payload).cast("binary").as("p"))
+      .as[(Long, String, String, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (k, rows) =>
+        val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+        val recs = sorted.iterator.map(r => record(r._2, r._3, r._4))
+        val blob =
+          if (gzip) gzFile(recs)
+          else {
+            val out = new ByteArrayOutputStream()
+            recs.foreach(out.write)
+            out.toByteArray
+          }
+        (k, blob)
+      }
+      .toDF("shard", "warc")
+  }
+
+  /** File blobs → one row per parsed record: (url, warc_date,
+    * content_length, payload). Narrow — no shuffle; malformed files
+    * degrade to their parseable records. */
+  def readPages(files: DataFrame, warcCol: String): DataFrame = {
+    val s = files.sparkSession
+    import s.implicits._
+    files.select(col(warcCol).cast("binary")).as[Array[Byte]]
+      .mapPartitions(_.flatMap(bytes =>
+        parseRecords(bytes).map(r =>
+          (r.url, r.warc_date, r.payload.length.toLong, r.payload))))
+      .toDF("url", "warc_date", "content_length", "payload")
+  }
+}

@@ -209,6 +209,15 @@ class PlanSpec extends AnyFunSuite {
       s"events must be scanned exactly once:\n$p")
   }
 
+  test("warc round-trip is one shard shuffle over one corpus scan, no join") {
+    val p = plan(SparkEntry.queries("src_warc_roundtrip")(spark, dir))
+    assert(!p.contains("Join"), s"warc round-trip must not join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"writeFiles is ONE groupBy(shard) shuffle; readPages is narrow:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"documents must be scanned exactly once:\n$p")
+  }
+
   test("delta candidate pairs semi-prune the corpus to delta-touched buckets") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
     val sigs = graft.ops.Dedup.minhashShingles(docs, "doc_id", "text", 8, 8)
