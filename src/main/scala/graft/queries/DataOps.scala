@@ -606,6 +606,49 @@ object DataOps {
           md5(col("payload")).as("payload_md5"))
     }),
 
+    // WARC response records carrying real HTTP messages: status line +
+    // headers + body, split back out per record
+    "src_warc_http" -> ((s, dir) => {
+      val d = docs(s, dir).where(col("text").isNotNull)
+      val statusLine = when(pmod(col("doc_id"), lit(7)) === 0,
+        lit("HTTP/1.1 404 Not Found")).otherwise(lit("HTTP/1.1 200 OK"))
+      val ct = when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("text/plain; charset=utf-8")).otherwise(lit("text/html; charset=utf-8"))
+      val pages = d.select(
+        concat(lit("https://crawl.example.org/"), col("source"), lit("/"),
+          col("doc_id")).as("url"),
+        lit("2024-01-01T00:00:00Z").as("warc_date"),
+        encode(concat(statusLine, lit("\r\nContent-Type: "), ct,
+          lit("\r\nX-Doc: "), col("doc_id"), lit("\r\n\r\n"), col("text")),
+          "UTF-8").as("payload"),
+        pmod(col("doc_id"), lit(8)).as("shard"))
+      val files = graft.sources.Warc.writeFiles(
+        pages, "url", "warc_date", "payload", col("shard"))
+      graft.sources.Warc.readResponses(files, "warc")
+        .select(col("url"), col("status"), col("content_type"),
+          col("content_length"), md5(col("body")).as("body_md5"))
+    }),
+
+    // charset sniff (BOM > meta tag > utf-8 default) + transcode over
+    // pages deterministically encoded 4 ways
+    "src_charset_decode" -> ((s, dir) => {
+      val d = docs(s, dir).where(col("text").isNotNull)
+      val v = pmod(col("doc_id"), lit(4))
+      val meta = when(v <= 1, lit("<meta charset=\"utf-8\">"))
+        .when(v === 2, lit(""))
+        .otherwise(lit("<meta charset=\"iso-8859-1\">"))
+      val html = concat(lit("<html><head>"), meta, lit("</head><body>"),
+        col("text"), lit("</body></html>"))
+      val bytes = when(v === 0, encode(html, "UTF-8"))
+        .when(v === 1, concat(unhex(lit("EFBBBF")), encode(html, "UTF-8")))
+        .when(v === 2, concat(unhex(lit("FFFE")), encode(html, "UTF-16LE")))
+        .otherwise(encode(html, "ISO-8859-1"))
+      val raw = d.select(col("doc_id"), bytes.as("raw"))
+      graft.sources.Charsets.decodePages(raw, "doc_id", "raw")
+        .select(col("id").as("doc_id"), col("charset"),
+          md5(encode(col("text"), "UTF-8")).as("html_md5"))
+    }),
+
     // weekly cohort retention matrix over the event log
     "ev_retention" -> ((s, dir) =>
       graft.ops.Events.retention(
@@ -1238,6 +1281,31 @@ object DataOps {
         |       '2024-01-0' || ((doc_id % 9) + 1) || 'T00:00:00Z' AS warc_date,
         |       strlen(text) AS content_length,
         |       md5(text) AS payload_md5
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // HTTP split round-trip: status/content-type/body recomputed off
+    // documents with the same doc_id-derived variation
+    "src_warc_http" ->
+      """SELECT 'https://crawl.example.org/' || source || '/' || doc_id AS url,
+        |       CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS status,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'text/plain; charset=utf-8'
+        |            ELSE 'text/html; charset=utf-8' END AS content_type,
+        |       strlen(text) AS content_length,
+        |       md5(text) AS body_md5
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // charset round-trip: variant → expected detected charset; decoded
+    // html is charset-independent (test corpus is ASCII), so its md5 is
+    // recomputable from the same string construction
+    "src_charset_decode" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 4 WHEN 2 THEN 'utf-16le' WHEN 3 THEN 'iso-8859-1'
+        |            ELSE 'utf-8' END AS charset,
+        |       md5('<html><head>'
+        |           || CASE WHEN doc_id % 4 <= 1 THEN '<meta charset="utf-8">'
+        |                   WHEN doc_id % 4 = 2 THEN ''
+        |                   ELSE '<meta charset="iso-8859-1">' END
+        |           || '</head><body>' || text || '</body></html>') AS html_md5
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // weekly cohort retention: DuckDB date_trunc('week') yields DATE, so

@@ -171,6 +171,58 @@ object Warc {
       .toDF("shard", "warc")
   }
 
+  /** Split an HTTP response payload (what a CC `response` record
+    * actually carries: status line + headers + CRLFCRLF + body) into
+    * (status, lowercased headers, body). None when the payload isn't an
+    * HTTP message (warcinfo/metadata records, bare content) or the
+    * status line is malformed — callers drop, never fail. The body is
+    * the raw remainder: it may itself contain CRLFCRLF (only the FIRST
+    * separator terminates the header block). */
+  def httpSplit(payload: Array[Byte]): Option[(Int, Map[String, String], Array[Byte])] = {
+    val magic = "HTTP/".getBytes("US-ASCII")
+    if (payload == null || payload.length < magic.length ||
+        !magic.indices.forall(i => payload(i) == magic(i))) return None
+    var sep = -1
+    var i = 0
+    while (sep < 0 && i <= payload.length - 4) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') sep = i
+      i += 1
+    }
+    if (sep < 0) return None
+    val lines = new String(payload, 0, sep, "UTF-8").split("\r\n")
+    val status = lines.head.split(" ", 3) match {
+      case parts if parts.length >= 2 => scala.util.Try(parts(1).toInt).toOption
+      case _                          => None
+    }
+    status.map { st =>
+      val headers = lines.iterator.drop(1).flatMap { line =>
+        val j = line.indexOf(':')
+        if (j > 0) Some(line.substring(0, j).trim.toLowerCase ->
+          line.substring(j + 1).trim)
+        else None
+      }.toMap
+      (st, headers, java.util.Arrays.copyOfRange(payload, sep + 4, payload.length))
+    }
+  }
+
+  /** File blobs → one row per HTTP `response` record: (url, warc_date,
+    * status, content_type, content_length, body). Narrow like
+    * [[readPages]]; records whose payload isn't a well-formed HTTP
+    * message drop (per-record isolation). */
+  def readResponses(files: DataFrame, warcCol: String): DataFrame = {
+    val s = files.sparkSession
+    import s.implicits._
+    files.select(col(warcCol).cast("binary")).as[Array[Byte]]
+      .mapPartitions(_.flatMap(bytes =>
+        parseRecords(bytes).flatMap(r =>
+          httpSplit(r.payload).map { case (st, hs, body) =>
+            (r.url, r.warc_date, st, hs.getOrElse("content-type", null),
+              body.length.toLong, body)
+          })))
+      .toDF("url", "warc_date", "status", "content_type", "content_length", "body")
+  }
+
   /** File blobs → one row per parsed record: (url, warc_date,
     * content_length, payload). Narrow — no shuffle; malformed files
     * degrade to their parseable records. */

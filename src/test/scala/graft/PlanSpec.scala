@@ -218,6 +218,19 @@ class PlanSpec extends AnyFunSuite {
       s"documents must be scanned exactly once:\n$p")
   }
 
+  test("warc http split keeps the 1-shuffle/1-scan/0-join ingest shape") {
+    val p = plan(SparkEntry.queries("src_warc_http")(spark, dir))
+    assert(!p.contains("Join") && "Exchange hashpartitioning".r.findAllIn(p).size == 1
+      && "Scan parquet".r.findAllIn(p).size == 1, s"ingest shape broke:\n$p")
+  }
+
+  test("charset decode is a pure narrow pass: no exchange, no join") {
+    val p = plan(SparkEntry.queries("src_charset_decode")(spark, dir))
+    assert(!p.contains("Exchange"), s"charset decode must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"charset decode must not join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"one corpus scan:\n$p")
+  }
+
   test("delta candidate pairs semi-prune the corpus to delta-touched buckets") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
     val sigs = graft.ops.Dedup.minhashShingles(docs, "doc_id", "text", 8, 8)

@@ -53,6 +53,34 @@ class WarcSpec extends AnyFunSuite {
       "garbage gzip header is isolated, not thrown")
   }
 
+  test("httpSplit parses status/headers/body; non-HTTP and malformed drop") {
+    val msg = ("HTTP/1.1 301 Moved Permanently\r\nLocation: https://b/\r\n" +
+      "Content-Type: text/html\r\n\r\nbody\r\n\r\nwith embedded sep").getBytes("UTF-8")
+    val Some((st, hs, body)) = Warc.httpSplit(msg)
+    assert(st == 301)
+    assert(hs("content-type") == "text/html" && hs("location") == "https://b/")
+    assert(new String(body, "UTF-8") == "body\r\n\r\nwith embedded sep",
+      "only the FIRST CRLFCRLF terminates headers")
+    assert(Warc.httpSplit("just bare content".getBytes("UTF-8")).isEmpty)
+    assert(Warc.httpSplit("HTTP/1.1 abc OK\r\n\r\nx".getBytes("UTF-8")).isEmpty,
+      "non-numeric status drops")
+    assert(Warc.httpSplit("HTTP/1.1 200 OK\r\nno separator".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("readResponses keeps HTTP records, drops bare-payload records") {
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nhello"
+    val f = Warc.gzFile(Iterator(
+      rec("https://a/http", "2024-01-01T00:00:00Z", http),
+      rec("https://a/bare", "2024-01-01T00:00:00Z", "not an http message")))
+    val files = Seq(Tuple1(f)).toDF("warc")
+    val out = Warc.readResponses(files, "warc").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("url") == "https://a/http")
+    assert(out.head.getAs[Int]("status") == 200)
+    assert(out.head.getAs[String]("content_type") == "text/plain")
+    assert(new String(out.head.getAs[Array[Byte]]("body"), "UTF-8") == "hello")
+  }
+
   test("Spark write→read round-trip preserves every record across shards") {
     val pages = Seq(
       ("https://h/1", "2024-01-01T00:00:00Z", "one", 0L),
