@@ -649,6 +649,29 @@ object DataOps {
           md5(encode(col("text"), "UTF-8")).as("html_md5"))
     }),
 
+    // robots-exclusion gate: pages against per-host robots.txt covering
+    // exact-agent-group precedence, longest-match, allow-wins-ties,
+    // $-anchors and * wildcards; expected decisions recomputed per
+    // variant by the oracle
+    "wt_robots_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val host = concat(lit("host"), pmod(col("doc_id"), lit(23)), lit(".example.com"))
+      val path = when(pmod(col("doc_id"), lit(5)) === 0, "/")
+        .when(pmod(col("doc_id"), lit(5)) === 1, "/public/a")
+        .when(pmod(col("doc_id"), lit(5)) === 2, "/private/x")
+        .when(pmod(col("doc_id"), lit(5)) === 3, "/private/ok")
+        .otherwise("/tmp/file.html")
+      val pages = d.select(concat(lit("https://"), host, path).as("url"))
+      val robots = s.range(0, 23).select(
+        concat(lit("host"), col("id"), lit(".example.com")).as("host"),
+        when(pmod(col("id"), lit(3)) === 0,
+          "User-agent: *\nDisallow: /private\nAllow: /private/ok$")
+          .when(pmod(col("id"), lit(3)) === 1,
+            "User-agent: *\nDisallow: /tmp/*.html\n\nUser-agent: graftbot\nDisallow:")
+          .otherwise("User-agent: *\nDisallow: /").as("robots_txt"))
+      graft.ops.Robots.filterAllowed(pages, "url", robots, "host", "robots_txt", "graftbot")
+    }),
+
     // weekly cohort retention matrix over the event log
     "ev_retention" -> ((s, dir) =>
       graft.ops.Events.retention(
@@ -1307,6 +1330,22 @@ object DataOps {
         |                   ELSE '<meta charset="iso-8859-1">' END
         |           || '</head><body>' || text || '</body></html>') AS html_md5
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // robots gate: h%3=1 hosts have an exact graftbot group with an
+    // empty Disallow (all allowed — exact beats *), h%3=2 disallow
+    // everything, h%3=0 disallow /private except the $-anchored allow
+    "wt_robots_filter" ->
+      """WITH p AS (
+        |  SELECT 'host' || (doc_id % 23) || '.example.com' AS host,
+        |         CASE doc_id % 5 WHEN 0 THEN '/' WHEN 1 THEN '/public/a'
+        |              WHEN 2 THEN '/private/x' WHEN 3 THEN '/private/ok'
+        |              ELSE '/tmp/file.html' END AS path,
+        |         (doc_id % 23) % 3 AS h
+        |  FROM documents)
+        |SELECT 'https://' || host || path AS url, host, path,
+        |       CASE h WHEN 1 THEN true WHEN 2 THEN false
+        |            ELSE NOT (path LIKE '/private%' AND path <> '/private/ok') END AS allowed
+        |FROM p""".stripMargin,
 
     // weekly cohort retention: DuckDB date_trunc('week') yields DATE, so
     // both week columns are cast back to TIMESTAMP to match Spark's

@@ -231,6 +231,13 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, s"one corpus scan:\n$p")
   }
 
+  test("robots gate broadcast-joins the hosts-sized side; pages never shuffle") {
+    val p = plan(SparkEntry.queries("wt_robots_filter")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"robots side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hashpartitioning"),
+      s"pages must not shuffle for the robots gate:\n$p")
+  }
+
   test("delta candidate pairs semi-prune the corpus to delta-touched buckets") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
     val sigs = graft.ops.Dedup.minhashShingles(docs, "doc_id", "text", 8, 8)

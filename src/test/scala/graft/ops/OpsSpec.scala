@@ -997,6 +997,41 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L).isNullAt(4), "empty text scores null")
   }
 
+  test("robots: longest match wins, allow beats disallow on ties, exact group beats *") {
+    import graft.ops.Robots
+    val txt = "# crawler policy\r\nUser-agent: *\nDisallow: /private\nAllow: /private/ok$\n" +
+      "Crawl-delay: 10\n\nUser-agent: SpecialBot\nUser-agent: otherbot\nDisallow: /\n"
+    val rules = Robots.rulesFor(txt, "anybot")
+    assert(rules == Seq(Robots.Rule(false, "/private"), Robots.Rule(true, "/private/ok$")))
+    assert(Robots.decide(rules, "/public"))
+    assert(!Robots.decide(rules, "/private/x"))
+    assert(Robots.decide(rules, "/private/ok"), "longer $-anchored allow wins")
+    assert(!Robots.decide(rules, "/private/ok2"), "anchor blocks the allow for longer paths")
+    // exact agent group (case-insensitive, multi-agent header) beats *
+    assert(!Robots.decide(Robots.rulesFor(txt, "specialbot"), "/anything"))
+    assert(!Robots.decide(Robots.rulesFor(txt, "OTHERBOT"), "/"))
+    // empty Disallow is a no-op: everything allowed for that group
+    val empty = Robots.rulesFor("User-agent: me\nDisallow:", "me")
+    assert(empty.isEmpty && Robots.decide(empty, "/x"))
+    // wildcard patterns
+    assert(!Robots.decide(Seq(Robots.Rule(false, "/tmp/*.html")), "/tmp/a/b/file.html"))
+    assert(Robots.decide(Seq(Robots.Rule(false, "/tmp/*.html")), "/tmp/file.png"))
+    // missing robots / no matching group = allowed
+    assert(Robots.decide(Robots.rulesFor("User-agent: x\nDisallow: /", "y"), "/"))
+  }
+
+  test("robots filterAllowed defaults hostless/robotless pages to allowed") {
+    import graft.ops.Robots
+    val pages = Seq("https://a.com/private/x", "https://a.com/ok", "https://nobots.com/x",
+      "https://a.com").toDF("url")
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /private")).toDF("host", "txt")
+    val out = Robots.filterAllowed(pages, "url", robots, "host", "txt", "bot")
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(!out("https://a.com/private/x"))
+    assert(out("https://a.com/ok") && out("https://nobots.com/x"))
+    assert(out("https://a.com"), "bare host normalizes to path /")
+  }
+
   test("delta candidate pairs equal batch pairs restricted to the delta") {
     // randomized band index over 40 ids; ids ≥ 30 play the incoming
     // shard — so the instance carries all three pair classes
