@@ -364,7 +364,43 @@ object StreamingQueries {
           .where(col("__u") >= 0)
           .select(col("user_id"), col("sw.start").as("t_start"),
             col("sw.end").as("t_end"), col("n_events")),
+        "append")),
+
+    // INGEST under streaming: `.warc.gz` segment blobs arrive as a
+    // stream (one micro-batch per file, like a crawler landing
+    // segments) and the record split runs per batch — stateless, so the
+    // batch parser (sources.Warc.readPages) serves the stream verbatim
+    // and must emit exactly the batch round-trip's rows
+    "st_warc_ingest" -> ((s, dir) =>
+      runToSink(s,
+        graft.sources.Warc.readPages(warcBlobStream(s, dir), "warc")
+          .select(col("url"), col("warc_date"), col("content_length"),
+            md5(col("payload")).as("payload_md5")),
         "append")))
+
+  /** The `src_warc_roundtrip` corpus as a STREAM of file blobs:
+    * documents → 8 `.warc.gz` shard blobs (the batch query's exact
+    * derivation), written once per JVM as 4 parquet files so
+    * `maxFilesPerTrigger=1` drives 4 micro-batches of segment
+    * arrivals. */
+  private def warcBlobStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val tmp = TmpDirs.cached(s"warc:$dir", "st_warc")
+    if (!Files.exists(Paths.get(tmp, "_SUCCESS"))) {
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("text").isNotNull).select(
+          concat(lit("https://crawl.example.org/"), col("source"), lit("/"),
+            col("doc_id")).as("url"),
+          concat(lit("2024-01-0"), pmod(col("doc_id"), lit(9)) + 1,
+            lit("T00:00:00Z")).as("warc_date"),
+          encode(col("text"), "UTF-8").as("payload"),
+          pmod(col("doc_id"), lit(8)).as("shard"))
+      graft.sources.Warc.writeFiles(pages, "url", "warc_date", "payload", col("shard"))
+        .repartition(4).write.mode("overwrite").parquet(tmp)
+    }
+    s.readStream.schema(s.read.parquet(tmp).schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+  }
 
   val oracles: Map[String, String] = Map(
     // identical to the batch kg_triples / cu_hash_sample /
@@ -372,6 +408,7 @@ object StreamingQueries {
     // reproduce the batch lane
     "st_kg_triples" -> graft.queries.KgQueries.oracles("kg_triples"),
     "st_kg_nodes" -> graft.queries.KgQueries.oracles("kg_nodes"),
+    "st_warc_ingest" -> graft.queries.DataOps.oracles("src_warc_roundtrip"),
     "st_hash_sample" ->
       """SELECT doc_id, stratum, bucket FROM (
         |  SELECT doc_id, lang AS stratum,
