@@ -115,6 +115,112 @@ object Web {
       .otherwise(last2)
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform) — the canonical
+    * key format of web-archive URL indexes (CDX): everything lowercased,
+    * host labels REVERSED and comma-joined so one owner's urls sort
+    * adjacent (`com,example,www2` next to `com,example`), leading `www.`
+    * and the port dropped, fragment dropped, query params SORTED so
+    * param order doesn't split identical resources. `com,example)/p?a=1`
+    * is THE range-partitioning key a 10^12-row url index wants: per-site
+    * scans become contiguous key ranges. Pure column program — codegen'd;
+    * non-url strings pass through unchanged. */
+  def surtKey(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val auth = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(regexp_replace(auth, ":[0-9]+$", ""), "^www\\.", "")
+    val revHost = concat_ws(",", reverse(split(host, "\\.")))
+    val rest = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1))
+    val path = regexp_extract(rest, "^([^?]*)", 1)
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val sortedQ = array_join(array_sort(split(query, "&")), "&")
+    when(auth === "", noFrag).otherwise(concat(
+      revHost, lit(")"),
+      when(path === "", lit("/")).otherwise(path),
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ))))
+  }
+
+  /** RFC 3986 §5.2.4 dot-segment removal — the buffer algorithm
+    * verbatim (`/a/b/../c` → `/a/c`, excess `..` clamps at root,
+    * trailing `/.`/`/..` keep the directory slash). */
+  def removeDotSegments(input: String): String = {
+    var in = input
+    val out = new StringBuilder
+    def trimLastSeg(): Unit = {
+      val i = out.lastIndexOf("/")
+      out.setLength(if (i < 0) 0 else i)
+    }
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) { in = "/" + in.substring(4); trimLastSeg() }
+      else if (in == "/..") { in = "/"; trimLastSeg() }
+      else if (in == "." || in == "..") in = ""
+      else {
+        val start = if (in.startsWith("/")) 1 else 0
+        val next = in.indexOf('/', start)
+        val seg = if (next < 0) in else in.substring(0, next)
+        out.append(seg)
+        in = if (next < 0) "" else in.substring(next)
+      }
+    }
+    out.toString
+  }
+
+  private val UrlRe =
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?".r
+
+  /** RFC 3986 §5.3 reference resolution — what turns the RELATIVE hrefs
+    * [[linkHosts]] skips into fetchable urls (absolute refs, `//`
+    * network-path, `/` rooted, `dir`-relative with dot-segment merge,
+    * bare `?query` and `#fragment` refs). Fragments never fetch, so
+    * they are stripped from the result; an opaque non-hierarchical ref
+    * (`mailto:…`) passes through; a null/unparseable base resolves to
+    * null (caller drops). Scalar kernel + [[resolveRefCol]] — per-row
+    * string work, no regex compilation in the loop beyond the anchored
+    * split pattern. */
+  def resolveRef(base: String, ref0: String): String = {
+    if (base == null || ref0 == null) return null
+    val ref = { val i = ref0.indexOf('#'); if (i < 0) ref0 else ref0.substring(0, i) }
+    def split3(u: String): Option[(String, String, String, String)] =
+      UrlRe.findFirstMatchIn(u).map(m => (m.group(1), m.group(2),
+        Option(m.group(3)).getOrElse(""), Option(m.group(4)).getOrElse("")))
+    split3(base) match {
+      case None => null
+      case Some((bs, ba, bp, bq)) =>
+        split3(ref) match {
+          case Some((rs, ra, rp, rq)) => return s"$rs://$ra${removeDotSegments(rp)}$rq"
+          case None                   => ()
+        }
+        if (ref.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) ref // opaque (mailto:)
+        else if (ref.startsWith("//")) split3(s"$bs:$ref") match {
+          case Some((_, ra, rp, rq)) => s"$bs://$ra${removeDotSegments(rp)}$rq"
+          case None                  => null
+        }
+        else if (ref.isEmpty) s"$bs://$ba$bp$bq"
+        else if (ref.startsWith("?")) s"$bs://$ba$bp$ref"
+        else {
+          val merged =
+            if (ref.startsWith("/")) ref
+            else {
+              val dir = if (bp.isEmpty) "/" else bp.substring(0, bp.lastIndexOf('/') + 1)
+              dir + ref
+            }
+          val qi = merged.indexOf('?')
+          val (p, q) = if (qi >= 0) (merged.substring(0, qi), merged.substring(qi))
+            else (merged, "")
+          s"$bs://$ba${removeDotSegments(p)}$q"
+        }
+    }
+  }
+
+  /** Column form of [[resolveRef]]. */
+  val resolveRefCol: (Column, Column) => Column = {
+    val u = udf((b: String, r: String) => resolveRef(b, r))
+    (base, ref) => u(base, ref)
+  }
+
   /** Alias table from anchor pairs: for each anchor text, the host the
     * web most often labels with it (tie → greatest host — a plain
     * `max(struct(n_refs, dst_host))` partial aggregation, the repo's

@@ -672,6 +672,35 @@ object DataOps {
       graft.ops.Robots.filterAllowed(pages, "url", robots, "host", "robots_txt", "graftbot")
     }),
 
+    // SURT index keys over urls exercising case, www, port, fragment,
+    // and param order; the oracle CONSTRUCTS the expected key directly
+    "wt_surt_key" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val url = concat(lit("https://WWW.Host"), pmod(col("doc_id"), lit(23)),
+        lit(".Example.com:443/P"), pmod(col("doc_id"), lit(5)),
+        lit("?z=9&a="), pmod(col("doc_id"), lit(23)), lit("&m=2#frag"))
+      d.select(col("doc_id"), graft.ops.Web.surtKey(url).as("surt"))
+    }),
+
+    // RFC 3986 reference resolution across the 8 ref shapes a crawler
+    // meets; expected resolutions are literal in the oracle
+    "wt_resolve_links" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val v = pmod(col("doc_id"), lit(8))
+      val ref = when(v === 0, "https://other.example.org/abs/page")
+        .when(v === 1, "//cdn.example.net/lib/app.js")
+        .when(v === 2, "/rooted/img.png")
+        .when(v === 3, "rel/sub.html")
+        .when(v === 4, "../up.html")
+        .when(v === 5, "?only=query")
+        .when(v === 6, "#frag")
+        .otherwise("./here.css")
+      d.select(col("doc_id"), ref.as("ref"),
+        graft.ops.Web.resolveRefCol(
+          lit("https://www.base.example.com/dir1/dir2/page.html"), ref)
+          .as("resolved"))
+    }),
+
     // weekly cohort retention matrix over the event log
     "ev_retention" -> ((s, dir) =>
       graft.ops.Events.retention(
@@ -1346,6 +1375,37 @@ object DataOps {
         |       CASE h WHEN 1 THEN true WHEN 2 THEN false
         |            ELSE NOT (path LIKE '/private%' AND path <> '/private/ok') END AS allowed
         |FROM p""".stripMargin,
+
+    // SURT: expected key constructed outright — reversed host labels,
+    // www/port/fragment dropped, lowercased, query params sorted
+    "wt_surt_key" ->
+      """SELECT doc_id,
+        |       'com,example,host' || (doc_id % 23) || ')/p' || (doc_id % 5)
+        |       || '?a=' || (doc_id % 23) || '&m=2&z=9' AS surt
+        |FROM documents""".stripMargin,
+
+    // reference resolution: expected urls literal per variant
+    "wt_resolve_links" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 8
+        |         WHEN 0 THEN 'https://other.example.org/abs/page'
+        |         WHEN 1 THEN '//cdn.example.net/lib/app.js'
+        |         WHEN 2 THEN '/rooted/img.png'
+        |         WHEN 3 THEN 'rel/sub.html'
+        |         WHEN 4 THEN '../up.html'
+        |         WHEN 5 THEN '?only=query'
+        |         WHEN 6 THEN '#frag'
+        |         ELSE './here.css' END AS ref,
+        |       CASE doc_id % 8
+        |         WHEN 0 THEN 'https://other.example.org/abs/page'
+        |         WHEN 1 THEN 'https://cdn.example.net/lib/app.js'
+        |         WHEN 2 THEN 'https://www.base.example.com/rooted/img.png'
+        |         WHEN 3 THEN 'https://www.base.example.com/dir1/dir2/rel/sub.html'
+        |         WHEN 4 THEN 'https://www.base.example.com/dir1/up.html'
+        |         WHEN 5 THEN 'https://www.base.example.com/dir1/dir2/page.html?only=query'
+        |         WHEN 6 THEN 'https://www.base.example.com/dir1/dir2/page.html'
+        |         ELSE 'https://www.base.example.com/dir1/dir2/here.css' END AS resolved
+        |FROM documents""".stripMargin,
 
     // weekly cohort retention: DuckDB date_trunc('week') yields DATE, so
     // both week columns are cast back to TIMESTAMP to match Spark's

@@ -1020,6 +1020,49 @@ class OpsSpec extends AnyFunSuite {
     assert(Robots.decide(Robots.rulesFor("User-agent: x\nDisallow: /", "y"), "/"))
   }
 
+  test("dot-segment removal follows the RFC buffer algorithm") {
+    import graft.ops.Web.removeDotSegments
+    assert(removeDotSegments("/a/b/c/../../d") == "/a/d")
+    assert(removeDotSegments("/a/b/.") == "/a/b/")
+    assert(removeDotSegments("/a/b/..") == "/a/")
+    assert(removeDotSegments("/../../x") == "/x", "excess .. clamps at root")
+    // the 2C step reattaches the '/' even when the popped segment was
+    // relative — the RFC buffer algorithm's exact (if surprising) output
+    assert(removeDotSegments("./rel/../y") == "/y")
+    assert(removeDotSegments("/") == "/")
+  }
+
+  test("resolveRef covers absolute, network-path, rooted, relative, query, opaque") {
+    import graft.ops.Web.resolveRef
+    val base = "https://h.com/a/b/page?x=1"
+    assert(resolveRef(base, "https://o.org/z") == "https://o.org/z")
+    assert(resolveRef(base, "//cdn.net/l.js") == "https://cdn.net/l.js")
+    assert(resolveRef(base, "/r/i.png") == "https://h.com/r/i.png")
+    assert(resolveRef(base, "s.html") == "https://h.com/a/b/s.html")
+    assert(resolveRef(base, "../up.html") == "https://h.com/a/up.html")
+    assert(resolveRef(base, "?q=2") == "https://h.com/a/b/page?q=2")
+    assert(resolveRef(base, "") == "https://h.com/a/b/page?x=1",
+      "empty ref keeps the base INCLUDING its query")
+    assert(resolveRef(base, "#frag") == "https://h.com/a/b/page?x=1",
+      "same-document reference keeps the base query, drops only the fragment")
+    assert(resolveRef(base, "mailto:x@y.z") == "mailto:x@y.z")
+    assert(resolveRef("https://h.com", "x.html") == "https://h.com/x.html",
+      "empty base path merges against /")
+    assert(resolveRef(null, "x") == null && resolveRef("notaurl", "x") == null)
+  }
+
+  test("surtKey reverses host labels, sorts params, strips www/port/fragment") {
+    import graft.ops.Web.surtKey
+    val out = Seq(
+      "https://WWW.News.Example.co.uk:443/A/B?beta=2&alpha=1#top",
+      "http://example.com",
+      "not a url")
+      .toDF("u").select(surtKey(col("u"))).collect().map(_.getString(0))
+    assert(out(0) == "uk,co,example,news)/a/b?alpha=1&beta=2")
+    assert(out(1) == "com,example)/")
+    assert(out(2) == "not a url")
+  }
+
   test("robots filterAllowed defaults hostless/robotless pages to allowed") {
     import graft.ops.Robots
     val pages = Seq("https://a.com/private/x", "https://a.com/ok", "https://nobots.com/x",
