@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier scheduling: turn a scored frontier into politeness-
+  * bounded fetch rounds — at most `perHostPerRound` urls per host per
+  * round, highest-priority first (the scheduling constraint every real
+  * crawler enforces so a big site doesn't absorb the whole fleet while
+  * rate limits throttle it).
+  *
+  * Scale shape: ONE hash shuffle on host + a per-host window sort. The
+  * window partition is a single host's frontier — bounded by site size,
+  * not corpus size; per-host skew (a 10^8-page host) surfaces through
+  * the always-on `frontier_skew` observe, and the fix at that scale is
+  * the repo's time-sliced window idiom (ops.Temporal.asofJoinSliced's
+  * pattern: pre-split the hot host by a priority band, then rank within
+  * band) — not needed until a single host approaches a partition's
+  * memory. */
+object Crawl {
+
+  /** (…, round) per frontier row: round r fetches the (r·K, (r+1)·K]-th
+    * urls of each host by (priority DESC, url ASC — deterministic
+    * tie-break). */
+  def scheduleRounds(frontier: DataFrame, url: String, host: String,
+      priority: String, perHostPerRound: Int): DataFrame = {
+    require(perHostPerRound > 0, s"perHostPerRound must be positive: $perHostPerRound")
+    val w = Window.partitionBy(col(host))
+      .orderBy(col(priority).desc, col(url).asc)
+    frontier
+      .select(col(url).as("url"), col(host).as("host"),
+        col(priority).as("priority"))
+      .withColumn("round",
+        ((row_number().over(w) - 1) / perHostPerRound).cast("long"))
+      // rides the same host partitioning; observe takes aggregates only,
+      // so the per-host count lands in a column first
+      .withColumn("__hostN", count(lit(1)).over(Window.partitionBy(col(host))))
+      .observe("frontier_skew", max(col("__hostN")).as("max_host_frontier"))
+      .drop("__hostN")
+  }
+}

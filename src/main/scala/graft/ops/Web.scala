@@ -221,6 +221,27 @@ object Web {
     (base, ref) => u(base, ref)
   }
 
+  /** Sitemap entry extraction — the other url-discovery source next to
+    * anchors: `<url>` blocks → (loc, lastmod, priority), whitespace
+    * tolerated inside tags, missing optional fields null. One regex
+    * explode per sitemap (bounded by its own entry count, the sitemap
+    * protocol caps files at 50k urls), then short per-entry extracts —
+    * same two-step shape as [[anchorPairs]]. */
+  def sitemapEntries(df: DataFrame, xml: Column): DataFrame =
+    df.select(explode(regexp_extract_all(xml,
+        lit("(?s)<url>.*?</url>"), lit(0))).as("entry"))
+      .select(
+        trim(regexp_extract(col("entry"), "(?s)<loc>\\s*(.*?)\\s*</loc>", 1)).as("loc"),
+        when(length(regexp_extract(col("entry"),
+          "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>", 1)) > 0,
+          trim(regexp_extract(col("entry"),
+            "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>", 1))).as("lastmod"),
+        when(length(regexp_extract(col("entry"),
+          "(?s)<priority>\\s*(.*?)\\s*</priority>", 1)) > 0,
+          trim(regexp_extract(col("entry"),
+            "(?s)<priority>\\s*(.*?)\\s*</priority>", 1)).cast("double")).as("priority"))
+      .where(col("loc") =!= "")
+
   /** Alias table from anchor pairs: for each anchor text, the host the
     * web most often labels with it (tie → greatest host — a plain
     * `max(struct(n_refs, dst_host))` partial aggregation, the repo's

@@ -701,6 +701,33 @@ object DataOps {
           .as("resolved"))
     }),
 
+    // politeness-bounded fetch rounds over a scored frontier: ≤3 urls
+    // per host per round, highest priority first
+    "wt_fetch_rounds" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val frontier = d.select(
+        concat(lit("https://host"), pmod(col("doc_id"), lit(23)),
+          lit(".example.com/p"), col("doc_id")).as("url"),
+        concat(lit("host"), pmod(col("doc_id"), lit(23)),
+          lit(".example.com")).as("host"),
+        pmod(col("doc_id") * 7, lit(100)).as("priority"))
+      graft.ops.Crawl.scheduleRounds(frontier, "url", "host", "priority", 3)
+    }),
+
+    // sitemap <url> block extraction: loc mandatory, lastmod/priority
+    // optional (null when absent), whitespace inside tags tolerated
+    "wt_sitemap_parse" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset>"),
+        lit("<url><loc> https://s"), col("doc_id"),
+        lit(".com/a </loc><lastmod>2024-0"), pmod(col("doc_id"), lit(9)) + 1,
+        lit("-01</lastmod><priority>0.8</priority></url>"),
+        lit("<url>\n  <loc>https://s"), col("doc_id"), lit(".com/b</loc>\n</url>"),
+        lit("</urlset>"))
+      graft.ops.Web.sitemapEntries(d.select(xml.as("xml")), col("xml"))
+    }),
+
     // weekly cohort retention matrix over the event log
     "ev_retention" -> ((s, dir) =>
       graft.ops.Events.retention(
@@ -1405,6 +1432,28 @@ object DataOps {
         |         WHEN 5 THEN 'https://www.base.example.com/dir1/dir2/page.html?only=query'
         |         WHEN 6 THEN 'https://www.base.example.com/dir1/dir2/page.html'
         |         ELSE 'https://www.base.example.com/dir1/dir2/here.css' END AS resolved
+        |FROM documents""".stripMargin,
+
+    // fetch rounds: DuckDB's native window formulation
+    "wt_fetch_rounds" ->
+      """WITH f AS (
+        |  SELECT 'https://host' || (doc_id % 23) || '.example.com/p' || doc_id AS url,
+        |         'host' || (doc_id % 23) || '.example.com' AS host,
+        |         (doc_id * 7) % 100 AS priority
+        |  FROM documents)
+        |SELECT url, host, priority,
+        |       (row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) - 1) // 3 AS round
+        |FROM f""".stripMargin,
+
+    // sitemap: expected entries constructed outright, two per document
+    "wt_sitemap_parse" ->
+      """SELECT 'https://s' || doc_id || '.com/a' AS loc,
+        |       '2024-0' || (doc_id % 9 + 1) || '-01' AS lastmod,
+        |       CAST(0.8 AS DOUBLE) AS priority
+        |FROM documents
+        |UNION ALL
+        |SELECT 'https://s' || doc_id || '.com/b',
+        |       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
         |FROM documents""".stripMargin,
 
     // weekly cohort retention: DuckDB date_trunc('week') yields DATE, so

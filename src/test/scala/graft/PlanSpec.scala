@@ -238,6 +238,14 @@ class PlanSpec extends AnyFunSuite {
       s"pages must not shuffle for the robots gate:\n$p")
   }
 
+  test("fetch-round scheduling is one host shuffle, no join") {
+    val p = plan(SparkEntry.queries("wt_fetch_rounds")(spark, dir))
+    assert(!p.contains("Join"), s"scheduling must not join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"one host shuffle serves both windows:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"one corpus scan:\n$p")
+  }
+
   test("delta candidate pairs semi-prune the corpus to delta-touched buckets") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
     val sigs = graft.ops.Dedup.minhashShingles(docs, "doc_id", "text", 8, 8)

@@ -1020,6 +1020,37 @@ class OpsSpec extends AnyFunSuite {
     assert(Robots.decide(Robots.rulesFor("User-agent: x\nDisallow: /", "y"), "/"))
   }
 
+  test("scheduleRounds caps urls per host per round, highest priority first") {
+    val f = Seq(
+      ("u1", "a.com", 90), ("u2", "a.com", 80), ("u3", "a.com", 70),
+      ("u4", "a.com", 60), ("u5", "a.com", 50),
+      ("v1", "b.com", 10)).toDF("url", "host", "priority")
+    val out = graft.ops.Crawl.scheduleRounds(f, "url", "host", "priority", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out == Map("u1" -> 0L, "u2" -> 0L, "u3" -> 1L, "u4" -> 1L,
+      "u5" -> 2L, "v1" -> 0L))
+    intercept[IllegalArgumentException] {
+      graft.ops.Crawl.scheduleRounds(f, "url", "host", "priority", 0)
+    }
+  }
+
+  test("sitemapEntries extracts loc/lastmod/priority, nulls for absent fields") {
+    val xml = """<?xml version="1.0"?><urlset>
+      |<url><loc>  https://x.com/p1  </loc><lastmod>2024-01-02</lastmod><priority>0.5</priority></url>
+      |<url>
+      |  <loc>https://x.com/p2</loc>
+      |</url>
+      |<url><lastmod>2024-01-03</lastmod></url>
+      |</urlset>""".stripMargin
+    val out = graft.ops.Web.sitemapEntries(Seq(Tuple1(xml)).toDF("xml"), col("xml"))
+      .collect()
+    assert(out.length == 2, "loc-less entry drops")
+    val m = out.map(r => r.getString(0) -> r).toMap
+    assert(m("https://x.com/p1").getString(1) == "2024-01-02")
+    assert(m("https://x.com/p1").getDouble(2) == 0.5)
+    assert(m("https://x.com/p2").isNullAt(1) && m("https://x.com/p2").isNullAt(2))
+  }
+
   test("dot-segment removal follows the RFC buffer algorithm") {
     import graft.ops.Web.removeDotSegments
     assert(removeDotSegments("/a/b/c/../../d") == "/a/d")
