@@ -242,6 +242,35 @@ object Web {
             "(?s)<priority>\\s*(.*?)\\s*</priority>", 1)).cast("double")).as("priority"))
       .where(col("loc") =!= "")
 
+  private val BlockTagRe =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|section|article|header|footer|nav|aside|main|br)[^>]*>"
+
+  /** Main-content extraction — the density-based block classifier
+    * (boilerpipe/jusText family, published heuristics) that separates
+    * article text from navigation/footer chrome, where the regex
+    * tag-strip alone keeps every "Home About Contact" in the corpus:
+    * split on block-level tags, keep blocks with ≥ `minWords` words AND
+    * link density ≤ `maxLinkDensity` (boilerplate blocks are short or
+    * link-dominated — both signals are per-block, no DOM needed), join
+    * survivors tag-stripped and whitespace-normalized. Pure column
+    * program over higher-order array functions — codegen-friendly,
+    * zero shuffles, one pass per page. */
+  def mainContent(html: Column, minWords: Int = 10,
+      maxLinkDensity: Double = 0.34): Column = {
+    def wordCount(text: Column): Column =
+      size(filter(split(text, "\\s+"), w => w =!= ""))
+    val kept = filter(split(html, BlockTagRe), b => {
+      val words = wordCount(regexp_replace(b, "<[^>]*>", " "))
+      val linkWords = wordCount(array_join(
+        regexp_extract_all(b, lit("(?s)<a [^>]*>(.*?)</a>"), lit(1)), " "))
+      words >= minWords && linkWords * lit(1.0) <= words * lit(maxLinkDensity)
+    })
+    trim(regexp_replace(
+      array_join(transform(kept,
+        b => trim(regexp_replace(b, "<[^>]*>", " "))), " "),
+      "\\s+", " "))
+  }
+
   /** Alias table from anchor pairs: for each anchor text, the host the
     * web most often labels with it (tie → greatest host — a plain
     * `max(struct(n_refs, dst_host))` partial aggregation, the repo's

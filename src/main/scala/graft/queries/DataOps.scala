@@ -598,7 +598,7 @@ object DataOps {
         concat(lit("2024-01-0"), pmod(col("doc_id"), lit(9)) + 1,
           lit("T00:00:00Z")).as("warc_date"),
         encode(col("text"), "UTF-8").as("payload"),
-        pmod(col("doc_id"), lit(8)).as("shard"))
+        pmod(col("doc_id"), lit(32)).as("shard"))
       val files = graft.sources.Warc.writeFiles(
         pages, "url", "warc_date", "payload", col("shard"))
       graft.sources.Warc.readPages(files, "warc")
@@ -621,7 +621,7 @@ object DataOps {
         encode(concat(statusLine, lit("\r\nContent-Type: "), ct,
           lit("\r\nX-Doc: "), col("doc_id"), lit("\r\n\r\n"), col("text")),
           "UTF-8").as("payload"),
-        pmod(col("doc_id"), lit(8)).as("shard"))
+        pmod(col("doc_id"), lit(32)).as("shard"))
       val files = graft.sources.Warc.writeFiles(
         pages, "url", "warc_date", "payload", col("shard"))
       graft.sources.Warc.readResponses(files, "warc")
@@ -726,6 +726,19 @@ object DataOps {
         lit("<url>\n  <loc>https://s"), col("doc_id"), lit(".com/b</loc>\n</url>"),
         lit("</urlset>"))
       graft.ops.Web.sitemapEntries(d.select(xml.as("xml")), col("xml"))
+    }),
+
+    // density-based main-content extraction: article text survives, the
+    // nav/footer chrome (link-dominated or short blocks) drops
+    "wt_main_content" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val page = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/c\">Contact</a> <a href=\"/b\">Blog</a></nav>"),
+        lit("<p>"), col("text"), lit("</p>"),
+        lit("<footer>© 2024 Site</footer></body></html>"))
+      d.select(col("doc_id"),
+        graft.ops.Web.mainContent(page).as("main"))
     }),
 
     // weekly cohort retention matrix over the event log
@@ -1454,6 +1467,17 @@ object DataOps {
         |UNION ALL
         |SELECT 'https://s' || doc_id || '.com/b',
         |       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+        |FROM documents""".stripMargin,
+
+    // main content: the article paragraph survives iff it clears the
+    // 10-word floor (nav is all-link, footer is short — both drop), so
+    // the expected output is the whitespace-normalized text itself
+    "wt_main_content" ->
+      """SELECT doc_id,
+        |       CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                                 x -> x <> '')) >= 10
+        |            THEN trim(regexp_replace(text, '\s+', ' ', 'g'))
+        |            ELSE '' END AS main
         |FROM documents""".stripMargin,
 
     // weekly cohort retention: DuckDB date_trunc('week') yields DATE, so

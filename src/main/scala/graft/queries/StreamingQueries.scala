@@ -394,7 +394,7 @@ object StreamingQueries {
           concat(lit("2024-01-0"), pmod(col("doc_id"), lit(9)) + 1,
             lit("T00:00:00Z")).as("warc_date"),
           encode(col("text"), "UTF-8").as("payload"),
-          pmod(col("doc_id"), lit(8)).as("shard"))
+          pmod(col("doc_id"), lit(32)).as("shard"))
       graft.sources.Warc.writeFiles(pages, "url", "warc_date", "payload", col("shard"))
         .repartition(4).write.mode("overwrite").parquet(tmp)
     }

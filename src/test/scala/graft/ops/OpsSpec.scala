@@ -1051,6 +1051,19 @@ class OpsSpec extends AnyFunSuite {
     assert(m("https://x.com/p2").isNullAt(1) && m("https://x.com/p2").isNullAt(2))
   }
 
+  test("mainContent keeps dense prose, drops link-chrome and short blocks") {
+    val html = "<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About us</a></nav>" +
+      "<p>This paragraph has more than ten words of genuine article prose inside it.</p>" +
+      "<div>Read <a href=\"/x\">this related article</a> and <a href=\"/y\">this other one</a> now maybe</div>" +
+      "<p>A long sentence with exactly one small <a href=\"/l\">link</a> inside it keeps flowing naturally here.</p>" +
+      "<footer>© 2024 Site</footer></body></html>"
+    val out = Seq(Tuple1(html)).toDF("h")
+      .select(graft.ops.Web.mainContent(col("h"))).collect().head.getString(0)
+    assert(out == "This paragraph has more than ten words of genuine article prose inside it. " +
+      "A long sentence with exactly one small link inside it keeps flowing naturally here.",
+      out)
+  }
+
   test("dot-segment removal follows the RFC buffer algorithm") {
     import graft.ops.Web.removeDotSegments
     assert(removeDotSegments("/a/b/c/../../d") == "/a/d")
