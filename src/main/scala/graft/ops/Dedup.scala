@@ -398,6 +398,41 @@ object Dedup {
       s"transform(sequence(1, greatest(0, length($text) - ${n - 1})), i -> substring($text, i, $n))")))
       .as("shingle"))
 
+  /** Asymmetric CONTAINMENT pairs — c(A⊂B) = |shingles(A)∩shingles(B)| /
+    * |shingles(A)| — the syndication/quoting detector symmetric Jaccard
+    * misses: a wire article embedded in a much larger page scores
+    * jaccard ≈ |A|/|B| (small) but containment ≈ 1.
+    *
+    * Scale shape: postings JOIN on the shingle (never all-pairs docs —
+    * the ir_sparse_sim shape); shingles with document frequency > dfCap
+    * drop FIRST via a broadcast anti join (a boilerplate gram present
+    * in every doc would square the postings join), with the dropped
+    * count riding an `observe` — and denominators computed on the
+    * UNPRUNED sets, so the cap can only lose candidates, never inflate
+    * a surviving score. Output: (id1, id2, c_1_in_2, c_2_in_1) where
+    * either direction ≥ threshold. */
+  def containmentPairs(df: DataFrame, id: String, text: String, n: Int,
+      dfCap: Int, threshold: Double): DataFrame = {
+    require(n >= 2 && dfCap >= 2 && threshold > 0 && threshold <= 1,
+      s"containmentPairs: need n>=2, dfCap>=2, 0<threshold<=1 (got $n, $dfCap, $threshold)")
+    val sh = charShingles(df, id, text, n)
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df") > dfCap)
+      .observe("containment_shingles", count(lit(1)).as("capped_shingles"))
+    val pruned = sh.join(broadcast(hot.select(col("shingle"))), Seq("shingle"), "left_anti")
+    pruned.select(col(id).as("id1"), col("shingle"))
+      .join(pruned.select(col(id).as("id2"), col("shingle")), Seq("shingle"))
+      .where(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed(id, "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
+      .join(sizes.withColumnRenamed(id, "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(col("inter") / col("sz1"), 4).as("c_1_in_2"),
+        round(col("inter") / col("sz2"), 4).as("c_2_in_1"))
+      .where(col("c_1_in_2") >= threshold || col("c_2_in_1") >= threshold)
+  }
+
   /** End-to-end near-duplicate CLUSTERING — the artifact a dedup
     * pipeline actually ships: verified near-dup pairs (from ANY scheme:
     * MinHash-LSH, SimHash, embedding cosine — anything emitting

@@ -326,6 +326,14 @@ object DataOps {
         .where(col("jaccard") >= 0.5)
     }),
 
+    // asymmetric containment over the same %4 subset bound as
+    // dd_ngram_jaccard; dfCap sits above the subset's max shingle df so
+    // the cap machinery is armed but the oracle math stays uncapped
+    "dd_containment" -> ((s, dir) => {
+      val input = ddInput(s, dir).where(col("doc_id") % 4 === 0)
+      Dedup.containmentPairs(input, "doc_id", "text", 8, 1000, 0.9)
+    }),
+
     // exact-substring dedup, discovery half: every token 8-gram occurring
     // in >= 2 distinct docs of the planted-dup corpus, top 50 — one
     // partial-agg shuffle on the gram, >= 2 filter before the top-k
@@ -1255,6 +1263,27 @@ object DataOps {
          |              THEN '1' ELSE '0' END AS b
          |  FROM tok, generate_series(0, 63) AS t(k) GROUP BY 1, 2)
          |SELECT doc_id, string_agg(b, '' ORDER BY k) AS simhash FROM bits GROUP BY 1""".stripMargin,
+
+    // containment: same subset + shingle CTEs, asymmetric ratios
+    "dd_containment" ->
+      s"""WITH dd_input0 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, text || '$nearDupTail' AS text
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |dd_input AS (SELECT * FROM dd_input0 WHERE doc_id % 4 = 0),
+         |$shinglesSql,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         |  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, round(i * 1.0 / z1.sz, 4) AS c_1_in_2,
+         |       round(i * 1.0 / z2.sz, 4) AS c_2_in_1
+         |FROM inter JOIN sizes z1 ON z1.doc_id = id1 JOIN sizes z2 ON z2.doc_id = id2
+         |WHERE round(i * 1.0 / z1.sz, 4) >= 0.9 OR round(i * 1.0 / z2.sz, 4) >= 0.9""".stripMargin,
 
     "dd_ngram_jaccard" ->
       s"""WITH dd_input0 AS (

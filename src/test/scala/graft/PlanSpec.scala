@@ -246,6 +246,13 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, s"one corpus scan:\n$p")
   }
 
+  test("containment pairs join postings on the shingle, never all-pairs docs") {
+    val p = plan(SparkEntry.queries("dd_containment")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must stay a postings join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"hot-shingle prune must broadcast:\n$p")
+  }
+
   test("delta candidate pairs semi-prune the corpus to delta-touched buckets") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
     val sigs = graft.ops.Dedup.minhashShingles(docs, "doc_id", "text", 8, 8)

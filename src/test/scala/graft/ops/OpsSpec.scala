@@ -1051,6 +1051,34 @@ class OpsSpec extends AnyFunSuite {
     assert(m("https://x.com/p2").isNullAt(1) && m("https://x.com/p2").isNullAt(2))
   }
 
+  test("containment catches a quote-in-container pair that jaccard misses") {
+    val quote = "0123456789abcdefghij"
+    val container = "PREFIX padding words before " + quote +
+      " and a long unrelated suffix stretching the container well past the quote"
+    val docs = Seq((1L, quote), (2L, container)).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.containmentPairs(docs, "doc_id", "text", 8, 100, 0.9)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("c_1_in_2") == 1.0, "every quote shingle is in the container")
+    assert(out.head.getAs[Double]("c_2_in_1") < 0.3, "asymmetry: the container is not in the quote")
+    // symmetric jaccard on the same pair stays below any useful threshold
+    val j = graft.ops.Dedup.ngramJaccardPairs(
+      docs.withColumn("b", lit(1)), "doc_id", "text", Seq("b"), 0.5)
+    assert(j.count() == 0)
+  }
+
+  test("containment df-cap drops pairs driven only by a universal boilerplate shingle") {
+    val boiler = "COMMONBOILERPLATE"
+    val docs = (1L to 4L).map(i => (i, s"doc $i unique body ${i * 1111} " + boiler))
+      .toDF("doc_id", "text")
+    val capped = graft.ops.Dedup.containmentPairs(docs, "doc_id", "text", 8, 2, 0.5)
+    assert(capped.count() == 0,
+      "shingles shared by all 4 docs exceed dfCap=2 and must not pair anyone")
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.containmentPairs(docs, "doc_id", "text", 8, 1, 0.5)
+    }
+  }
+
   test("mainContent keeps dense prose, drops link-chrome and short blocks") {
     val html = "<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About us</a></nav>" +
       "<p>This paragraph has more than ten words of genuine article prose inside it.</p>" +
