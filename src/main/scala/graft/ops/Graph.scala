@@ -99,6 +99,57 @@ object Graph {
     ranks.select(col("v").as("vertex"), col("r").as("pr"))
   }
 
+  /** Personalized PageRank — [[pageRank]]'s integer-exact recurrence
+    * with the restart mass concentrated on `seeds` instead of uniform:
+    * rank becomes proximity TO the seed set ("entities related to X" —
+    * the KG-serving query behind related-entity panels and
+    * retrieval-time graph expansion; same published PPR formulation,
+    * integer Jacobi sweeps). Init and teleport are `scale/|seeds|` on
+    * seed vertices and 0 elsewhere; everything else (mirrored edges,
+    * weighted degrees, div arithmetic, guards) matches [[pageRank]]
+    * bit-for-bit so the oracle unrolls the same recurrence.
+    *
+    * `seeds` (first column = vertex id) is seed-set-sized — tiny — so
+    * it broadcasts into the flag join; the one `isEmpty` action on it
+    * is deliberate (an empty seed set would otherwise surface as a
+    * silent all-null div). Output: (vertex, ppr) for every vertex. */
+  def personalizedPageRank(edges: DataFrame, src: String, dst: String,
+      weight: String, seeds: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000L): DataFrame = {
+    val wType = edges.schema(weight).dataType
+    require(Seq("byte", "short", "integer", "long").contains(wType.typeName),
+      s"personalizedPageRank: weight column '$weight' must be integral, got ${wType.typeName}")
+    val sd = seeds.select(col(seeds.columns.head).as("v")).distinct()
+    require(!sd.isEmpty, "personalizedPageRank: empty seed set")
+    val maxW = Long.MaxValue / scale
+    val wGuarded = when(col(weight).cast("long") > maxW || col(weight).cast("long") < 1L,
+      raise_error(concat(
+        lit(s"personalizedPageRank: weight must be in [1, ${maxW}]: "),
+        col(weight).cast("string"))))
+      .otherwise(col(weight).cast("long"))
+    val ed = edges.select(col(src).as("src"), col(dst).as("dst"), wGuarded.as("w"))
+      .unionAll(edges.select(col(dst).as("src"), col(src).as("dst"), wGuarded.as("w")))
+    val deg = ed.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    val edeg = ed.join(deg, "src")
+    val verts = ed.select(col("src").as("v")).distinct()
+      .join(broadcast(sd.withColumn("__seed", lit(1))), Seq("v"), "left")
+      .select(col("v"), coalesce(col("__seed"), lit(0)).as("s"))
+    val ns = sd.agg(count(lit(1)).as("n"))
+    var ranks = verts.crossJoin(broadcast(ns))
+      .select(col("v"), col("s"),
+        expr(s"CASE WHEN s = 1 THEN ${scale}L div n ELSE 0L END").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edeg.join(ranks.select(col("v").as("src"), col("r")), "src")
+        .select(col("dst").as("v"), expr("(r * w) div wdeg").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("cs"))
+      ranks = verts.join(contrib, Seq("v"), "left").crossJoin(broadcast(ns))
+        .select(col("v"), col("s"),
+          expr(s"CASE WHEN s = 1 THEN (15 * (${scale}L div n)) div 100 ELSE 0L END" +
+            " + (85 * coalesce(cs, 0L)) div 100").as("r"))
+    }
+    ranks.select(col("v").as("vertex"), col("r").as("ppr"))
+  }
+
   /** k-core peel: the maximal induced subgraph where every vertex has
     * degree ≥ k, via `rounds` fixed peel iterations — each round
     * re-derives degrees over the survivor-induced subgraph (two

@@ -276,6 +276,18 @@ object KgQueries {
           "src_url", "dst_name", "weight", 5)
         .orderBy(col("pr").desc, col("vertex").asc).limit(20)),
 
+    // personalized PageRank seeded on the 5 lexicographically-first
+    // urls: proximity to the seed set (the related-entity serving
+    // query); same integer recurrence, seed-concentrated teleport
+    "kg_ppr" -> ((s, dir) => {
+      val edges = s.read.parquet(kgRun(s, dir) + "/edges")
+      val seeds = edges.select(col("src_url")).distinct()
+        .orderBy(col("src_url")).limit(5)
+      graft.ops.Graph.personalizedPageRank(
+          edges, "src_url", "dst_name", "weight", seeds, 5)
+        .orderBy(col("ppr").desc, col("vertex").asc).limit(20)
+    }),
+
     // co-mention graph analytics: entities sharing a url form an
     // undirected edge; triangles counted via the degree-ordered
     // orientation (Graph.triangleCount). The oracle re-derives the
@@ -633,7 +645,37 @@ object KgQueries {
     sb.toString
   }
 
+  /** [[pageRankSql]]'s recurrence with the teleport concentrated on the
+    * `nSeeds` lexicographically-first urls — the oracle twin of
+    * `Graph.personalizedPageRank`. */
+  private[queries] def pprSql(edgesSql: String, nSeeds: Int, iters: Int,
+      scale: Long, topK: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH kge AS MATERIALIZED ($edgesSql),\n")
+    sb.append("ed AS MATERIALIZED (SELECT src_url AS src, dst_name AS dst, weight AS w FROM kge\n")
+    sb.append("      UNION ALL SELECT dst_name, src_url, weight FROM kge),\n")
+    sb.append("deg AS MATERIALIZED (SELECT src, sum(w)::BIGINT AS wdeg FROM ed GROUP BY 1),\n")
+    sb.append(s"seeds AS MATERIALIZED (SELECT DISTINCT src_url AS v FROM kge ORDER BY 1 LIMIT $nSeeds),\n")
+    sb.append("verts AS MATERIALIZED (SELECT DISTINCT ed.src AS v,\n")
+    sb.append("      CASE WHEN s.v IS NULL THEN 0 ELSE 1 END AS sflag\n")
+    sb.append("      FROM ed LEFT JOIN seeds s ON s.v = ed.src),\n")
+    sb.append("ns AS (SELECT count(*)::BIGINT AS n FROM seeds),\n")
+    sb.append(s"r0 AS (SELECT v, CASE WHEN sflag = 1 THEN $scale // n ELSE 0 END AS r\n")
+    sb.append("       FROM verts CROSS JOIN ns),\n")
+    for (k <- 1 to iters) {
+      sb.append(s"c$k AS (SELECT ed.dst AS v, sum((r.r * ed.w) // d.wdeg)::BIGINT AS cs\n")
+      sb.append(s"       FROM ed JOIN deg d USING (src) JOIN r${k - 1} r ON r.v = ed.src GROUP BY 1),\n")
+      sb.append(s"r$k AS (SELECT verts.v, CASE WHEN sflag = 1 THEN (15 * ($scale // n)) // 100 ELSE 0 END\n")
+      sb.append(s"       + (85 * coalesce(cs, 0)) // 100 AS r\n")
+      sb.append(s"       FROM verts LEFT JOIN c$k USING (v) CROSS JOIN ns),\n")
+    }
+    sb.setLength(sb.length - 2)
+    sb.append(s"\nSELECT v AS vertex, r AS ppr FROM r$iters ORDER BY r DESC, v ASC LIMIT $topK")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "kg_ppr" -> pprSql(kgEdgesSql, 5, 5, 1000000000L, 20),
     // the per-partition lineage ledger's conservation invariant: the sum
     // of per-partition rows for EVERY materialized stage equals that
     // stage's independently re-derived count

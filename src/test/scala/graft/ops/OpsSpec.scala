@@ -1051,6 +1051,26 @@ class OpsSpec extends AnyFunSuite {
     assert(m("https://x.com/p2").isNullAt(1) && m("https://x.com/p2").isNullAt(2))
   }
 
+  test("personalized pagerank concentrates rank near the seed") {
+    // path graph a-b-c-d-e seeded at a: per-vertex Jacobi sweeps
+    // oscillate on a path (a's whole rank pours into its only neighbor
+    // each sweep), so the stable invariants are near-vs-far, not
+    // strictly monotone: the seed half must dominate the far half and
+    // a uniform pagerank's symmetric ends (a,e) must diverge
+    val edges = Seq(("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("d", "e", 1))
+      .toDF("s", "d", "w")
+    val seeds = Seq("a").toDF("v")
+    val out = graft.ops.Graph.personalizedPageRank(edges, "s", "d", "w", seeds, 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("b") > out("d"), out.toString)
+    assert(out("a") + out("b") > out("d") + out("e"), out.toString)
+    assert(out("a") > out("e"), "seed end must outrank the far end")
+    intercept[IllegalArgumentException] {
+      graft.ops.Graph.personalizedPageRank(
+        edges, "s", "d", "w", Seq.empty[String].toDF("v"), 5)
+    }
+  }
+
   test("containment catches a quote-in-container pair that jaccard misses") {
     val quote = "0123456789abcdefghij"
     val container = "PREFIX padding words before " + quote +
