@@ -749,6 +749,25 @@ object DataOps {
         graft.ops.Web.mainContent(page).as("main"))
     }),
 
+    // CDX index generation: Spark MEASURES each record's byte span by
+    // parsing the segment files; the oracle RECONSTRUCTS the same spans
+    // arithmetically from the framing definition — a cross-check of the
+    // whole container format
+    "src_cdx_index" -> ((s, dir) => {
+      val pages = docs(s, dir).where(col("text").isNotNull).select(
+        concat(lit("https://crawl.example.org/"), col("source"), lit("/"),
+          col("doc_id")).as("url"),
+        concat(lit("2024-01-0"), pmod(col("doc_id"), lit(9)) + 1,
+          lit("T00:00:00Z")).as("warc_date"),
+        encode(col("text"), "UTF-8").as("payload"),
+        pmod(col("doc_id"), lit(32)).as("shard"))
+      val files = graft.sources.Warc.writeFiles(
+        pages, "url", "warc_date", "payload", col("shard"))
+      graft.sources.Warc.indexRecords(files, "shard", "warc")
+        .select(col("shard"), graft.ops.Web.surtKey(col("url")).as("surt"),
+          col("url"), col("warc_date"), col("offset"), col("length"), col("digest"))
+    }),
+
     // weekly cohort retention matrix over the event log
     "ev_retention" -> ((s, dir) =>
       graft.ops.Events.retention(
@@ -1508,6 +1527,27 @@ object DataOps {
         |            THEN trim(regexp_replace(text, '\s+', ' ', 'g'))
         |            ELSE '' END AS main
         |FROM documents""".stripMargin,
+
+    // CDX spans rebuilt arithmetically: record bytes = 87 fixed framing
+    // chars + 20-char date + url + Content-Length digits + payload, and
+    // a record's offset is the running sum of its shard-file
+    // predecessors in the writer's (url, date) sort order
+    "src_cdx_index" ->
+      """WITH p AS (
+        |  SELECT 'https://crawl.example.org/' || source || '/' || doc_id AS url,
+        |         '2024-01-0' || (doc_id % 9 + 1) || 'T00:00:00Z' AS warc_date,
+        |         strlen(text) AS plen, md5(text) AS digest,
+        |         doc_id % 32 AS shard, source, doc_id
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT *, 107 + strlen(url) + strlen(plen::VARCHAR) + plen AS reclen
+        |      FROM p)
+        |SELECT shard,
+        |       'org,example,crawl)/' || source || '/' || doc_id AS surt,
+        |       url, warc_date,
+        |       coalesce(sum(reclen) OVER (PARTITION BY shard ORDER BY url, warc_date
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS offset,
+        |       reclen AS length, digest
+        |FROM r""".stripMargin,
 
     // weekly cohort retention: DuckDB date_trunc('week') yields DATE, so
     // both week columns are cast back to TIMESTAMP to match Spark's

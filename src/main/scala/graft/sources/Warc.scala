@@ -83,7 +83,15 @@ object Warc {
     * missing mandatory headers is dropped and the scan RESYNCS at the
     * next `WARC/` magic, keeping every later record. Total: never
     * throws on malformed input. */
-  def parseRecords(fileBytes: Array[Byte]): Iterator[WarcRec] = {
+  def parseRecords(fileBytes: Array[Byte]): Iterator[WarcRec] =
+    parseRecordsWithSpans(fileBytes).map(_._1)
+
+  /** [[parseRecords]] plus each record's (offset, length) byte span in
+    * the INFLATED stream — per-record gzip members inflate to exactly
+    * the plain concatenation, so these spans are layout-stable whether
+    * the file was compressed or not; they are what a CDX index records
+    * so a reader can range-request one record out of a segment. */
+  def parseRecordsWithSpans(fileBytes: Array[Byte]): Iterator[(WarcRec, Long, Long)] = {
     val b = try inflateIfGz(fileBytes) catch { case NonFatal(_) => Array.emptyByteArray }
 
     def bIndexOf(pat: Array[Byte], from: Int): Int = {
@@ -98,11 +106,11 @@ object Warc {
       -1
     }
 
-    new scala.collection.AbstractIterator[WarcRec] {
+    new scala.collection.AbstractIterator[(WarcRec, Long, Long)] {
       private var pos = 0
-      private var nxt: WarcRec = _
+      private var nxt: (WarcRec, Long, Long) = _
 
-      private def parseOne(): WarcRec = {
+      private def parseOne(): (WarcRec, Long, Long) = {
         while (pos < b.length) {
           val start = bIndexOf(Magic, pos)
           if (start < 0) { pos = b.length; return null }
@@ -121,11 +129,17 @@ object Warc {
             case Some(n) if n >= 0 && hEnd + 4 + n <= b.length =>
               val payload =
                 java.util.Arrays.copyOfRange(b, hEnd + 4, (hEnd + 4 + n).toInt)
-              pos = (hEnd + 4 + n).toInt
-              (fields.get("warc-target-uri"), fields.get("warc-date")) match {
-                case (Some(u), Some(d)) => return WarcRec(u, d, payload)
-                case _                  => () // mandatory header missing: skip record
+              // the record span includes the trailing CRLFCRLF when
+              // present — [start, end) covers everything a range read
+              // needs to re-parse the record standalone
+              val end = math.min((hEnd + 4 + n).toInt + 4, b.length)
+              val record = (fields.get("warc-target-uri"), fields.get("warc-date")) match {
+                case (Some(u), Some(d)) =>
+                  (WarcRec(u, d, payload), start.toLong, (end - start).toLong)
+                case _ => null // mandatory header missing: skip record
               }
+              pos = end
+              if (record != null) return record
             case _ =>
               pos = start + Magic.length // corrupt framing: resync at next magic
           }
@@ -134,7 +148,7 @@ object Warc {
       }
 
       override def hasNext: Boolean = { if (nxt == null) nxt = parseOne(); nxt != null }
-      override def next(): WarcRec = {
+      override def next(): (WarcRec, Long, Long) = {
         if (!hasNext) throw new NoSuchElementException("parseRecords")
         val r = nxt; nxt = null; r
       }
@@ -169,6 +183,32 @@ object Warc {
         (k, blob)
       }
       .toDF("shard", "warc")
+  }
+
+  /** File blobs → CDX-style index rows: (shard, url, warc_date, offset,
+    * length, digest) — one row per record with its byte span in the
+    * inflated stream and an md5 payload digest. This IS the web-archive
+    * index artifact: sorted by SURT key it answers "which segment file,
+    * at which byte range, holds this url's capture" with one range
+    * read. `keyCol` passes the file's identity through because offsets
+    * are only meaningful relative to their own file. Narrow, like
+    * [[readPages]]. */
+  def indexRecords(files: DataFrame, keyCol: String, warcCol: String): DataFrame = {
+    val s = files.sparkSession
+    import s.implicits._
+    files.select(col(keyCol).cast("long").as("k"), col(warcCol).cast("binary").as("b"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (k, bytes) =>
+          parseRecordsWithSpans(bytes).map { case (r, off, len) =>
+            md.reset()
+            val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+            (k, r.url, r.warc_date, off, len, hex)
+          }
+        }
+      }
+      .toDF("shard", "url", "warc_date", "offset", "length", "digest")
   }
 
   /** Split an HTTP response payload (what a CC `response` record

@@ -53,6 +53,23 @@ class WarcSpec extends AnyFunSuite {
       "garbage gzip header is isolated, not thrown")
   }
 
+  test("record spans are byte-exact and a sliced span re-parses standalone") {
+    val r1 = rec("https://a/1", "2024-01-01T00:00:00Z", "hello")
+    val r2 = rec("https://a/2", "2024-01-01T00:00:00Z", "second payload")
+    val f = Warc.gzFile(Iterator(r1, r2))
+    val spans = Warc.parseRecordsWithSpans(f).toList
+    assert(spans.map(t => (t._2, t._3)) ==
+      List((0L, r1.length.toLong), (r1.length.toLong, r2.length.toLong)))
+    // the arithmetic the CDX oracle reconstructs offsets with:
+    // 87 fixed framing chars + 20-char date + url + length digits + payload
+    assert(r1.length == 87 + 20 + "https://a/1".length + 1 + 5)
+    val whole = Warc.inflateIfGz(f)
+    val slice = java.util.Arrays.copyOfRange(
+      whole, spans(1)._2.toInt, (spans(1)._2 + spans(1)._3).toInt)
+    assert(Warc.parseRecords(slice).toList.map(_.url) == List("https://a/2"),
+      "a CDX range read must re-parse on its own")
+  }
+
   test("httpSplit parses status/headers/body; non-HTTP and malformed drop") {
     val msg = ("HTTP/1.1 301 Moved Permanently\r\nLocation: https://b/\r\n" +
       "Content-Type: text/html\r\n\r\nbody\r\n\r\nwith embedded sep").getBytes("UTF-8")
