@@ -129,10 +129,15 @@ object Warc {
             case Some(n) if n >= 0 && hEnd + 4 + n <= b.length =>
               val payload =
                 java.util.Arrays.copyOfRange(b, hEnd + 4, (hEnd + 4 + n).toInt)
-              // the record span includes the trailing CRLFCRLF when
-              // present — [start, end) covers everything a range read
-              // needs to re-parse the record standalone
-              val end = math.min((hEnd + 4 + n).toInt + 4, b.length)
+              // the record span includes the trailing CRLFCRLF only when
+              // actually present (a nonconforming writer may omit it —
+              // blindly skipping 4 bytes would swallow the next record's
+              // magic); [start, end) re-parses standalone either way
+              val pEnd = (hEnd + 4 + n).toInt
+              val end =
+                if (pEnd + 4 <= b.length && b(pEnd) == '\r' && b(pEnd + 1) == '\n' &&
+                  b(pEnd + 2) == '\r' && b(pEnd + 3) == '\n') pEnd + 4
+                else pEnd
               val record = (fields.get("warc-target-uri"), fields.get("warc-date")) match {
                 case (Some(u), Some(d)) =>
                   (WarcRec(u, d, payload), start.toLong, (end - start).toLong)

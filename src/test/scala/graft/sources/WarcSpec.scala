@@ -68,6 +68,11 @@ class WarcSpec extends AnyFunSuite {
       whole, spans(1)._2.toInt, (spans(1)._2 + spans(1)._3).toInt)
     assert(Warc.parseRecords(slice).toList.map(_.url) == List("https://a/2"),
       "a CDX range read must re-parse on its own")
+    // a nonconforming writer omitting the trailing CRLFCRLF must not
+    // cost the adjacent record its magic
+    val noSep = (r1.dropRight(4) ++ r2).toArray
+    assert(Warc.parseRecordsWithSpans(noSep).toList.map(t => (t._1.url, t._2)) ==
+      List(("https://a/1", 0L), ("https://a/2", (r1.length - 4).toLong)))
   }
 
   test("httpSplit parses status/headers/body; non-HTTP and malformed drop") {
