@@ -768,6 +768,39 @@ object DataOps {
           col("url"), col("warc_date"), col("offset"), col("length"), col("digest"))
     }),
 
+    // the FULL ingest chain composed end to end: response segments →
+    // HTTP split → density main-content extract → WET-style conversion
+    // records (extracted text re-framed as WARC) → parsed back; the
+    // oracle recomputes the expected main text straight off documents
+    "src_wet_convert" -> ((s, dir) => {
+      val d = docs(s, dir).where(col("text").isNotNull)
+      val page = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/c\">Contact</a> <a href=\"/b\">Blog</a></nav>"),
+        lit("<p>"), col("text"), lit("</p>"),
+        lit("<footer>© 2024 Site</footer></body></html>"))
+      val pages = d.select(
+        concat(lit("https://crawl.example.org/"), col("source"), lit("/"),
+          col("doc_id")).as("url"),
+        lit("2024-01-01T00:00:00Z").as("warc_date"),
+        encode(concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+          page), "UTF-8").as("payload"),
+        pmod(col("doc_id"), lit(32)).as("shard"))
+      val responses = graft.sources.Warc.readResponses(
+        graft.sources.Warc.writeFiles(pages, "url", "warc_date", "payload",
+          col("shard")), "warc")
+      val wet = responses.select(col("url"), col("warc_date"),
+        encode(graft.ops.Web.mainContent(decode(col("body"), "UTF-8")), "UTF-8")
+          .as("payload"),
+        pmod(regexp_extract(col("url"), "/([0-9]+)$", 1).cast("long"), lit(32))
+          .as("shard"))
+      graft.sources.Warc.readPages(
+        graft.sources.Warc.writeFiles(wet, "url", "warc_date", "payload",
+          col("shard")), "warc")
+        .select(col("url"), col("content_length"),
+          md5(col("payload")).as("text_md5"))
+    }),
+
     // weekly cohort retention matrix over the event log
     "ev_retention" -> ((s, dir) =>
       graft.ops.Events.retention(
@@ -1548,6 +1581,19 @@ object DataOps {
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS offset,
         |       reclen AS length, digest
         |FROM r""".stripMargin,
+
+    // WET conversion: the chain's output is exactly the main-content
+    // rule applied to the synthesized page, recomputed off documents
+    "src_wet_convert" ->
+      """WITH m AS (
+        |  SELECT 'https://crawl.example.org/' || source || '/' || doc_id AS url,
+        |         CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                                   x -> x <> '')) >= 10
+        |              THEN trim(regexp_replace(text, '\s+', ' ', 'g'))
+        |              ELSE '' END AS main
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT url, strlen(main) AS content_length, md5(main) AS text_md5
+        |FROM m""".stripMargin,
 
     // weekly cohort retention: DuckDB date_trunc('week') yields DATE, so
     // both week columns are cast back to TIMESTAMP to match Spark's
