@@ -26,8 +26,11 @@ object Crawl {
   def scheduleRounds(frontier: DataFrame, url: String, host: String,
       priority: String, perHostPerRound: Int): DataFrame = {
     require(perHostPerRound > 0, s"perHostPerRound must be positive: $perHostPerRound")
-    val w = Window.partitionBy(col(host))
-      .orderBy(col(priority).desc, col(url).asc)
+    // windows resolve against the RENAMED frame — referencing the
+    // caller's names here would only work when they happen to be
+    // url/host/priority already
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("priority").desc, col("url").asc)
     frontier
       .select(col(url).as("url"), col(host).as("host"),
         col(priority).as("priority"))
@@ -35,7 +38,7 @@ object Crawl {
         ((row_number().over(w) - 1) / perHostPerRound).cast("long"))
       // rides the same host partitioning; observe takes aggregates only,
       // so the per-host count lands in a column first
-      .withColumn("__hostN", count(lit(1)).over(Window.partitionBy(col(host))))
+      .withColumn("__hostN", count(lit(1)).over(Window.partitionBy(col("host"))))
       .observe("frontier_skew", max(col("__hostN")).as("max_host_frontier"))
       .drop("__hostN")
   }

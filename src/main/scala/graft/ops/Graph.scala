@@ -59,45 +59,9 @@ object Graph {
     * wrapping silently. */
   def pageRank(edges: DataFrame, src: String, dst: String, weight: String,
       iters: Int = 5, scale: Long = 1000000000L,
-      ledgerDir: Option[String] = None): DataFrame = {
-    val wType = edges.schema(weight).dataType
-    require(Seq("byte", "short", "integer", "long").contains(wType.typeName),
-      s"pageRank: weight column '$weight' must be integral, got ${wType.typeName} — " +
-        "integer arithmetic is the operator's bit-exactness contract")
-    val maxW = Long.MaxValue / scale
-    val wGuarded = when(col(weight).cast("long") > maxW || col(weight).cast("long") < 1L,
-      raise_error(concat(
-        lit(s"pageRank: weight must be in [1, ${maxW}] " +
-          "(non-positive corrupts weighted degrees; larger overflows scale*w): "),
-        col(weight).cast("string"))))
-      .otherwise(col(weight).cast("long"))
-    // with a ledger, each iteration's ranks land in parquet and the next
-    // reads them back — lineage never grows past one join+agg
-    def checkpoint(df: DataFrame, name: String): DataFrame =
-      ledgered(ledgerDir, df, name)(identity)
-    val ed = edges.select(col(src).as("src"), col(dst).as("dst"), wGuarded.as("w"))
-      .unionAll(edges.select(col(dst).as("src"), col(src).as("dst"), wGuarded.as("w")))
-    val deg = ed.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
-    // the static loop-invariant sides (weighted-degree edges, vertex
-    // list) are ledgered ONCE so iterations re-read parquet instead of
-    // re-running the degree aggregation every sweep
-    val edeg = checkpoint(ed.join(deg, "src"), "edges_deg")
-    val verts = checkpoint(ed.select(col("src").as("v")).distinct(), "vertices")
-    val nn = verts.agg(count(lit(1)).as("n"))
-    var ranks = checkpoint(verts.crossJoin(broadcast(nn))
-      .select(col("v"), expr(s"${scale}L div n").as("r")), "ranks_0")
-    for (k <- 1 to iters) {
-      val contrib = edeg.join(ranks.withColumnRenamed("v", "src"), "src")
-        .select(col("dst").as("v"), expr("(r * w) div wdeg").as("c"))
-        .groupBy(col("v")).agg(sum(col("c")).as("cs"))
-      ranks = checkpoint(verts.join(contrib, Seq("v"), "left")
-        .crossJoin(broadcast(nn))
-        .select(col("v"),
-          expr(s"(15 * (${scale}L div n)) div 100 + (85 * coalesce(cs, 0L)) div 100").as("r")),
-        s"ranks_$k")
-    }
-    ranks.select(col("v").as("vertex"), col("r").as("pr"))
-  }
+      ledgerDir: Option[String] = None): DataFrame =
+    prCore(edges, src, dst, weight, None, iters, scale, ledgerDir, "pageRank")
+      .withColumnRenamed("rank", "pr")
 
   /** Personalized PageRank — [[pageRank]]'s integer-exact recurrence
     * with the restart mass concentrated on `seeds` instead of uniform:
@@ -112,42 +76,76 @@ object Graph {
     * `seeds` (first column = vertex id) is seed-set-sized — tiny — so
     * it broadcasts into the flag join; the one `isEmpty` action on it
     * is deliberate (an empty seed set would otherwise surface as a
-    * silent all-null div). Output: (vertex, ppr) for every vertex. */
+    * silent all-null div). Supports the same `ledgerDir` checkpointing
+    * as [[pageRank]]. Output: (vertex, ppr) for every vertex. */
   def personalizedPageRank(edges: DataFrame, src: String, dst: String,
       weight: String, seeds: DataFrame, iters: Int = 5,
-      scale: Long = 1000000000L): DataFrame = {
-    val wType = edges.schema(weight).dataType
-    require(Seq("byte", "short", "integer", "long").contains(wType.typeName),
-      s"personalizedPageRank: weight column '$weight' must be integral, got ${wType.typeName}")
+      scale: Long = 1000000000L,
+      ledgerDir: Option[String] = None): DataFrame = {
     val sd = seeds.select(col(seeds.columns.head).as("v")).distinct()
     require(!sd.isEmpty, "personalizedPageRank: empty seed set")
+    prCore(edges, src, dst, weight, Some(sd), iters, scale, ledgerDir,
+      "personalizedPageRank").withColumnRenamed("rank", "ppr")
+  }
+
+  /** The ONE copy of the bit-exactness-critical integer recurrence both
+    * rank operators share. Uniform PageRank IS the seeds = all-vertices
+    * special case (init and teleport `scale div n` everywhere), so the
+    * seeded generalization reproduces [[pageRank]]'s arithmetic exactly
+    * — the `CASE WHEN s = 1` collapses to the unconditional expression
+    * when every vertex carries s = 1. `n` = seed count (vertex count in
+    * the uniform case). */
+  private def prCore(edges: DataFrame, src: String, dst: String,
+      weight: String, seeds: Option[DataFrame], iters: Int, scale: Long,
+      ledgerDir: Option[String], opName: String): DataFrame = {
+    val wType = edges.schema(weight).dataType
+    require(Seq("byte", "short", "integer", "long").contains(wType.typeName),
+      s"$opName: weight column '$weight' must be integral, got ${wType.typeName} — " +
+        "integer arithmetic is the operator's bit-exactness contract")
     val maxW = Long.MaxValue / scale
     val wGuarded = when(col(weight).cast("long") > maxW || col(weight).cast("long") < 1L,
       raise_error(concat(
-        lit(s"personalizedPageRank: weight must be in [1, ${maxW}]: "),
+        lit(s"$opName: weight must be in [1, ${maxW}] " +
+          "(non-positive corrupts weighted degrees; larger overflows scale*w): "),
         col(weight).cast("string"))))
       .otherwise(col(weight).cast("long"))
+    // with a ledger, each iteration's ranks land in parquet and the next
+    // reads them back — lineage never grows past one join+agg
+    def checkpoint(df: DataFrame, name: String): DataFrame =
+      ledgered(ledgerDir, df, name)(identity)
     val ed = edges.select(col(src).as("src"), col(dst).as("dst"), wGuarded.as("w"))
       .unionAll(edges.select(col(dst).as("src"), col(src).as("dst"), wGuarded.as("w")))
     val deg = ed.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
-    val edeg = ed.join(deg, "src")
-    val verts = ed.select(col("src").as("v")).distinct()
-      .join(broadcast(sd.withColumn("__seed", lit(1))), Seq("v"), "left")
-      .select(col("v"), coalesce(col("__seed"), lit(0)).as("s"))
-    val ns = sd.agg(count(lit(1)).as("n"))
-    var ranks = verts.crossJoin(broadcast(ns))
+    // the static loop-invariant sides (weighted-degree edges, flagged
+    // vertex list) are ledgered ONCE so iterations re-read parquet
+    // instead of re-running the degree aggregation every sweep
+    val edeg = checkpoint(ed.join(deg, "src"), "edges_deg")
+    val verts0 = ed.select(col("src").as("v")).distinct()
+    val verts = checkpoint(seeds match {
+      case None => verts0.select(col("v"), lit(1).as("s"))
+      case Some(sd) => verts0
+        .join(broadcast(sd.withColumn("__seed", lit(1))), Seq("v"), "left")
+        .select(col("v"), coalesce(col("__seed"), lit(0)).as("s"))
+    }, "vertices")
+    val nn = seeds match {
+      case None     => verts.agg(count(lit(1)).as("n"))
+      case Some(sd) => sd.agg(count(lit(1)).as("n"))
+    }
+    var ranks = checkpoint(verts.crossJoin(broadcast(nn))
       .select(col("v"), col("s"),
-        expr(s"CASE WHEN s = 1 THEN ${scale}L div n ELSE 0L END").as("r"))
-    for (_ <- 1 to iters) {
+        expr(s"CASE WHEN s = 1 THEN ${scale}L div n ELSE 0L END").as("r")), "ranks_0")
+    for (k <- 1 to iters) {
       val contrib = edeg.join(ranks.select(col("v").as("src"), col("r")), "src")
         .select(col("dst").as("v"), expr("(r * w) div wdeg").as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("cs"))
-      ranks = verts.join(contrib, Seq("v"), "left").crossJoin(broadcast(ns))
+      ranks = checkpoint(verts.join(contrib, Seq("v"), "left")
+        .crossJoin(broadcast(nn))
         .select(col("v"), col("s"),
           expr(s"CASE WHEN s = 1 THEN (15 * (${scale}L div n)) div 100 ELSE 0L END" +
-            " + (85 * coalesce(cs, 0L)) div 100").as("r"))
+            " + (85 * coalesce(cs, 0L)) div 100").as("r")),
+        s"ranks_$k")
     }
-    ranks.select(col("v").as("vertex"), col("r").as("ppr"))
+    ranks.select(col("v").as("vertex"), col("r").as("rank"))
   }
 
   /** k-core peel: the maximal induced subgraph where every vertex has

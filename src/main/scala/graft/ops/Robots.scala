@@ -102,11 +102,15 @@ object Robots {
       hostCol: String, txtCol: String, agent: String): DataFrame = {
     val s = pages.sparkSession
     import s.implicits._
-    val host = regexp_extract(col(urlCol), "^[a-z]+://([^/]+)", 1)
-    val path = when(length(regexp_extract(col(urlCol), "^[a-z]+://[^/]+(/.*)$", 1)) > 0,
-      regexp_extract(col(urlCol), "^[a-z]+://[^/]+(/.*)$", 1)).otherwise(lit("/"))
+    // scheme and host are case-insensitive per RFC 3986: a lowercase-only
+    // scheme regex or a case-sensitive host join would silently wave
+    // "HTTPS://A.com/private" through the gate
+    val host = lower(regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1))
+    val pathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/]+(/.*)$"
+    val path = when(length(regexp_extract(col(urlCol), pathRe, 1)) > 0,
+      regexp_extract(col(urlCol), pathRe, 1)).otherwise(lit("/"))
     pages.select(col(urlCol).cast("string").as("url"), host.as("host"), path.as("path"))
-      .join(broadcast(robots.select(col(hostCol).cast("string").as("host"),
+      .join(broadcast(robots.select(lower(col(hostCol).cast("string")).as("host"),
         col(txtCol).cast("string").as("robots_txt"))), Seq("host"), "left")
       .select(col("host"), col("url"), col("path"), col("robots_txt"))
       .as[(String, String, String, String)]

@@ -21,6 +21,31 @@ object DataOps {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** The canonical WARC page derivation shared by the batch round-trip
+    * (`src_warc_roundtrip`), the CDX index (`src_cdx_index`) and the
+    * streaming ingest lane (`st_warc_ingest`, whose oracle is ALIASED to
+    * the round-trip's) — these must stay byte-identical, so there is
+    * exactly one copy. */
+  private[queries] def warcPages(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet").where(col("text").isNotNull)
+      .select(
+        concat(lit("https://crawl.example.org/"), col("source"), lit("/"),
+          col("doc_id")).as("url"),
+        concat(lit("2024-01-0"), pmod(col("doc_id"), lit(9)) + 1,
+          lit("T00:00:00Z")).as("warc_date"),
+        encode(col("text"), "UTF-8").as("payload"),
+        pmod(col("doc_id"), lit(32)).as("shard"))
+
+  /** The synthesized nav/article/footer page shared by `wt_main_content`
+    * and `src_wet_convert` — their oracles encode the same expectation
+    * (the article paragraph survives, the chrome drops). */
+  private[queries] def navFooterPage(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+        "<a href=\"/c\">Contact</a> <a href=\"/b\">Blog</a></nav>"),
+      lit("<p>"), text, lit("</p>"),
+      lit("<footer>© 2024 Site</footer></body></html>"))
+
   private val nearDupTail = " additional tail content for near duplicate testing"
   private val decontTail = " extra trailing content appended after the contaminated span"
 
@@ -327,11 +352,15 @@ object DataOps {
     }),
 
     // asymmetric containment over the same %4 subset bound as
-    // dd_ngram_jaccard; dfCap sits above the subset's max shingle df so
-    // the cap machinery is armed but the oracle math stays uncapped
+    // dd_ngram_jaccard. The oracle computes UNCAPPED intersections, so
+    // the contract query must never actually trigger the df cap at ANY
+    // scale factor — a per-doc-distinct shingle's df is bounded by the
+    // doc count, so MaxValue disarms it exactly (a fixed "big" cap
+    // would silently diverge from the oracle once the corpus outgrew
+    // it); OpsSpec pins the cap behavior on synthetic hot shingles
     "dd_containment" -> ((s, dir) => {
       val input = ddInput(s, dir).where(col("doc_id") % 4 === 0)
-      Dedup.containmentPairs(input, "doc_id", "text", 8, 1000, 0.9)
+      Dedup.containmentPairs(input, "doc_id", "text", 8, Int.MaxValue, 0.9)
     }),
 
     // exact-substring dedup, discovery half: every token 8-gram occurring
@@ -600,15 +629,8 @@ object DataOps {
     // per-record header fields + payload digest, recomputable by the
     // oracle straight off the documents table
     "src_warc_roundtrip" -> ((s, dir) => {
-      val pages = docs(s, dir).where(col("text").isNotNull).select(
-        concat(lit("https://crawl.example.org/"), col("source"), lit("/"),
-          col("doc_id")).as("url"),
-        concat(lit("2024-01-0"), pmod(col("doc_id"), lit(9)) + 1,
-          lit("T00:00:00Z")).as("warc_date"),
-        encode(col("text"), "UTF-8").as("payload"),
-        pmod(col("doc_id"), lit(32)).as("shard"))
       val files = graft.sources.Warc.writeFiles(
-        pages, "url", "warc_date", "payload", col("shard"))
+        warcPages(s, dir), "url", "warc_date", "payload", col("shard"))
       graft.sources.Warc.readPages(files, "warc")
         .select(col("url"), col("warc_date"), col("content_length"),
           md5(col("payload")).as("payload_md5"))
@@ -738,31 +760,17 @@ object DataOps {
 
     // density-based main-content extraction: article text survives, the
     // nav/footer chrome (link-dominated or short blocks) drops
-    "wt_main_content" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val page = concat(
-        lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
-          "<a href=\"/c\">Contact</a> <a href=\"/b\">Blog</a></nav>"),
-        lit("<p>"), col("text"), lit("</p>"),
-        lit("<footer>© 2024 Site</footer></body></html>"))
-      d.select(col("doc_id"),
-        graft.ops.Web.mainContent(page).as("main"))
-    }),
+    "wt_main_content" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.ops.Web.mainContent(navFooterPage(col("text"))).as("main"))),
 
     // CDX index generation: Spark MEASURES each record's byte span by
     // parsing the segment files; the oracle RECONSTRUCTS the same spans
     // arithmetically from the framing definition — a cross-check of the
     // whole container format
     "src_cdx_index" -> ((s, dir) => {
-      val pages = docs(s, dir).where(col("text").isNotNull).select(
-        concat(lit("https://crawl.example.org/"), col("source"), lit("/"),
-          col("doc_id")).as("url"),
-        concat(lit("2024-01-0"), pmod(col("doc_id"), lit(9)) + 1,
-          lit("T00:00:00Z")).as("warc_date"),
-        encode(col("text"), "UTF-8").as("payload"),
-        pmod(col("doc_id"), lit(32)).as("shard"))
       val files = graft.sources.Warc.writeFiles(
-        pages, "url", "warc_date", "payload", col("shard"))
+        warcPages(s, dir), "url", "warc_date", "payload", col("shard"))
       graft.sources.Warc.indexRecords(files, "shard", "warc")
         .select(col("shard"), graft.ops.Web.surtKey(col("url")).as("surt"),
           col("url"), col("warc_date"), col("offset"), col("length"), col("digest"))
@@ -774,11 +782,7 @@ object DataOps {
     // oracle recomputes the expected main text straight off documents
     "src_wet_convert" -> ((s, dir) => {
       val d = docs(s, dir).where(col("text").isNotNull)
-      val page = concat(
-        lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
-          "<a href=\"/c\">Contact</a> <a href=\"/b\">Blog</a></nav>"),
-        lit("<p>"), col("text"), lit("</p>"),
-        lit("<footer>© 2024 Site</footer></body></html>"))
+      val page = navFooterPage(col("text"))
       val pages = d.select(
         concat(lit("https://crawl.example.org/"), col("source"), lit("/"),
           col("doc_id")).as("url"),

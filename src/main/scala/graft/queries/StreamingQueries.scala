@@ -387,15 +387,11 @@ object StreamingQueries {
     import java.nio.file.{Files, Paths}
     val tmp = TmpDirs.cached(s"warc:$dir", "st_warc")
     if (!Files.exists(Paths.get(tmp, "_SUCCESS"))) {
-      val pages = s.read.parquet(s"$dir/documents.parquet")
-        .where(col("text").isNotNull).select(
-          concat(lit("https://crawl.example.org/"), col("source"), lit("/"),
-            col("doc_id")).as("url"),
-          concat(lit("2024-01-0"), pmod(col("doc_id"), lit(9)) + 1,
-            lit("T00:00:00Z")).as("warc_date"),
-          encode(col("text"), "UTF-8").as("payload"),
-          pmod(col("doc_id"), lit(32)).as("shard"))
-      graft.sources.Warc.writeFiles(pages, "url", "warc_date", "payload", col("shard"))
+      // DataOps.warcPages is THE shared derivation — this lane's oracle
+      // is aliased to src_warc_roundtrip's, so diverging copies would
+      // silently break the stream ≡ batch equivalence
+      graft.sources.Warc.writeFiles(DataOps.warcPages(s, dir),
+          "url", "warc_date", "payload", col("shard"))
         .repartition(4).write.mode("overwrite").parquet(tmp)
     }
     s.readStream.schema(s.read.parquet(tmp).schema)

@@ -31,7 +31,8 @@ object Charsets {
   /** Detected charset name (canonical lowercase): BOM, else meta tag in
     * the first `scanBytes` bytes, else "utf-8". */
   def sniff(bytes: Array[Byte], scanBytes: Int = 4096): String = {
-    val n = if (bytes == null) 0 else bytes.length
+    if (bytes == null) return "utf-8" // null cell: degrade, never NPE the task
+    val n = bytes.length
     def at(i: Int): Int = if (i < n) bytes(i) & 0xff else -1
     if (at(0) == 0xef && at(1) == 0xbb && at(2) == 0xbf) "utf-8"
     else if (at(0) == 0xff && at(1) == 0xfe) "utf-16le"

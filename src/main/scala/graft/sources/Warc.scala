@@ -59,7 +59,11 @@ object Warc {
     records.foreach { r =>
       val gz = new GZIPOutputStream(out)
       gz.write(r)
-      gz.finish()
+      // close (not just finish) ends the native Deflater NOW — finish()
+      // alone leaks one zlib buffer per record until GC, which on a
+      // 100k-record segment is a real off-heap spike; closing `out` is
+      // a no-op for ByteArrayOutputStream, so members keep appending
+      gz.close()
     }
     out.toByteArray
   }
@@ -69,11 +73,13 @@ object Warc {
     if (bytes != null && bytes.length >= 2 &&
         (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
       val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
-      val out = new ByteArrayOutputStream(bytes.length * 4)
-      val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
-      out.toByteArray
+      try {
+        val out = new ByteArrayOutputStream(bytes.length * 4)
+        val buf = new Array[Byte](65536)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close() // ends the native Inflater eagerly
     } else if (bytes == null) Array.emptyByteArray
     else bytes
 

@@ -1032,6 +1032,11 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.ops.Crawl.scheduleRounds(f, "url", "host", "priority", 0)
     }
+    // caller column names other than url/host/priority must also resolve
+    val renamed = f.toDF("page_url", "site", "score")
+    val out2 = graft.ops.Crawl.scheduleRounds(renamed, "page_url", "site", "score", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out2 == out)
   }
 
   test("sitemapEntries extracts loc/lastmod/priority, nulls for absent fields") {
@@ -1165,6 +1170,12 @@ class OpsSpec extends AnyFunSuite {
     assert(!out("https://a.com/private/x"))
     assert(out("https://a.com/ok") && out("https://nobots.com/x"))
     assert(out("https://a.com"), "bare host normalizes to path /")
+    // scheme and host are case-insensitive (RFC 3986): mixed case must
+    // not slip a disallowed page past the gate
+    val shouty = Seq("HTTPS://A.com/private/x").toDF("url")
+    val out2 = Robots.filterAllowed(shouty, "url", robots, "host", "txt", "bot")
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(!out2("HTTPS://A.com/private/x"), "case must not bypass robots")
   }
 
   test("delta candidate pairs equal batch pairs restricted to the delta") {

@@ -43,12 +43,14 @@ class CharsetsSpec extends AnyFunSuite {
     val rows = Seq(
       (1L, "<meta charset=\"iso-8859-1\">café".getBytes("ISO-8859-1")),
       (2L, Array[Byte](0xff.toByte, 0xfe.toByte) ++ "wide".getBytes("UTF-16LE")),
-      (3L, "plain".getBytes("UTF-8")))
+      (3L, "plain".getBytes("UTF-8")),
+      (4L, null: Array[Byte])) // a NULL cell degrades the row, never the job
       .toDF("doc_id", "raw")
     val out = Charsets.decodePages(rows, "doc_id", "raw")
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
     assert(out(1L)._1 == "iso-8859-1" && out(1L)._2.endsWith("café"))
     assert(out(2L) == (("utf-16le", "wide")))
     assert(out(3L) == (("utf-8", "plain")))
+    assert(out(4L) == (("utf-8", null)))
   }
 }
