@@ -185,6 +185,22 @@ object Cdc {
     * consumer (scd2Merge, a streaming upsert sink, an index maintainer)
     * wants instead of re-reading 10^12 rows. Same bucketed-join note as
     * scd2Merge: key-bucketed snapshots diff exchange-free. */
+  /** Time travel over an SCD2 history: the dimension table AS OF `ts` —
+    * rows whose validity interval covers the instant
+    * (`valid_from <= ts < valid_to`, an open row's `valid_to` is NULL).
+    * Intervals are half-open, matching [[scd2Merge]]'s close-then-open
+    * convention: at the exact instant a version changes, the NEW row is
+    * current. This is the query a reproducible training run replays to
+    * see its dimensions exactly as an earlier run did. Pure filter +
+    * project — with the history laid out by `valid_from` (range
+    * partition or z-order), the scan partition-prunes to the epochs
+    * covering ts. */
+  def snapshotAsOf(history: DataFrame, validFrom: String, validTo: String,
+      ts: Long): DataFrame =
+    history
+      .where(col(validFrom) <= ts && (col(validTo).isNull || col(validTo) > ts))
+      .drop(validFrom, validTo)
+
   def snapshotDiff(older: DataFrame, newer: DataFrame, key: String,
       attrs: Seq[String]): DataFrame = {
     require(attrs.nonEmpty, "snapshotDiff: need at least one compared attribute")

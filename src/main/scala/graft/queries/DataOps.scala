@@ -970,6 +970,22 @@ object DataOps {
     // history = customers open at segment v0 + pre-closed OLD versions;
     // snapshot at ts=100 deletes %7 keys, changes %5 segments, adds %11
     // new keys — exercising all four merge arms in one query
+    // SCD2 time travel: the same 2-epoch history as tb_scd2_merge read
+    // AS OF an instant in each epoch — half-open intervals, so the OLD
+    // epoch serves ts=-5 and the current epoch serves ts=5
+    "tb_time_travel" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val history = c.where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").as("k"), lit("OLD").as("segment"),
+          lit(-10L).as("valid_from"), lit(0L).as("valid_to"))
+        .unionAll(c.select(col("c_custkey").as("k"), col("c_mktsegment").as("segment"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to")))
+      Cdc.snapshotAsOf(history, "valid_from", "valid_to", -5L)
+        .select(lit(-5L).as("asof"), col("k"), col("segment"))
+        .unionAll(Cdc.snapshotAsOf(history, "valid_from", "valid_to", 5L)
+          .select(lit(5L).as("asof"), col("k"), col("segment")))
+    }),
+
     "tb_scd2_merge" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet")
       val history = c.where(col("c_custkey") % 10 === 0)
@@ -1816,6 +1832,13 @@ object DataOps {
         |       sum(m1)::BIGINT AS sum_m1, min(m1) AS min_m1, max(m1) AS max_m1,
         |       sum(m2)::BIGINT AS sum_m2, min(m2) AS min_m2, max(m2) AS max_m2
         |FROM ev GROUP BY 1, 2""".stripMargin,
+
+    // time travel: epoch membership recomputed directly per instant
+    "tb_time_travel" ->
+      """SELECT CAST(-5 AS BIGINT) AS asof, c_custkey AS k, 'OLD' AS segment
+        |FROM customer WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT CAST(5 AS BIGINT), c_custkey, c_mktsegment FROM customer""".stripMargin,
 
     "tb_scd2_merge" ->
       """WITH hist_open AS (

@@ -1056,6 +1056,19 @@ class OpsSpec extends AnyFunSuite {
     assert(m("https://x.com/p2").isNullAt(1) && m("https://x.com/p2").isNullAt(2))
   }
 
+  test("snapshotAsOf serves the new version at the exact change instant") {
+    val hist = Seq(
+      (1L, "v1", -10L, Option(0L)), (1L, "v2", 0L, None),
+      (2L, "only", -10L, Option(-2L))) // closed with no successor: deleted
+      .toDF("k", "v", "valid_from", "valid_to")
+    def at(ts: Long) = graft.ops.Cdc.snapshotAsOf(hist, "valid_from", "valid_to", ts)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at(-5L) == Map(1L -> "v1", 2L -> "only"))
+    assert(at(0L) == Map(1L -> "v2"), "half-open: the NEW row is current at the boundary")
+    assert(at(-2L) == Map(1L -> "v1"), "deletion takes effect at its instant")
+    assert(at(-11L) == Map.empty[Long, String], "before history begins: empty table")
+  }
+
   test("personalized pagerank concentrates rank near the seed") {
     // path graph a-b-c-d-e seeded at a: per-vertex Jacobi sweeps
     // oscillate on a path (a's whole rank pours into its only neighbor
