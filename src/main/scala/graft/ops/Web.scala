@@ -271,6 +271,34 @@ object Web {
       "\\s+", " "))
   }
 
+  /** Host-name hygiene signals — the crawl-frontier spam/DGA heuristic
+    * (published shape: algorithmically generated hosts have long,
+    * high-entropy, digit-heavy labels; human-named ones don't): per
+    * host, the first label's length, digit ratio, and character-level
+    * entropy. Entropy uses the repo's integer-log idiom (micro-nat
+    * `floor(1e6·cnt·ln(n/cnt))` terms, integer-summed, `div n`) so the
+    * value is bit-stable cross-engine. Scale shape: hosts tables are
+    * ~10^8 rows at crawl scale — two partial-agg shuffles (host×char,
+    * then host), both tiny next to any page-table op. Output: (host,
+    * label, label_len, digit_ratio, entropy_micronats). */
+  def hostNameSignals(hosts: DataFrame, host: String): DataFrame = {
+    val base = hosts.select(col(host).cast("string").as("host"),
+      regexp_extract(col(host), "^([^.]+)", 1).as("label"))
+    val counts = base
+      .select(col("host"), col("label"),
+        explode(filter(split(col("label"), ""), c => c =!= "")).as("ch"))
+      .groupBy(col("host"), col("label"), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("host"), col("label"))
+      .agg(sum(col("cnt")).as("n"), collect_list(col("cnt")).as("cs"))
+      .select(col("host"), col("label"),
+        length(col("label")).as("label_len"),
+        round(regexp_count(col("label"), lit("[0-9]")) * lit(1.0)
+          / length(col("label")), 4).as("digit_ratio"),
+        expr("aggregate(cs, 0L, (acc, c) -> acc + CAST(floor(1000000.0 * c * " +
+          "ln(CAST(n AS DOUBLE) / c)) AS LONG)) div n").as("entropy_micronats"))
+  }
+
   /** Alias table from anchor pairs: for each anchor text, the host the
     * web most often labels with it (tie → greatest host — a plain
     * `max(struct(n_refs, dst_host))` partial aggregation, the repo's

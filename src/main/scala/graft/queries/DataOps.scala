@@ -805,6 +805,17 @@ object DataOps {
           md5(col("payload")).as("text_md5"))
     }),
 
+    // host-name spam signals over a mixed universe: human-named hosts
+    // (hostK) vs DGA-looking md5-derived labels for every 5th doc
+    "wt_host_signals" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val label = when(pmod(col("doc_id"), lit(5)) === 0,
+        substring(md5(encode(col("doc_id").cast("string"), "UTF-8")), 1, 16))
+        .otherwise(concat(lit("host"), pmod(col("doc_id"), lit(23))))
+      val host = concat(label, lit(".example.com"))
+      graft.ops.Web.hostNameSignals(d.select(host.as("host")).distinct(), "host")
+    }),
+
     // weekly cohort retention matrix over the event log
     "ev_retention" -> ((s, dir) =>
       graft.ops.Events.retention(
@@ -1614,6 +1625,30 @@ object DataOps {
         |  FROM documents WHERE text IS NOT NULL)
         |SELECT url, strlen(main) AS content_length, md5(main) AS text_md5
         |FROM m""".stripMargin,
+
+    // host signals: same integer micro-nat entropy recurrence as the
+    // ta_lm_surprisal oracle (floor of a double ln, then integer sums)
+    "wt_host_signals" ->
+      """WITH hosts AS (
+        |  SELECT DISTINCT (CASE WHEN doc_id % 5 = 0
+        |                        THEN substr(md5(doc_id::VARCHAR), 1, 16)
+        |                        ELSE 'host' || (doc_id % 23) END)
+        |                  || '.example.com' AS host
+        |  FROM documents),
+        |lab AS (SELECT host, regexp_extract(host, '^([^.]+)', 1) AS label FROM hosts),
+        |cc AS (
+        |  SELECT host, label, c, count(*) AS cnt FROM (
+        |    SELECT host, label, unnest(regexp_extract_all(label, '.')) AS c FROM lab)
+        |  GROUP BY 1, 2, 3),
+        |agg AS (SELECT host, sum(cnt)::BIGINT AS n FROM cc GROUP BY 1),
+        |ent AS (
+        |  SELECT cc.host,
+        |         sum(CAST(floor(1000000.0 * cnt * ln(agg.n::DOUBLE / cnt)) AS BIGINT))::BIGINT AS esum
+        |  FROM cc JOIN agg USING (host) GROUP BY 1)
+        |SELECT lab.host, lab.label, strlen(label) AS label_len,
+        |       round(len(regexp_extract_all(label, '[0-9]')) * 1.0 / strlen(label), 4) AS digit_ratio,
+        |       (esum // n)::BIGINT AS entropy_micronats
+        |FROM lab JOIN agg USING (host) JOIN ent USING (host)""".stripMargin,
 
     // weekly cohort retention: DuckDB date_trunc('week') yields DATE, so
     // both week columns are cast back to TIMESTAMP to match Spark's

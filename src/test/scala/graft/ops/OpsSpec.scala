@@ -1056,6 +1056,20 @@ class OpsSpec extends AnyFunSuite {
     assert(m("https://x.com/p2").isNullAt(1) && m("https://x.com/p2").isNullAt(2))
   }
 
+  test("hostNameSignals separates DGA-looking labels from human-named hosts") {
+    val hosts = Seq("a1b2c3d4e5f6g7h8.biz", "google.com", "aaaaaaaa.org",
+      "mail123.example.com").toDF("h")
+    val out = graft.ops.Web.hostNameSignals(hosts, "h")
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(2), r.getDouble(3), r.getLong(4))).toMap
+    val (dgaLen, dgaDig, dgaEnt) = out("a1b2c3d4e5f6g7h8.biz")
+    assert(dgaLen == 16 && dgaDig == 0.5)
+    assert(out("aaaaaaaa.org")._3 == 0L, "uniform label has zero entropy")
+    assert(dgaEnt > out("google.com")._3,
+      "mixed-alphabet DGA label must out-entropy a human name")
+    assert(out("mail123.example.com")._2 == 0.4286, "3 digits / 7 chars")
+  }
+
   test("snapshotAsOf serves the new version at the exact change instant") {
     val hist = Seq(
       (1L, "v1", -10L, Option(0L)), (1L, "v2", 0L, None),
