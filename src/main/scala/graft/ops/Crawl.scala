@@ -20,6 +20,27 @@ import org.apache.spark.sql.functions._
   * memory. */
 object Crawl {
 
+  /** Change-rate estimation from revisit history — the published
+    * Cho–García-Molina Poisson estimator λ̂ = −ln(1 − X/n) for a page
+    * revisited n times of which X found it changed; the recrawl
+    * scheduler feeds this straight into [[scheduleRounds]] as the
+    * priority. Rate is emitted in integer MICRO-NATS per visit (the
+    * repo's floor-of-double-ln idiom — bit-stable cross-engine); X
+    * clamps to n−1 (a page that changed on every single visit has an
+    * unbounded MLE — the clamp is the standard regularization, and a
+    * single-visit history therefore always estimates 0). ONE
+    * partial-agg shuffle on url. Output: (url, n_visits, n_changed,
+    * rate_micronats). */
+  def changeRate(history: DataFrame, url: String, changed: String): DataFrame =
+    history
+      .select(col(url).cast("string").as("url"), col(changed).cast("long").as("chg"))
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_visits"), sum(col("chg")).as("n_changed"))
+      .select(col("url"), col("n_visits"), col("n_changed"),
+        expr("CAST(floor(1000000.0 * ln(CAST(n_visits AS DOUBLE) / " +
+          "(n_visits - LEAST(n_changed, n_visits - 1)))) AS LONG)")
+          .as("rate_micronats"))
+
   /** (…, round) per frontier row: round r fetches the (r·K, (r+1)·K]-th
     * urls of each host by (priority DESC, url ASC — deterministic
     * tie-break). */

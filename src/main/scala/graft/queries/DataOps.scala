@@ -816,6 +816,19 @@ object DataOps {
       graft.ops.Web.hostNameSignals(d.select(host.as("host")).distinct(), "host")
     }),
 
+    // recrawl-rate estimation over synthesized revisit histories:
+    // n = 3..5 visits per url, the first (doc_id % n) of them changed
+    "wt_change_rate" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), (pmod(col("doc_id"), lit(3)) + 3).as("n"))
+        .withColumn("x", pmod(col("doc_id"), col("n")))
+      val hist = base
+        .select(concat(lit("https://h/"), col("doc_id")).as("url"),
+          explode(sequence(lit(1), col("n"))).as("i"), col("x"))
+        .select(col("url"), (col("i") <= col("x")).cast("int").as("changed"))
+      graft.ops.Crawl.changeRate(hist, "url", "changed")
+    }),
+
     // weekly cohort retention matrix over the event log
     "ev_retention" -> ((s, dir) =>
       graft.ops.Events.retention(
@@ -1649,6 +1662,15 @@ object DataOps {
         |       round(len(regexp_extract_all(label, '[0-9]')) * 1.0 / strlen(label), 4) AS digit_ratio,
         |       (esum // n)::BIGINT AS entropy_micronats
         |FROM lab JOIN agg USING (host) JOIN ent USING (host)""".stripMargin,
+
+    // change rate: the estimator recomputed in closed form per url
+    "wt_change_rate" ->
+      """WITH p AS (SELECT doc_id, (doc_id % 3 + 3) AS n FROM documents),
+        |q AS (SELECT doc_id, n, doc_id % n AS x FROM p)
+        |SELECT 'https://h/' || doc_id AS url, n AS n_visits, x AS n_changed,
+        |       CAST(floor(1000000.0 * ln(n::DOUBLE / (n - LEAST(x, n - 1)))) AS BIGINT)
+        |         AS rate_micronats
+        |FROM q""".stripMargin,
 
     // weekly cohort retention: DuckDB date_trunc('week') yields DATE, so
     // both week columns are cast back to TIMESTAMP to match Spark's

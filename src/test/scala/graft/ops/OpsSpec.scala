@@ -1056,6 +1056,24 @@ class OpsSpec extends AnyFunSuite {
     assert(m("https://x.com/p2").isNullAt(1) && m("https://x.com/p2").isNullAt(2))
   }
 
+  test("changeRate estimates -ln(1 - X/n), clamped for all-changed histories") {
+    val hist = Seq(
+      ("a", 0), ("a", 0), ("a", 0), ("a", 0),          // never changed -> 0
+      ("b", 1), ("b", 1), ("b", 0), ("b", 0),          // X=2/n=4 -> ln(2)
+      ("c", 1), ("c", 1), ("c", 1), ("c", 1),          // all changed -> clamp to 3/4
+      ("d", 1)                                          // single visit -> clamp to 0
+    ).toDF("url", "changed")
+    val out = graft.ops.Crawl.changeRate(hist, "url", "changed")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") == ((4L, 0L, 0L)))
+    assert(out("b") == ((4L, 2L, math.floor(1e6 * math.log(2.0)).toLong)))
+    assert(out("c") == ((4L, 4L, math.floor(1e6 * math.log(4.0)).toLong)),
+      "X clamps to n-1, not an unbounded MLE")
+    assert(out("d") == ((1L, 1L, 0L)), "single-visit history estimates 0")
+    // the rate orders urls by observed volatility
+    assert(out("c")._3 > out("b")._3 && out("b")._3 > out("a")._3)
+  }
+
   test("hostNameSignals separates DGA-looking labels from human-named hosts") {
     val hosts = Seq("a1b2c3d4e5f6g7h8.biz", "google.com", "aaaaaaaa.org",
       "mail123.example.com").toDF("h")
