@@ -413,23 +413,40 @@ object Dedup {
     * either direction ≥ threshold. */
   def containmentPairs(df: DataFrame, id: String, text: String, n: Int,
       dfCap: Int, threshold: Double): DataFrame = {
-    require(n >= 2 && dfCap >= 2 && threshold > 0 && threshold <= 1,
-      s"containmentPairs: need n>=2, dfCap>=2, 0<threshold<=1 (got $n, $dfCap, $threshold)")
-    val sh = charShingles(df, id, text, n)
+    require(n >= 2, s"containmentPairs: need n>=2 (got $n)")
+    containmentFromUnits(charShingles(df, id, text, n), id, "shingle",
+      dfCap, threshold, "containment_shingles")
+      .select(col("id1"), col("id2"), col("c_1_in_2"), col("c_2_in_1"))
+  }
+
+  /** The postings-containment core shared by [[containmentPairs]]
+    * (units = char shingles) and `Web.mirrorHosts` (units = url paths):
+    * pre-extracted (id, unit) rows — UNIQUE per (id, unit), the caller's
+    * contract — joined on the unit, hot units (document frequency >
+    * dfCap) broadcast-anti-pruned first with the dropped count
+    * observed, denominators on the unpruned per-id sizes. Output:
+    * (id1, id2, shared_units, c_1_in_2, c_2_in_1) where either
+    * direction ≥ threshold. */
+  def containmentFromUnits(units: DataFrame, id: String, unit: String,
+      dfCap: Int, threshold: Double,
+      metricName: String = "containment_units"): DataFrame = {
+    require(dfCap >= 2 && threshold > 0 && threshold <= 1,
+      s"containmentFromUnits: need dfCap>=2, 0<threshold<=1 (got $dfCap, $threshold)")
+    val sh = units.select(col(id), col(unit).as("__unit"))
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
-    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val hot = sh.groupBy(col("__unit")).agg(count(lit(1)).as("df"))
       .where(col("df") > dfCap)
-      .observe("containment_shingles", count(lit(1)).as("capped_shingles"))
-    val pruned = sh.join(broadcast(hot.select(col("shingle"))), Seq("shingle"), "left_anti")
-    pruned.select(col(id).as("id1"), col("shingle"))
-      .join(pruned.select(col(id).as("id2"), col("shingle")), Seq("shingle"))
+      .observe(metricName, count(lit(1)).as("capped_units"))
+    val pruned = sh.join(broadcast(hot.select(col("__unit"))), Seq("__unit"), "left_anti")
+    pruned.select(col(id).as("id1"), col("__unit"))
+      .join(pruned.select(col(id).as("id2"), col("__unit")), Seq("__unit"))
       .where(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("shared_units"))
       .join(sizes.withColumnRenamed(id, "id1").withColumnRenamed("sz", "sz1"), Seq("id1"))
       .join(sizes.withColumnRenamed(id, "id2").withColumnRenamed("sz", "sz2"), Seq("id2"))
-      .select(col("id1"), col("id2"),
-        round(col("inter") / col("sz1"), 4).as("c_1_in_2"),
-        round(col("inter") / col("sz2"), 4).as("c_2_in_1"))
+      .select(col("id1"), col("id2"), col("shared_units"),
+        round(col("shared_units") / col("sz1"), 4).as("c_1_in_2"),
+        round(col("shared_units") / col("sz2"), 4).as("c_2_in_1"))
       .where(col("c_1_in_2") >= threshold || col("c_2_in_1") >= threshold)
   }
 

@@ -299,6 +299,22 @@ object Web {
           "ln(CAST(n AS DOUBLE) / c)) AS LONG)) div n").as("entropy_micronats"))
   }
 
+  /** Mirror-site detection — hosts whose url PATH SETS contain each
+    * other (mirrors, CDNs fronting the same site, scraped clones):
+    * path-set containment between host pairs via the same postings-join
+    * core as Dedup.containmentPairs, with units = distinct (host, path)
+    * — never all-pairs hosts; universally-present paths (`/`,
+    * `/robots.txt` — host frequency > hostCap) are pruned first so they
+    * can't square the join. Output: (host1, host2, shared_units,
+    * c_1_in_2, c_2_in_1). */
+  def mirrorHosts(pages: DataFrame, host: String, path: String,
+      threshold: Double, hostCap: Int = 1000): DataFrame =
+    graft.ops.Dedup.containmentFromUnits(
+        pages.select(col(host).cast("string").as("host"),
+          col(path).cast("string").as("path")).distinct(),
+        "host", "path", hostCap, threshold, "mirror_paths")
+      .withColumnRenamed("id1", "host1").withColumnRenamed("id2", "host2")
+
   /** Alias table from anchor pairs: for each anchor text, the host the
     * web most often labels with it (tie → greatest host — a plain
     * `max(struct(n_refs, dst_host))` partial aggregation, the repo's

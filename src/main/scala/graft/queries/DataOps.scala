@@ -829,6 +829,20 @@ object DataOps {
       graft.ops.Crawl.changeRate(hist, "url", "changed")
     }),
 
+    // mirror-site detection: a planted mirror carries host0's exact
+    // path set (containment 1.0); ordinary host pairs share ~55% of the
+    // 40 path slots and stay far under the 0.9 bar
+    "wt_mirror_hosts" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(
+        concat(lit("host"), pmod(col("doc_id"), lit(23)), lit(".example.com")).as("host"),
+        concat(lit("/p"), pmod(col("doc_id"), lit(40))).as("path"))
+      val mirror = d.where(pmod(col("doc_id"), lit(23)) === 0).select(
+        lit("mirror.example.com").as("host"),
+        concat(lit("/p"), pmod(col("doc_id"), lit(40))).as("path"))
+      graft.ops.Web.mirrorHosts(base.unionAll(mirror), "host", "path", 0.9)
+    }),
+
     // weekly cohort retention matrix over the event log
     "ev_retention" -> ((s, dir) =>
       graft.ops.Events.retention(
@@ -1671,6 +1685,27 @@ object DataOps {
         |       CAST(floor(1000000.0 * ln(n::DOUBLE / (n - LEAST(x, n - 1)))) AS BIGINT)
         |         AS rate_micronats
         |FROM q""".stripMargin,
+
+    // mirror hosts: uncapped path-set containment recomputed directly
+    "wt_mirror_hosts" ->
+      """WITH up AS (
+        |  SELECT DISTINCT 'host' || (doc_id % 23) || '.example.com' AS host,
+        |         '/p' || (doc_id % 40) AS path
+        |  FROM documents
+        |  UNION
+        |  SELECT DISTINCT 'mirror.example.com', '/p' || (doc_id % 40)
+        |  FROM documents WHERE doc_id % 23 = 0),
+        |sz AS (SELECT host, count(*) AS n FROM up GROUP BY 1),
+        |inter AS (
+        |  SELECT a.host AS host1, b.host AS host2, count(*) AS shared
+        |  FROM up a JOIN up b ON a.path = b.path AND a.host < b.host
+        |  GROUP BY 1, 2)
+        |SELECT host1, host2, shared AS shared_units,
+        |       round(shared * 1.0 / s1.n, 4) AS c_1_in_2,
+        |       round(shared * 1.0 / s2.n, 4) AS c_2_in_1
+        |FROM inter JOIN sz s1 ON s1.host = host1 JOIN sz s2 ON s2.host = host2
+        |WHERE round(shared * 1.0 / s1.n, 4) >= 0.9
+        |   OR round(shared * 1.0 / s2.n, 4) >= 0.9""".stripMargin,
 
     // weekly cohort retention: DuckDB date_trunc('week') yields DATE, so
     // both week columns are cast back to TIMESTAMP to match Spark's

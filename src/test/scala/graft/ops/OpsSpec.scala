@@ -1056,6 +1056,24 @@ class OpsSpec extends AnyFunSuite {
     assert(m("https://x.com/p2").isNullAt(1) && m("https://x.com/p2").isNullAt(2))
   }
 
+  test("mirrorHosts finds the planted mirror and prunes universal paths") {
+    val pages = Seq(
+      ("a.com", "/x"), ("a.com", "/y"), ("a.com", "/z"),
+      ("m.com", "/x"), ("m.com", "/y"), ("m.com", "/z"), // exact mirror of a.com
+      ("b.com", "/x"), ("b.com", "/q"), ("b.com", "/r"), ("b.com", "/s"))
+      .toDF("host", "path")
+    val out = graft.ops.Web.mirrorHosts(pages, "host", "path", 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set(("a.com", "m.com")))
+    assert(out(("a.com", "m.com")) == ((1.0, 1.0)))
+    // with a low cap, a path on every host cannot pair hosts by itself
+    val univ = Seq(("a.com", "/"), ("b.com", "/"), ("c.com", "/"), ("d.com", "/"))
+      .toDF("host", "path")
+    assert(graft.ops.Web.mirrorHosts(univ, "host", "path", 0.9, hostCap = 2)
+      .count() == 0)
+  }
+
   test("changeRate estimates -ln(1 - X/n), clamped for all-changed histories") {
     val hist = Seq(
       ("a", 0), ("a", 0), ("a", 0), ("a", 0),          // never changed -> 0
