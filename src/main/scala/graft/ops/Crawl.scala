@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * window partition is a single host's frontier — bounded by site size,
   * not corpus size; per-host skew (a 10^8-page host) surfaces through
   * the always-on `frontier_skew` observe, and the fix at that scale is
-  * the repo's time-sliced window idiom (ops.Temporal.asofJoinSliced's
+  * the repo's time-sliced window idiom (ops.Temporal.asofJoinTimeSliced's
   * pattern: pre-split the hot host by a priority band, then rank within
   * band) — not needed until a single host approaches a partition's
   * memory. */
@@ -41,25 +41,22 @@ object Crawl {
           "(n_visits - LEAST(n_changed, n_visits - 1)))) AS LONG)")
           .as("rate_micronats"))
 
-  /** (…, round) per frontier row: round r fetches the (r·K, (r+1)·K]-th
-    * urls of each host by (priority DESC, url ASC — deterministic
-    * tie-break). */
+  /** The full frontier row + `round`: round r fetches the
+    * (r·K, (r+1)·K]-th urls of each host by (priority DESC, url ASC —
+    * deterministic tie-break). Every caller column rides through —
+    * e.g. the [[changeRate]] priority inputs a fetcher wants downstream
+    * — the windows reference the caller's columns by name directly. */
   def scheduleRounds(frontier: DataFrame, url: String, host: String,
       priority: String, perHostPerRound: Int): DataFrame = {
     require(perHostPerRound > 0, s"perHostPerRound must be positive: $perHostPerRound")
-    // windows resolve against the RENAMED frame — referencing the
-    // caller's names here would only work when they happen to be
-    // url/host/priority already
-    val w = Window.partitionBy(col("host"))
-      .orderBy(col("priority").desc, col("url").asc)
+    val w = Window.partitionBy(col(host))
+      .orderBy(col(priority).desc, col(url).asc)
     frontier
-      .select(col(url).as("url"), col(host).as("host"),
-        col(priority).as("priority"))
       .withColumn("round",
         ((row_number().over(w) - 1) / perHostPerRound).cast("long"))
       // rides the same host partitioning; observe takes aggregates only,
       // so the per-host count lands in a column first
-      .withColumn("__hostN", count(lit(1)).over(Window.partitionBy(col("host"))))
+      .withColumn("__hostN", count(lit(1)).over(Window.partitionBy(col(host))))
       .observe("frontier_skew", max(col("__hostN")).as("max_host_frontier"))
       .drop("__hostN")
   }

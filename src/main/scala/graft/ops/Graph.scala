@@ -76,8 +76,13 @@ object Graph {
     * `seeds` (first column = vertex id) is seed-set-sized — tiny — so
     * it broadcasts into the flag join; the one `isEmpty` action on it
     * is deliberate (an empty seed set would otherwise surface as a
-    * silent all-null div). Supports the same `ledgerDir` checkpointing
-    * as [[pageRank]]. Output: (vertex, ppr) for every vertex. */
+    * silent all-null div). Seeds that do not appear in the edge set are
+    * IGNORED: the teleport denominator counts only seeds present in the
+    * graph (an absent seed has no vertex row to receive restart mass —
+    * counting it would silently deflate every rank), and if NO seed is
+    * present the job fails loudly in-plan. Supports the same
+    * `ledgerDir` checkpointing as [[pageRank]]. Output: (vertex, ppr)
+    * for every vertex. */
   def personalizedPageRank(edges: DataFrame, src: String, dst: String,
       weight: String, seeds: DataFrame, iters: Int = 5,
       scale: Long = 1000000000L,
@@ -127,9 +132,18 @@ object Graph {
         .join(broadcast(sd.withColumn("__seed", lit(1))), Seq("v"), "left")
         .select(col("v"), coalesce(col("__seed"), lit(0)).as("s"))
     }, "vertices")
+    // seeded case: n counts seeds ∩ vertex set (rides the already-flagged
+    // vertex list — no extra pass), not the raw seed input: an
+    // out-of-graph seed has no vertex row, so counting it would leak its
+    // restart mass and deflate every surviving rank. All-absent seeds
+    // raise in-plan rather than emitting all-null ranks.
     val nn = seeds match {
-      case None     => verts.agg(count(lit(1)).as("n"))
-      case Some(sd) => sd.agg(count(lit(1)).as("n"))
+      case None => verts.agg(count(lit(1)).as("n"))
+      case Some(_) => verts.where(col("s") === 1)
+        .agg(count(lit(1)).as("n0"))
+        .select(when(col("n0") === 0, raise_error(
+          lit(s"$opName: no seed vertex is present in the edge set")))
+          .otherwise(col("n0")).as("n"))
     }
     var ranks = checkpoint(verts.crossJoin(broadcast(nn))
       .select(col("v"), col("s"),

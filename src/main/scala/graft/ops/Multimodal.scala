@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * codec jars needed — and so are the container METADATA walks: WAV
   * (`wavInfo`), AVI (`aviInfo`), WebP (`webpInfo`) RIFF chunk parsing
   * and the GIF block walk with frame count (`gifInfo`), all pure header
-  * byte math. Only PIXEL/SAMPLE decode of codecs genuinely absent from
-  * this container (video/audio payloads) and the feature EMBEDDING
-  * (which needs a vision model) remain deterministic stubs, clearly
-  * marked below. Everything Spark-side — schema, batching,
+  * byte math. The image EMBEDDING is real too: `imageEmbed` computes an
+  * 8×8 block-luminance feature (aHash family) off the decoded raster,
+  * cosine-compatible with the `Similarity` ops; a vision model would
+  * replace only the feature function, not the operator. Only
+  * PIXEL/SAMPLE decode of codecs genuinely absent from this container
+  * (video/audio payloads) remains a deterministic stub, clearly marked
+  * below. Everything Spark-side — schema, batching,
   * partition-local iteration, output shape — is real and tested. At
   * scale this is the `mapPartitions`-with-batched-decoder pattern (the
   * Scala analog of Python's mapInPandas batches).
@@ -76,10 +79,19 @@ object Multimodal {
 
   /** Decode one payload: REAL ImageIO dimensions for sniffed raster
     * formats (png/jpeg/gif — n_frames 1), stub pseudo-values for
-    * everything else. The embedding stays a deterministic stub (a real
-    * build plugs a vision model into the same slot). */
+    * everything else. For rasters whose dimensions divide by 8 the
+    * embedding is the REAL block-luminance feature (`imageEmbed`); a
+    * production build swaps that for a vision model in the same slot. */
   def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
-    val stub = stubDecode(id, bytes)
+    val stub0 = stubDecode(id, bytes)
+    val stub = stub0.format match {
+      case "png" | "jpeg" | "gif" =>
+        imageEmbed(bytes) match {
+          case Some(e) => stub0.copy(embedding = e.toSeq)
+          case None => stub0
+        }
+      case _ => stub0
+    }
     stub.format match {
       case "png" | "jpeg" =>
         imageDims(bytes) match {
@@ -119,6 +131,73 @@ object Multimodal {
         // constructed once per partition at this point)
         rows.map { case (i, b) => decode(i, b) }
       }
+  }
+
+  /** REAL deterministic image embedding off the decoded raster (this
+    * retires the former embedding stub for raster formats — reference
+    * analog `/root/reference/src/vector_store.py:63-94`, which embeds
+    * extracted images for similarity search): an 8×8 grid of block
+    * luminance sums (sum of r+g+b per pixel, accumulated per cell) over
+    * the `ImageIO`-decoded pixels — the aHash/pHash family of perceptual
+    * features. Blocks are equal-sized, which requires dimensions
+    * divisible by 8; other rasters return None (per-row failure
+    * isolation, same policy as every decoder here). Because every block
+    * holds the same pixel count, the sum vector equals the block-MEAN
+    * vector times one global constant, so it is directly
+    * cosine-compatible with the `Similarity` ops (cosine is
+    * scale-invariant). Values are integer-valued floats < 2^24, so
+    * DuckDB oracles can reproduce them with exact integer arithmetic. */
+  def imageEmbed(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes == null || bytes.length == 0) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w % 8 != 0 || h % 8 != 0) return None
+    val bw = w / 8; val bh = h / 8
+    val sums = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = img.getRGB(x, y)
+        sums((y / bh) * 8 + (x / bw)) +=
+          ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Some(sums.map(_.toFloat))
+  }
+
+  /** 64-bit average-hash fingerprint off the same 8×8 luminance grid:
+    * bit c is set iff cell c is brighter than the image mean
+    * (`64*sum(c) > total` — pure integer compare, no division). Near-dup
+    * images differ in few bits (small Hamming distance); the packed
+    * long is only ever XOR'd/popcounted, never order-compared, so the
+    * sign bit (cell 63) is harmless. */
+  def aHash64(bytes: Array[Byte]): Option[Long] =
+    imageEmbed(bytes).map { emb =>
+      val total = emb.foldLeft(0L)((a, f) => a + f.toLong)
+      var acc = 0L
+      var i = 0
+      while (i < 64) {
+        if (64L * emb(i).toLong > total) acc |= (1L << i)
+        i += 1
+      }
+      acc
+    }
+
+  /** Batched partition-local embed (the `decodeFeatures` mapPartitions
+    * shape): (id, 64-dim embedding) per decodable raster; undecodable
+    * or non-8-divisible payloads are dropped. */
+  def imageEmbedDf(spark: SparkSession, df: DataFrame, id: String, bin: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(bin))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (i, b) => imageEmbed(b).map(e => (i, e)) })
+      .toDF("id", "embedding")
   }
 
   /** Typed audio metadata a real WAV header parse emits. */

@@ -66,21 +66,37 @@ object Robots {
   }
 
   /** Prefix match with `*` wildcards and an optional `$` end anchor —
-    * a set-NFA walk, no regex. After a `*` the reachable positions are
-    * upward-closed, so they collapse to a single range. */
+    * the greedy segment walk (split on `*`, leftmost `indexOf` per
+    * literal segment; greedy-earliest is the classic optimal strategy
+    * for glob containment). The first segment must sit at position 0
+    * (robots patterns are PATH PREFIXES), and under `$` the last
+    * segment must end exactly at the path end, with the middles
+    * constrained to finish before it. O(|path|·segments) worst case and
+    * linear in practice — the earlier set-NFA walk materialized an
+    * integer Set per pattern char, quadratic in |path| for star-heavy
+    * rules, which let a hostile robots.txt make the gate CPU-bound. */
   def patMatches(pattern: String, path: String): Boolean = {
     val anchored = pattern.nonEmpty && pattern.last == '$'
     val pat = if (anchored) pattern.dropRight(1) else pattern
-    var positions = Set(0)
-    for (c <- pat) {
-      positions =
-        if (c == '*') (positions.min to path.length).toSet
-        else positions.collect {
-          case i if i < path.length && path.charAt(i) == c => i + 1
-        }
-      if (positions.isEmpty) return false
+    val segs = pat.split("\\*", -1)
+    if (!path.startsWith(segs.head)) return false
+    if (segs.length == 1) return if (anchored) path == pat else true
+    var pos = segs.head.length
+    val last = segs.last
+    // under $ the LAST segment is pinned to the suffix, not matched
+    // greedily (greedy-earliest could land it mid-path and wrongly fail)
+    val limit = if (anchored) {
+      if (!path.endsWith(last)) return false
+      path.length - last.length
+    } else path.length
+    val middles = if (anchored) segs.view.slice(1, segs.length - 1)
+                  else segs.view.drop(1)
+    for (seg <- middles if seg.nonEmpty) {
+      val idx = path.indexOf(seg, pos)
+      if (idx < 0 || idx + seg.length > limit) return false
+      pos = idx + seg.length
     }
-    if (anchored) positions.contains(path.length) else positions.nonEmpty
+    !anchored || pos <= limit
   }
 
   /** Longest-matching-pattern decision; Allow wins length ties; no

@@ -114,6 +114,77 @@ object TextAnalysis {
           .otherwise(0.0), 4))
       .withColumn("lang_pred", when(col("en_ratio") >= 0.05, lit("en")).otherwise(lit("und")))
 
+  /** Per-language function-word profiles for `langIdScripts`. The
+    * Latin-script languages are told apart by closed-class words
+    * (articles/conjunctions/copulas — the highest-frequency, most
+    * language-specific tokens); the Cyrillic pair by the
+    * orthography-distinct halves of the shared Slavic profile
+    * (и/і, что/що, это/це, он/він, как/як). Words that overlap
+    * between languages are harmless: prediction is argmax over hit
+    * counts with first-max-wins tie order, so only the distinct words
+    * carry signal. (Escapes, not literals: source must stay ASCII —
+    * the build's platform charset is unset.) */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "for", "that", "with"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ich", "mit", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "en", "por", "con", "se"),
+    "ru" -> Seq("\u0438", "\u0432", "\u043d\u0435", "\u043d\u0430",
+      "\u0447\u0442\u043e", "\u043a\u0430\u043a", "\u044d\u0442\u043e",
+      "\u043e\u043d", "\u043d\u043e", "\u043f\u043e"),
+    "uk" -> Seq("\u0456", "\u0432", "\u043d\u0435", "\u043d\u0430",
+      "\u0449\u043e", "\u044f\u043a", "\u0446\u0435",
+      "\u0432\u0456\u043d", "\u0430\u043b\u0435", "\u043f\u043e"))
+
+  /** Which profile languages compete under which dominant script. */
+  val LatinLangs: Seq[String] = Seq("en", "de", "fr", "es")
+  val CyrillicLangs: Seq[String] = Seq("ru", "uk")
+
+  /** Multi-script language ID (closes `langId`'s Latin-only gap): route
+    * by dominant Unicode script first (`scriptProfile`'s ladder), then
+    * predict within the script — Latin and Cyrillic by argmax over
+    * function-word hit counts (`LangProfiles`, first-max-wins, 0 hits →
+    * 'und'), Greek/Arabic/Hangul directly (script ≈ language at crawl
+    * granularity), and Han split into ja/zh by kana presence (Hiragana/
+    * Katakana are unique to Japanese; Chinese pages have none). A page
+    * with no dominant script but kana present is still 'ja' (pure-kana
+    * text is script-Common-free under `ScriptClasses`). Everything is
+    * integer codepoint/token counts — narrow codegen'd column program,
+    * zero shuffles, and a DuckDB oracle reproduces it exactly. Output:
+    * (id, <script counts>, kana, <lang>_hits..., dominant, lang_pred). */
+  def langIdScripts(df: DataFrame, id: String, text: String): DataFrame = {
+    val scriptCounts = ScriptClasses.map { case (name, cls) =>
+      (length(col(text)) - length(regexp_replace(col(text), cls, ""))).as(name)
+    }
+    val kana = (length(col(text)) - length(regexp_replace(col(text),
+      "[\\p{IsHiragana}\\p{IsKatakana}]", ""))).as("kana")
+    val hitCols = LangProfiles.map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      size(filter(split(col(text), " "), t => array_contains(arr, t))).as(s"${lang}_hits")
+    }
+    val base = df.select((col(id) +: scriptCounts :+ kana) ++ hitCols: _*)
+    val maxCount = greatest(ScriptClasses.map { case (n, _) => col(n) }: _*)
+    val dominant = ScriptClasses.foldRight(lit("none")) { case ((n, _), acc) =>
+      when(col(n) > 0 && col(n) === maxCount, lit(n)).otherwise(acc)
+    }
+    def argmax(langs: Seq[String]) = {
+      val m = greatest(langs.map(l => col(s"${l}_hits")): _*)
+      langs.foldRight(lit("und")) { case (l, acc) =>
+        when(col(s"${l}_hits") > 0 && col(s"${l}_hits") === m, lit(l)).otherwise(acc)
+      }
+    }
+    base.withColumn("dominant", dominant)
+      .withColumn("lang_pred",
+        when(col("dominant") === "latin", argmax(LatinLangs))
+          .when(col("dominant") === "cyrillic", argmax(CyrillicLangs))
+          .when(col("dominant") === "greek", lit("el"))
+          .when(col("dominant") === "arabic", lit("ar"))
+          .when(col("dominant") === "hangul", lit("ko"))
+          .when(col("dominant") === "han",
+            when(col("kana") > 0, lit("ja")).otherwise(lit("zh")))
+          .otherwise(when(col("kana") > 0, lit("ja")).otherwise(lit("und"))))
+  }
+
   /** Quality score: length term (saturating at 200 words), stopword-ratio
     * term, and mean-word-length sanity band. Output columns rounded for
     * engine-portable comparison. */

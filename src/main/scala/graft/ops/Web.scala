@@ -242,8 +242,11 @@ object Web {
             "(?s)<priority>\\s*(.*?)\\s*</priority>", 1)).cast("double")).as("priority"))
       .where(col("loc") =!= "")
 
+  // the (?=[\s/>]) boundary pins the tag NAME: without it "p" also
+  // matched <pre>/<picture>/<param> and "li" matched <link>, splitting
+  // prose blocks around inline/void elements on real HTML
   private val BlockTagRe =
-    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|section|article|header|footer|nav|aside|main|br)[^>]*>"
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|section|article|header|footer|nav|aside|main|br)(?=[\\s/>])[^>]*>"
 
   /** Main-content extraction — the density-based block classifier
     * (boilerpipe/jusText family, published heuristics) that separates

@@ -86,8 +86,11 @@ object DataOps {
   }
 
   /** documents ∪ planted exact dups ∪ planted near dups. */
-  private def ddInput(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir).select(col("doc_id"), col("text"))
+  /** The dd_* suite's exact/near-dup expansion of a (doc_id, text)
+    * shard — row-local (a doc's planted copies always travel WITH it),
+    * so the streaming lane can apply it per micro-batch and accumulate
+    * exactly the batch corpus (st_delta_pairs relies on this). */
+  private[queries] def ddExpand(base: DataFrame): DataFrame = {
     val exact = base.where(col("doc_id") % 25 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
     val near = base.where(col("doc_id") % 20 === 0)
@@ -95,6 +98,9 @@ object DataOps {
         concat(col("text"), lit(nearDupTail)).as("text"))
     base.union(exact).union(near)
   }
+
+  private def ddInput(s: SparkSession, dir: String): DataFrame =
+    ddExpand(docs(s, dir).select(col("doc_id"), col("text")))
 
   /** Banded hyperplane-LSH candidate CTE over `embeddings` (mirrors
     * Similarity.lshBands + bandedCandidates: 4 bands × 8 planes, bucket
@@ -266,6 +272,50 @@ object DataOps {
       |         greatest(a.doc_id, b.doc_id) AS id2
       |  FROM bands a JOIN bands b USING (band, bucket)
       |  WHERE a.doc_id >= 2000000 AND a.doc_id <> b.doc_id""".stripMargin)
+
+  /** One deterministic snippet per language for `ta_langid_scripts`
+    * (doc_id % 12 picks the row's language). Non-ASCII is written as
+    * \u escapes here and emitted as chr() calls on the DuckDB side
+    * (`sqlText`), so neither source file carries non-ASCII literals. */
+  private val LangSnippets: Seq[(String, String)] = Seq(
+    "en" -> "the cat and the dog is in the house for it",
+    "de" -> "der hund und die katze ist nicht mit ein zu",
+    "fr" -> "le chat et la maison est dans les que pour",
+    "es" -> "el gato y los perros es una se con por",
+    // ru: the ru profile words themselves
+    "ru" -> ("\u0438 \u0432 \u043d\u0435 \u043d\u0430 \u0447\u0442\u043e " +
+      "\u043a\u0430\u043a \u044d\u0442\u043e \u043e\u043d \u043d\u043e \u043f\u043e"),
+    // uk: the uk profile words
+    "uk" -> ("\u0456 \u0432 \u043d\u0435 \u043d\u0430 \u0449\u043e " +
+      "\u044f\u043a \u0446\u0435 \u0432\u0456\u043d \u0430\u043b\u0435 \u043f\u043e"),
+    // ja: hiragana + han ("this is japanese; kanji too")
+    "ja" -> "\u3053\u308c\u306f\u65e5\u672c\u8a9e \u6f22\u5b57\u3082\u3042\u308b",
+    // zh: pure han ("this is chinese text, no kana")
+    "zh" -> "\u8fd9\u662f\u4e2d\u6587\u6587\u672c \u6ca1\u6709\u5047\u540d",
+    // el: greek ("this is greek")
+    "el" -> "\u03b1\u03c5\u03c4\u03cc \u03b5\u03af\u03bd\u03b1\u03b9 \u03b5\u03bb\u03bb\u03b7\u03bd\u03b9\u03ba\u03cc",
+    // ar: arabic ("this is arabic text")
+    "ar" -> "\u0647\u0630\u0627 \u0646\u0635 \u0639\u0631\u0628\u064a",
+    // ko: hangul ("korean text")
+    "ko" -> "\ud55c\uad6d\uc5b4 \ud14d\uc2a4\ud2b8",
+    // no profile hit in any language → 'und'
+    "und" -> "xyzzy qwerty asdf plugh")
+
+  /** DuckDB expression reproducing a Scala string without putting
+    * non-ASCII bytes in the SQL text: ASCII runs stay quoted literals,
+    * every other codepoint becomes chr(cp). */
+  private def sqlText(s: String): String = {
+    val parts = scala.collection.mutable.Buffer[String]()
+    val sb = new StringBuilder
+    def flush(): Unit =
+      if (sb.nonEmpty) { parts += "'" + sb.toString.replace("'", "''") + "'"; sb.clear() }
+    s.codePoints().forEach { cp =>
+      if (cp >= 32 && cp < 127) sb.append(cp.toChar)
+      else { flush(); parts += s"chr($cp)" }
+    }
+    flush()
+    if (parts.isEmpty) "''" else parts.mkString("||")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----
@@ -759,9 +809,13 @@ object DataOps {
     }),
 
     // density-based main-content extraction: article text survives, the
-    // nav/footer chrome (link-dominated or short blocks) drops
+    // nav/footer chrome (link-dominated or short blocks) drops. NULL
+    // texts are excluded on BOTH sides: the engine propagates NULL
+    // through mainContent while the oracle's CASE would fall to '' —
+    // the generated tables hold no NULL text today, but the gate must
+    // not depend on that
     "wt_main_content" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
+      docs(s, dir).where(col("text").isNotNull).select(col("doc_id"),
         graft.ops.Web.mainContent(navFooterPage(col("text"))).as("main"))),
 
     // CDX index generation: Spark MEASURES each record's byte span by
@@ -868,6 +922,19 @@ object DataOps {
     // ---- text analysis ----
     "ta_langid" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
+    // multi-script language ID over a synthesized 12-language corpus
+    // (doc_id % 12 routes each row to one language's snippet): Latin
+    // langs split by function-word argmax, Cyrillic ru/uk by
+    // orthography-distinct profile halves, el/ar/ko by script, ja/zh by
+    // kana presence, and a no-hit Latin row lands 'und'
+    "ta_langid_scripts" -> ((s, dir) => {
+      val textCol = LangSnippets.zipWithIndex.tail
+        .foldLeft(when(col("doc_id") % 12 === 0, lit(LangSnippets.head._2))) {
+          case (acc, ((_, t), i)) => acc.when(col("doc_id") % 12 === i, lit(t))
+        }.otherwise(lit(""))
+      TextAnalysis.langIdScripts(
+        docs(s, dir).select(col("doc_id"), textCol.as("text")), "doc_id", "text")
+    }),
     // NFC normalization: even rows get a deterministic "dirty" tail
     // (combining acute/diaeresis to compose, a BEL control to strip, an
     // fi-ligature NFC must NOT fold); odd rows pass through unchanged so
@@ -1171,6 +1238,49 @@ object DataOps {
         .toDF("doc_id", "img")
       Multimodal.decodeFeatures(s, pngs, "doc_id", "img").toDF()
         .select(col("id"), col("format"), col("width"), col("height"), col("n_frames"))
+    }),
+
+    // REAL image embedding, end to end: encode a deterministic PNG per
+    // doc (dims divisible by 8, derived from doc_id), decode it back
+    // with ImageIO and compute the 8×8 block-luminance embedding on the
+    // production mapPartitions path. Exploded to (doc_id, cell, lum)
+    // integer rows so the oracle reproduces every cell with exact
+    // integer arithmetic from the encoder's pixel formula — a stubbed
+    // embedding cannot pass: the values are functions of the DECODED
+    // pixels, not of the PNG byte stream.
+    "mm_embed" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (16 + (id % 4) * 8).toInt
+          val h = (8 + (id % 3) * 8).toInt
+          (id, Multimodal.syntheticPng(w, h, id))
+        }).toDF("doc_id", "img")
+      Multimodal.imageEmbedDf(s, pngs, "doc_id", "img")
+        .select(col("id").as("doc_id"), posexplode(col("embedding")))
+        .select(col("doc_id"), col("pos").as("cell"), col("col").cast("long").as("lum"))
+    }),
+
+    // Image near-dup dedup off the REAL embedding: two PNG variants per
+    // doc — variant 1 perturbs the seed slightly (id%3==0: +2, a
+    // near-duplicate image) or heavily (+77777, a different image) —
+    // aHash64 each decoded raster, and measure the Hamming distance
+    // between the variants' fingerprints. The oracle recomputes both
+    // fingerprints bit-by-bit from the pixel formula and counts
+    // disagreeing cells (≡ bit_count(xor), no packed-sign hazard).
+    "dd_image_neardups" -> ((s, dir) => {
+      import s.implicits._
+      val hashed = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val pert = if (id % 3 == 0) 2L else 77777L
+          for {
+            ha <- Multimodal.aHash64(Multimodal.syntheticPng(32, 16, id))
+            hb <- Multimodal.aHash64(Multimodal.syntheticPng(32, 16, id + pert))
+          } yield (id, ha, hb)
+        }).toDF("doc_id", "ha", "hb")
+      hashed.select(col("doc_id"),
+          expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
+        .withColumn("near_dup", col("hamming") <= 6)
     }))
 
   /** IVF oracle generator — mirrors `Similarity.ivfTopK` step for step:
@@ -1189,6 +1299,12 @@ object DataOps {
     * only in what they do WITH the assignments. */
   private def ivfAssignCtes(nClusters: Int, lloydSteps: Int,
       sampleBp: Int): String = {
+    // Every CTE here is MATERIALIZED: the farthest-point chain makes
+    // t_j reference ALL of s_1..s_{j-1}, and each Lloyd step reads the
+    // previous assignment — DuckDB inlines plain CTEs per reference, so
+    // the un-annotated chain re-evaluated the seeding tree once per
+    // reference (sim_ivf_topk was 57 s at sf0.01; materialized it is
+    // sub-second with identical rows).
     val sb = new StringBuilder
     sb.append(
       s"""WITH qd AS MATERIALIZED (
@@ -1207,37 +1323,37 @@ object DataOps {
          |allc AS MATERIALIZED (
          |  SELECT d.v1, d.v2, d.dot::DOUBLE / (n1.nrm * n2.nrm) AS c
          |  FROM alld d JOIN vnorm n1 ON n1.vec_id = d.v1 JOIN vnorm n2 ON n2.vec_id = d.v2),
-         |s1 AS (SELECT vec_id AS cid FROM samp ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1),
+         |s1 AS MATERIALIZED (SELECT vec_id AS cid FROM samp ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1),
          |""".stripMargin)
     for (j <- 2 to nClusters) {
       val prev = (1 until j).map(x => s"SELECT cid FROM s$x").mkString(" UNION ALL ")
-      sb.append(s"t$j AS (SELECT v1 AS vec_id, max(c) AS maxc FROM allc " +
+      sb.append(s"t$j AS MATERIALIZED (SELECT v1 AS vec_id, max(c) AS maxc FROM allc " +
         s"WHERE v1 IN (SELECT vec_id FROM samp) AND v2 IN ($prev) GROUP BY 1),\n")
-      sb.append(s"s$j AS (SELECT vec_id AS cid FROM t$j " +
+      sb.append(s"s$j AS MATERIALIZED (SELECT vec_id AS cid FROM t$j " +
         s"ORDER BY maxc ASC, md5(vec_id::VARCHAR), vec_id LIMIT 1),\n")
     }
     val allSeeds = (1 to nClusters).map(x => s"SELECT cid FROM s$x").mkString(" UNION ALL ")
-    sb.append(s"seeds AS ($allSeeds),\n")
+    sb.append(s"seeds AS MATERIALIZED ($allSeeds),\n")
     // seed assignment: a seed's centroid vector IS its own quantized
     // vector, so the pairwise table already holds every needed cosine
     sb.append(
-      """a0 AS (SELECT v1 AS vec_id, v2 AS cid FROM (
+      """a0 AS MATERIALIZED (SELECT v1 AS vec_id, v2 AS cid FROM (
         |  SELECT c.v1, c.v2, row_number() OVER (PARTITION BY c.v1 ORDER BY c.c DESC, c.v2 ASC) AS rn
         |  FROM allc c JOIN seeds s ON s.cid = c.v2) WHERE rn = 1),
         |""".stripMargin)
     for (step <- 1 to lloydSteps) {
       val prevA = s"a${step - 1}"
-      sb.append(s"cs$step AS (SELECT $prevA.cid, qd.i, (sum(qd.q))::BIGINT AS cq\n")
+      sb.append(s"cs$step AS MATERIALIZED (SELECT $prevA.cid, qd.i, (sum(qd.q))::BIGINT AS cq\n")
       sb.append(s"       FROM qd JOIN $prevA ON $prevA.vec_id = qd.vec_id GROUP BY 1, 2),\n")
-      sb.append(s"cn$step AS (SELECT cid, sqrt((sum(cq*cq))::DOUBLE) AS cnrm FROM cs$step GROUP BY 1),\n")
-      sb.append(s"d$step AS (SELECT qd.vec_id, cs$step.cid, (sum(qd.q * cs$step.cq))::BIGINT AS dot\n")
+      sb.append(s"cn$step AS MATERIALIZED (SELECT cid, sqrt((sum(cq*cq))::DOUBLE) AS cnrm FROM cs$step GROUP BY 1),\n")
+      sb.append(s"d$step AS MATERIALIZED (SELECT qd.vec_id, cs$step.cid, (sum(qd.q * cs$step.cq))::BIGINT AS dot\n")
       sb.append(s"       FROM qd JOIN cs$step USING (i) GROUP BY 1, 2),\n")
-      sb.append(s"r$step AS (SELECT d$step.vec_id, d$step.cid,\n")
+      sb.append(s"r$step AS MATERIALIZED (SELECT d$step.vec_id, d$step.cid,\n")
       sb.append(s"              row_number() OVER (PARTITION BY d$step.vec_id\n")
       sb.append(s"                ORDER BY d$step.dot::DOUBLE / (v.nrm * c.cnrm) DESC, d$step.cid ASC) AS rn\n")
       sb.append(s"       FROM d$step JOIN vnorm v ON v.vec_id = d$step.vec_id " +
         s"JOIN cn$step c ON c.cid = d$step.cid),\n")
-      sb.append(s"a$step AS (SELECT vec_id, cid FROM r$step WHERE rn = 1),\n")
+      sb.append(s"a$step AS MATERIALIZED (SELECT vec_id, cid FROM r$step WHERE rn = 1),\n")
     }
     sb.toString
   }
@@ -1264,7 +1380,7 @@ object DataOps {
            |  SELECT p.start, p.wid, e.dst AS nxt,
            |         ('0x' || substr(md5(concat_ws(':', p.start, p.wid, $s, e.dst)), 1, 8))::BIGINT AS h
            |  FROM s${s - 1} p JOIN edges e ON e.src = p.node),
-           |s$s AS (
+           |s$s AS MATERIALIZED (
            |  SELECT start, wid, $s AS step, nxt AS node FROM (
            |    SELECT start, wid, nxt,
            |           row_number() OVER (PARTITION BY start, wid ORDER BY h, nxt) AS rn
@@ -1451,6 +1567,56 @@ object DataOps {
          |            THEN 'en' ELSE 'und' END AS lang_pred
          |FROM t""".stripMargin,
 
+    // multi-script language ID: same snippet construction (chr() codes =
+    // the Scala \u escapes via sqlText), same script-count spellings as
+    // ta_script plus a kana class, hit counts against the shared
+    // LangProfiles word lists, and the same routing/argmax ladders —
+    // everything generated from the one Scala source of truth
+    "ta_langid_scripts" -> {
+      val inputCase = LangSnippets.zipWithIndex.map { case ((_, t), i) =>
+        s"WHEN doc_id % 12 = $i THEN ${sqlText(t)}"
+      }.mkString("\n         |              ")
+      val hitExprs = TextAnalysis.LangProfiles.map { case (lang, words) =>
+        s"len(list_filter(string_split(text, ' '), x -> x IN (${words.map(sqlText).mkString(", ")}))) AS ${lang}_hits"
+      }.mkString(",\n         |    ")
+      val g = "greatest(latin, cyrillic, greek, arabic, han, hangul)"
+      val domLadder = TextAnalysis.ScriptClasses.map { case (n, _) =>
+        s"WHEN $n > 0 AND $n = $g THEN '$n'"
+      }.mkString(" ")
+      def argmax(langs: Seq[String]): String = {
+        val m = s"greatest(${langs.map(l => s"${l}_hits").mkString(", ")})"
+        "CASE " + langs.map(l => s"WHEN ${l}_hits > 0 AND ${l}_hits = $m THEN '$l'")
+          .mkString(" ") + " ELSE 'und' END"
+      }
+      s"""WITH input AS (
+         |  SELECT doc_id,
+         |         CASE $inputCase
+         |              ELSE '' END AS text
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    length(text) - length(regexp_replace(text, '\\p{Latin}', '', 'g')) AS latin,
+         |    length(text) - length(regexp_replace(text, '\\p{Cyrillic}', '', 'g')) AS cyrillic,
+         |    length(text) - length(regexp_replace(text, '\\p{Greek}', '', 'g')) AS greek,
+         |    length(text) - length(regexp_replace(text, '\\p{Arabic}', '', 'g')) AS arabic,
+         |    length(text) - length(regexp_replace(text, '\\p{Han}', '', 'g')) AS han,
+         |    length(text) - length(regexp_replace(text, '\\p{Hangul}', '', 'g')) AS hangul,
+         |    length(text) - length(regexp_replace(text, '[\\p{Hiragana}\\p{Katakana}]', '', 'g')) AS kana,
+         |    $hitExprs
+         |  FROM input),
+         |d AS (SELECT *, CASE $domLadder ELSE 'none' END AS dominant FROM c)
+         |SELECT doc_id, latin, cyrillic, greek, arabic, han, hangul, kana,
+         |       en_hits, de_hits, fr_hits, es_hits, ru_hits, uk_hits, dominant,
+         |       CASE WHEN dominant = 'latin' THEN ${argmax(TextAnalysis.LatinLangs)}
+         |            WHEN dominant = 'cyrillic' THEN ${argmax(TextAnalysis.CyrillicLangs)}
+         |            WHEN dominant = 'greek' THEN 'el'
+         |            WHEN dominant = 'arabic' THEN 'ar'
+         |            WHEN dominant = 'hangul' THEN 'ko'
+         |            WHEN dominant = 'han' THEN CASE WHEN kana > 0 THEN 'ja' ELSE 'zh' END
+         |            ELSE CASE WHEN kana > 0 THEN 'ja' ELSE 'und' END END AS lang_pred
+         |FROM d""".stripMargin
+    },
+
     // NFC via utf8proc — an independent implementation of the Unicode
     // composition the Spark side computes with the JVM's Normalizer, so
     // a hash match pins cross-library agreement; same dirty-tail
@@ -1617,7 +1783,7 @@ object DataOps {
         |                                 x -> x <> '')) >= 10
         |            THEN trim(regexp_replace(text, '\s+', ' ', 'g'))
         |            ELSE '' END AS main
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // CDX spans rebuilt arithmetically: record bytes = 87 fixed framing
     // chars + 20-char date + url + Content-Length digits + payload, and
@@ -2614,6 +2780,51 @@ object DataOps {
         |       (16 + doc_id % 32)::INT AS width,
         |       (16 + (doc_id + 7) % 32)::INT AS height,
         |       1 AS n_frames
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // mm_embed: reproduce every 8×8 cell's luminance sum from the
+    // synthetic-PNG pixel formula ((x*31 + y*17 + seed) & 0xffffff,
+    // r/g/b unpacked) with pure integer arithmetic — PNG is lossless
+    // and ImageIO round-trips TYPE_INT_RGB exactly, so the decoded
+    // pixels ARE the formula's values.
+    "mm_embed" ->
+      """WITH d AS (SELECT doc_id, 16 + (doc_id % 4) * 8 AS w, 8 + (doc_id % 3) * 8 AS h
+        |           FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+        |pv AS (SELECT doc_id, (y // (h // 8)) * 8 + (x // (w // 8)) AS cell,
+        |              (x * 31 + y * 17 + doc_id) % 16777216 AS v
+        |       FROM px)
+        |SELECT doc_id, cell,
+        |       sum(((v >> 16) & 255) + ((v >> 8) & 255) + (v & 255))::BIGINT AS lum
+        |FROM pv GROUP BY 1, 2""".stripMargin,
+
+    // dd_image_neardups: recompute both variants' aHash bits cell by
+    // cell (bit = 64*cellsum > imagesum, integer compare) and count
+    // disagreements — identical math to bit_count(ha XOR hb) without
+    // packing, so the sign bit of a packed long never matters.
+    "dd_image_neardups" ->
+      """WITH d AS (SELECT doc_id,
+        |                  CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 77777 END AS pert
+        |           FROM documents),
+        |v AS (SELECT doc_id, 0 AS variant, doc_id AS seed FROM d
+        |      UNION ALL SELECT doc_id, 1, doc_id + pert FROM d),
+        |xs AS (SELECT doc_id, variant, seed, unnest(generate_series(0, 31)) AS x FROM v),
+        |px AS (SELECT doc_id, variant, seed, x, unnest(generate_series(0, 15)) AS y FROM xs),
+        |sums AS (SELECT doc_id, variant, (y // 2) * 8 + (x // 4) AS cell,
+        |                sum(((((x*31 + y*17 + seed) % 16777216) >> 16) & 255)
+        |                  + ((((x*31 + y*17 + seed) % 16777216) >> 8) & 255)
+        |                  + (((x*31 + y*17 + seed) % 16777216) & 255)) AS s
+        |         FROM px GROUP BY 1, 2, 3),
+        |bits AS (SELECT doc_id, variant, cell,
+        |                CASE WHEN 64 * s > sum(s) OVER (PARTITION BY doc_id, variant)
+        |                     THEN 1 ELSE 0 END AS bit
+        |         FROM sums)
+        |SELECT a.doc_id,
+        |       sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)::INT AS hamming,
+        |       sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 6 AS near_dup
+        |FROM bits a JOIN bits b
+        |  ON a.doc_id = b.doc_id AND a.cell = b.cell AND a.variant = 0 AND b.variant = 1
+        |GROUP BY 1""".stripMargin)
     // dd_minhash_pairs included above
 }

@@ -256,14 +256,21 @@ object KgQueries {
     }),
 
     // K1/K2 — reference chunker over cleaned docs (greedy 1500-char word
-    // packing, text_processor.py:152-235). Input is the text repeated 6×
-    // (~3.3k cleaned chars) so several flush boundaries actually fire —
-    // raw docs are <600 chars and would all be single-chunk. Oracle
-    // re-derives the sequential packing fold as a WITH RECURSIVE CTE.
+    // packing, text_processor.py:152-235). Input is the text repeated 3×
+    // (~1.7k cleaned chars) so the flush boundary actually fires on the
+    // longer docs while short docs stay single-chunk (both paths
+    // exercised) — raw docs are <600 chars and would all be
+    // single-chunk. Half the corpus (doc_id % 2) keeps the oracle's
+    // per-word recursive fold affordable: its DuckDB cost is
+    // O(max_words × total_words), and this query was the #5 oracle-wall
+    // offender at 6× repeat over all docs (79 s → ~9 s). Chunker
+    // SEMANTICS are separately pinned byte-exact by goldens + fuzz
+    // (GoldenSpec/FuzzSpec); this oracle pins the cross-engine fold.
     "kg_chunks" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") % 2 === 0)
         .select(col("doc_id"), posexplode(graft.kg.Udfs.chunkText(
-          graft.kg.Udfs.cleanText(repeat(concat(col("text"), lit(" ")), 6)))).as(Seq("chunk_id", "c")))
+          graft.kg.Udfs.cleanText(repeat(concat(col("text"), lit(" ")), 3)))).as(Seq("chunk_id", "c")))
         .select(col("doc_id"), col("chunk_id"), col("c.content").as("content"),
           col("c.section").as("section"))),
 
@@ -457,7 +464,20 @@ object KgQueries {
        |      ORDER BY w DESC, entity_key ASC, kind ASC) AS rn FROM perkey)
        |  WHERE rn = 1)""".stripMargin
 
-  private val kgTriplesSql: String =
+  /** Mark every plain CTE of a generated chain as MATERIALIZED. DuckDB
+    * inlines un-annotated CTEs at every reference site; the KG chains
+    * reference shared stages (kgenr, mentions, the linking grid, kw_pick)
+    * 5–10 times each, and at sf0.01 that re-evaluation made the kg_nodes
+    * oracle ~100× slower than the materialized equivalent (84 s → 0.8 s,
+    * measured, identical rows). Recursive CTEs (`walk(a, b) AS`) don't
+    * match the pattern — their heads carry a column list — so they stay
+    * untouched, as required. Applied at definition time so every
+    * consumer (kg_metrics, kg_stage_rows, pageRankSql/pprSql subtrees,
+    * st_kg_* reuse) inherits the fix. */
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("""(?m)(\w+) AS \(""", "$1 AS MATERIALIZED (")
+
+  private val kgTriplesSqlPlain: String =
       s"""WITH $kgenrSql,
          |${Extractors.metaCtesOver("kgenr")},
          |${Extractors.summaryCteOver("kgenr")},
@@ -492,7 +512,9 @@ object KgQueries {
          |UNION ALL SELECT url, 'hasSummary', summary, 'attr', 1
          |  FROM summ JOIN kgenr USING (doc_id)""".stripMargin
 
-  private val kgNodesSql: String =
+  private val kgTriplesSql: String = materializeCtes(kgTriplesSqlPlain)
+
+  private val kgNodesSql: String = materializeCtes(
       s"""WITH RECURSIVE $kgenrSql,
          |${Extractors.keywordCtes("kgenr", "t")},
          |$mentionsCtes,
@@ -508,16 +530,16 @@ object KgQueries {
          |FROM canon c
          |JOIN aliases a USING (comp)
          |JOIN nment m USING (comp)
-         |JOIN nurls u USING (comp)""".stripMargin
+         |JOIN nurls u USING (comp)""".stripMargin)
 
-  private val kgEdgesSql: String =
+  private val kgEdgesSql: String = materializeCtes(
       s"""WITH RECURSIVE $kgenrSql,
          |${Extractors.keywordCtes("kgenr", "t")},
          |$mentionsCtes,
          |$graphCtes
          |SELECT p.url AS src_url, 'mentionsEntity' AS pred,
          |       c.canonical_name AS dst_name, p.weight
-         |FROM perurl p JOIN canon c USING (comp)""".stripMargin
+         |FROM perurl p JOIN canon c USING (comp)""".stripMargin)
 
   /** Integer-PageRank oracle: the Graph.pageRank recurrence unrolled as
     * one CTE pair (contributions, ranks) per sweep over the full
@@ -727,7 +749,7 @@ object KgQueries {
 
     // K1/K2: the chunker's greedy packing is a sequential fold
     // (curLen += len(word)+1, reset on >1500) — expressed as a recursive
-    // CTE advancing one word per step (depth = max words/doc, ~600 at
+    // CTE advancing one word per step (depth = max words/doc, ~300 at
     // sf0.01). On cleaned text (no newlines) headers never fire, so
     // section is always NULL — the pinned reference quirk (SURVEY §2.4).
     // Cleaned text is space-collapsed ASCII, so Py.split == split(' ')
@@ -736,13 +758,13 @@ object KgQueries {
       """WITH RECURSIVE clean AS (
         |  SELECT doc_id,
         |         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |           lower(repeat(text || ' ', 6)),
+        |           lower(repeat(text || ' ', 3)),
         |           '\b[\w.-]+?@\w+?\.\w+?\b', '', 'g'),
         |           '\[[^\]]*\]', '', 'g'),
         |           '[^\x00-\x7F]+', '', 'g'),
         |           '<[^>]+>', '', 'g'),
         |           '\s+', ' ', 'g')) AS c
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 2 = 0),
         |wz AS (
         |  SELECT doc_id, w, i, strlen(w) + 1 AS wl FROM (
         |    SELECT doc_id, unnest(string_split(c, ' ')) AS w,

@@ -290,6 +290,61 @@ object StreamingQueries {
           .dropDuplicates("text_md5"),
         "append")),
 
+    // streaming NEAR-DUP DEDUP — MinHash-LSH under continuous ingestion,
+    // the shape Dedup.deltaCandidatePairs was built for: each
+    // micro-batch (a landing shard, expanded with its planted exact/near
+    // dups exactly like the batch dd_* corpus — the expansion is
+    // row-local, so shards accumulate to the batch corpus) is
+    // fingerprinted ONCE, its bands + shingles appended to the on-disk
+    // index as batchId-keyed versions (idempotent under replay), and
+    // checked against the ACCUMULATED index — per-shard work scales
+    // with the delta, never re-pairing the corpus. A pair is emitted
+    // exactly once, by the batch where its LATER member lands (both
+    // sides of the band join are row-local functions of each doc, so
+    // membership is arrival-order-free), hence the union of per-batch
+    // verified pairs ≡ the one-shot batch rebuild — the oracle is
+    // literally dd_minhash_pairs' SQL.
+    "st_delta_pairs" -> ((s, dir) => {
+      val work = TmpDirs.fresh("st_dd")
+      def versions(prefix: String): Seq[Long] = {
+        val d = new java.io.File(work)
+        if (!d.isDirectory) Nil
+        else d.listFiles.toSeq
+          .filter(f => f.getName.startsWith(prefix + "_v") &&
+            new java.io.File(f, "_SUCCESS").isFile)
+          .map(_.getName.stripPrefix(prefix + "_v").toLong)
+      }
+      val q = streamTbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val shard = DataOps.ddExpand(batch)
+          graft.ops.Dedup.minhashBands(
+              graft.ops.Dedup.minhashShingles(shard, "doc_id", "text", 8, 8),
+              "doc_id", 4)
+            .withColumn("ver", lit(batchId))
+            .write.mode("overwrite").parquet(s"$work/bands_v$batchId")
+          graft.ops.Dedup.charShingles(shard, "doc_id", "text", 8)
+            .withColumnRenamed("shingle", "token")
+            .write.mode("overwrite").parquet(s"$work/sh_v$batchId")
+          val allBands = s.read.parquet(
+            versions("bands").filter(_ <= batchId).map(v => s"$work/bands_v$v"): _*)
+          val allSh = s.read.parquet(
+            versions("sh").filter(_ <= batchId).map(v => s"$work/sh_v$v"): _*)
+          val pairs = graft.ops.Dedup.deltaCandidatePairs(
+            allBands, col("ver") === batchId, "doc_id")
+          graft.ops.Dedup.jaccardVerify(pairs, allSh, "doc_id")
+            .where(col("jaccard") >= 0.5)
+            .write.mode("overwrite").parquet(s"$work/pairs_v$batchId")
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(versions("pairs").map(v => s"$work/pairs_v$v"): _*)
+    }),
+
     // STREAM-STATIC enrichment join — the standard lambda shape for
     // dimension lookups (the Iceberg-table equivalent: each micro-batch
     // re-reads the dim snapshot, so the static side may be UPDATED
@@ -435,6 +490,9 @@ object StreamingQueries {
     // stream-dedup'd fingerprints ≡ batch DISTINCT
     "st_exact_dedup" ->
       "SELECT DISTINCT md5(coalesce(text, '')) AS text_md5 FROM documents",
+
+    // delta-accumulated near-dup pairs ≡ the one-shot batch rebuild
+    "st_delta_pairs" -> graft.queries.DataOps.oracles("dd_minhash_pairs"),
 
     // streamed events enriched against the static per-user profile ≡
     // the same join done wholly in batch

@@ -895,6 +895,44 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(m => (m.width, m.height)).toSeq == Seq((16, 16), (40, 20)))
   }
 
+  test("REAL image embedding: block-luminance grid matches the pixel formula exactly") {
+    // 16×8 image → 2×1-pixel blocks; recompute every cell from the
+    // synthetic encoder's formula and demand exact equality — this is
+    // the decoded-raster path, a byte-stream pseudo-embedding cannot
+    // produce these values
+    val w = 16; val h = 8; val seed = 42L
+    val png = Multimodal.syntheticPng(w, h, seed)
+    val emb = Multimodal.imageEmbed(png).get
+    assert(emb.length == 64)
+    val want = new Array[Long](64)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((x * 31 + y * 17 + seed) & 0xffffff).toInt
+      want((y / (h / 8)) * 8 + (x / (w / 8))) +=
+        ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+    }
+    assert(emb.map(_.toLong).toSeq == want.toSeq)
+    // non-8-divisible dims → None (per-row isolation, not an exception)
+    assert(Multimodal.imageEmbed(Multimodal.syntheticPng(23, 41, 1L)).isEmpty)
+    // decode() carries the real embedding for rasters
+    assert(Multimodal.decode(7L, png).embedding.map(_.toLong) == want.toSeq)
+
+    // aHash: identical image → distance 0; tiny seed shift → small
+    // distance; big shift → large distance (the near-dup signal)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val h0 = Multimodal.aHash64(png).get
+    assert(ham(h0, Multimodal.aHash64(Multimodal.syntheticPng(w, h, seed)).get) == 0)
+    val near = Multimodal.aHash64(Multimodal.syntheticPng(32, 16, 9L)).get
+    val near2 = Multimodal.aHash64(Multimodal.syntheticPng(32, 16, 11L)).get
+    val far = Multimodal.aHash64(Multimodal.syntheticPng(32, 16, 9L + 77777L)).get
+    assert(ham(near, near2) <= 6, s"seed+2 should be a near-dup: ${ham(near, near2)}")
+    assert(ham(near, far) > 6, s"seed+77777 should not: ${ham(near, far)}")
+
+    // and through the distributed embed path
+    val df = Seq((1L, png), (2L, Multimodal.syntheticPng(23, 41, 1L))).toDF("id", "img")
+    val rows = Multimodal.imageEmbedDf(spark, df, "id", "img").collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 1L)
+  }
+
   // -- observe-metric capture through the USER-FACING surface
   // (ops.Metrics.Collector): the ops emit scale guards as named
   // observe() metrics, and this is how a caller reads them
@@ -1018,6 +1056,24 @@ class OpsSpec extends AnyFunSuite {
     assert(Robots.decide(Seq(Robots.Rule(false, "/tmp/*.html")), "/tmp/file.png"))
     // missing robots / no matching group = allowed
     assert(Robots.decide(Robots.rulesFor("User-agent: x\nDisallow: /", "y"), "/"))
+
+    // patMatches corners of the greedy segment walk: anchored last
+    // segment pinned to the suffix (greedy-earliest would land mid-path),
+    // consecutive/trailing stars, greedy middles constrained before the
+    // anchor, empty + bare-$ patterns
+    assert(Robots.patMatches("a*bc$", "abcbc"), "last segment pinned to suffix")
+    assert(!Robots.patMatches("a*bc$", "abcb"))
+    assert(Robots.patMatches("*ab*ab$", "xabab"))
+    assert(!Robots.patMatches("*ab*ab$", "xabab2"))
+    assert(Robots.patMatches("a**b", "aXYb") && Robots.patMatches("a*", "a"))
+    assert(Robots.patMatches("", "/any") && Robots.patMatches("$", ""))
+    assert(!Robots.patMatches("$", "/x"))
+    assert(Robots.patMatches("/p*x*y$", "/pqqxqqy"))
+    assert(!Robots.patMatches("/p*x*y$", "/pqqyqqx"), "middles must precede the anchor")
+    // star-heavy rule on a long path: linear walk, not the old
+    // quadratic position-set expansion (completes instantly)
+    val longPath = "/" + ("seg/" * 4000) + "leaf.html"
+    assert(Robots.patMatches("/*" + ("seg*" * 50) + "leaf*$", longPath))
   }
 
   test("scheduleRounds caps urls per host per round, highest priority first") {
@@ -1037,6 +1093,14 @@ class OpsSpec extends AnyFunSuite {
     val out2 = graft.ops.Crawl.scheduleRounds(renamed, "page_url", "site", "score", 2)
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(out2 == out)
+    // the FULL row rides through — extra frontier columns (e.g. the
+    // changeRate inputs that set the priority) reach the fetcher
+    val withExtra = f.withColumn("rate_micronats", col("priority") * 2)
+    val out3 = graft.ops.Crawl.scheduleRounds(withExtra, "url", "host", "priority", 2)
+    assert(out3.columns.toSeq ==
+      Seq("url", "host", "priority", "rate_micronats", "round"))
+    assert(out3.where(col("url") === "u5").select("rate_micronats", "round")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((100, 2L)))
   }
 
   test("sitemapEntries extracts loc/lastmod/priority, nulls for absent fields") {

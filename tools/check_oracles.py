@@ -1,7 +1,7 @@
 """Local replica of the driver's correctness gate: run graft.Verify output
 against DuckDB oracles over the same parquet tables, compare per-query
 (rows, schema-by-sorted-column-name, and value hash)."""
-import duckdb, json, sys, glob, os
+import duckdb, json, sys, glob, os, time
 
 def canon(con, rel):
     df = rel.fetchdf()
@@ -18,13 +18,16 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     ok = bad = 0
+    times = {}
     for name, sql in sorted(oracles.items()):
+        t0 = time.monotonic()
         spark_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(spark_dir, "*.parquet"))
         if not files:
             print(f"[MISSING] {name}: no spark output"); bad += 1; continue
         got = canon(con, con.sql(f"SELECT * FROM '{files[0]}'"))
         want = canon(con, con.sql(sql))
+        times[name] = time.monotonic() - t0
         if list(got.columns) != list(want.columns):
             print(f"[SCHEMA ] {name}: got {list(got.columns)} want {list(want.columns)}"); bad += 1; continue
         if len(got) != len(want):
@@ -36,7 +39,12 @@ def main(sf_dir, out_dir):
             i = diff.idxmax()
             print("  got :", got.iloc[i].to_dict())
             print("  want:", want.iloc[i].to_dict()); bad += 1; continue
-        print(f"[OK     ] {name}: {len(got)} rows"); ok += 1
+        print(f"[OK     ] {name}: {len(got)} rows ({times[name]:.2f}s)"); ok += 1
+    slow = sorted(times.items(), key=lambda kv: -kv[1])[:15]
+    print("-- slowest oracles --")
+    for n, t in slow:
+        print(f"  {t:7.2f}s  {n}")
+    print(f"-- total oracle wall: {sum(times.values()):.1f}s over {len(times)} queries --")
     print(f"== {ok} ok, {bad} bad ==")
     return 1 if bad else 0
 
