@@ -2,13 +2,17 @@
 # Scaling protocol (BASELINE.md): identical KG build at local[N] and
 # local[4N], one JVM per measurement, best-of-R per level (the sandbox
 # VM sees bursty hypervisor CPU steal), steal% recorded per run.
-# Writes BENCH/BASELINE.md.
+# Writes $OUT_MD (default BENCH/scaling_latest.md).
 set -e
 cd "$(dirname "$0")/.."
 DOCS=${1:-100000}
 SMALL=${2:-8}
 LARGE=${3:-32}
 REPS=${4:-3}
+# Where the generated markdown lands. BENCH/BASELINE.md has grown into
+# the repo's accumulated evidence document — default to a standalone
+# fragment so a scaling run can never clobber it; merge by hand.
+OUT_MD=${OUT_MD:-BENCH/scaling_latest.md}
 OUT=/tmp/scale_out.txt
 : > $OUT
 
@@ -26,7 +30,7 @@ for CPUS in $SMALL $LARGE; do
   done
 done
 
-python3 - "$DOCS" "$SMALL" "$LARGE" <<'EOF'
+python3 - "$DOCS" "$SMALL" "$LARGE" "$OUT_MD" <<'EOF'
 import json, sys, re, statistics
 docs, small, large = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 best, steal, hw = {}, {}, {}
@@ -79,6 +83,6 @@ does not share.
 """
 import os
 os.makedirs('BENCH', exist_ok=True)
-open('BENCH/BASELINE.md', 'w').write(md)
+open(sys.argv[4], 'w').write(md)
 print(md)
 EOF
