@@ -185,6 +185,72 @@ object TextAnalysis {
           .otherwise(when(col("kana") > 0, lit("ja")).otherwise(lit("und"))))
   }
 
+  /** BPE tokenizer TRAINING as a distributed op — the published
+    * byte-pair-encoding algorithm (Sennrich et al. 2016; the
+    * SentencePiece/GPT-2 tokenizer family): start from characters,
+    * repeatedly merge the globally most-frequent adjacent symbol pair.
+    * The corpus first folds to a WEIGHTED WORD DICTIONARY (one
+    * aggregation — the classic trick that makes BPE tractable: merge
+    * counting runs over distinct words × counts, not over tokens), so
+    * at 100 TB the iterative part works on a vocabulary-sized table
+    * regardless of corpus size. Each round is one pair-count
+    * aggregation + a driver collect of exactly ONE argmax row (the
+    * merge table IS the model — tiny by definition, the same
+    * justified-collect shape as the IVF seeding) + one literal
+    * `replace` over the dictionary.
+    *
+    * Symbol sequences travel as DOUBLE-SPACE-joined strings with
+    * single-space edges (`" c  h  a  r "`): a pair occurrence is then
+    * the literal `" p1  p2 "`, and non-regex leftmost `replace` with
+    * `" p1p2 "` applies the merge with EXACTLY BPE's leftmost
+    * non-overlapping semantics — each 2-space boundary donates one
+    * space to each neighboring match, so consecutive occurrences
+    * ("aaaa" under (a,a) → [aa][aa]) merge correctly, with identical
+    * literal-replace behavior in Spark and DuckDB (the oracle unrolls
+    * the same rounds as CTEs). Ties break (count DESC, p1 ASC, p2 ASC)
+    * — deterministic, integer-exact. Words are lowercased [a-z]+ only
+    * (tokenizer-policy normalization; sidesteps regex class
+    * divergence). Output: (round, p1, p2, cnt) — the learned merge
+    * list, rounds 1..nMerges. */
+  def bpeTrain(df: DataFrame, text: String, nMerges: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(nMerges >= 1, s"bpeTrain: need nMerges >= 1, got $nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(split(lower(col(text)), " ")).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+    // " c  h  a  r " — single-space edges, double-space boundaries
+    var dict = words
+      .select(col("cnt"),
+        concat(lit(" "), trim(regexp_replace(col("word"), "(.)", "$1  ")), lit(" ")).as("w"))
+      .localCheckpoint(true) // the loop re-reads it every round
+    val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to nMerges if merges.size == r - 1) {
+      // adjacent pairs paired WITHIN each word's symbol array (explode
+      // position i, partner at i+1), weighted by the word's count
+      val pairs = dict.select(col("cnt"), split(trim(col("w")), "  ").as("ss"))
+        .select(col("cnt"), posexplode(col("ss")).as(Seq("i", "p1")),
+          col("ss"))
+        .where(col("i") < size(col("ss")) - 1)
+        .select(col("cnt"), col("p1"),
+          element_at(col("ss"), col("i") + 2).as("p2"))
+        .groupBy(col("p1"), col("p2")).agg(sum(col("cnt")).as("c"))
+      val top = pairs.orderBy(col("c").desc, col("p1").asc, col("p2").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (p1, p2, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, p1, p2, c))
+        dict = dict.select(col("cnt"),
+          replace(col("w"), lit(s" $p1  $p2 "), lit(s" $p1$p2 ")).as("w"))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq.toDF("round", "p1", "p2", "cnt")
+  }
+
   /** Quality score: length term (saturating at 200 words), stopword-ratio
     * term, and mean-word-length sanity band. Output columns rounded for
     * engine-portable comparison. */

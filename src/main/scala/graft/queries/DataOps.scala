@@ -935,6 +935,11 @@ object DataOps {
       TextAnalysis.langIdScripts(
         docs(s, dir).select(col("doc_id"), textCol.as("text")), "doc_id", "text")
     }),
+    // BPE tokenizer training: 8 merge rounds learned from the corpus's
+    // weighted word dictionary; the oracle unrolls the same rounds
+    // (pair-count argmax + literal replace) as CTEs
+    "ta_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(docs(s, dir), "text", 8)),
     // NFC normalization: even rows get a deterministic "dirty" tail
     // (combining acute/diaeresis to compose, a BEL control to strip, an
     // fi-ligature NFC must NOT fold); odd rows pass through unchanged so
@@ -1566,6 +1571,48 @@ object DataOps {
          |       CASE WHEN round(CASE WHEN n_tokens > 0 THEN en_hits * 1.0 / n_tokens ELSE 0 END, 4) >= 0.05
          |            THEN 'en' ELSE 'und' END AS lang_pred
          |FROM t""".stripMargin,
+
+    // BPE training unrolled: per round, pair counts from the
+    // double-space symbol encoding → (count DESC, p1, p2) argmax →
+    // literal replace applying the merge — identical literal-replace
+    // semantics in both engines (each 2-space boundary donates one
+    // space to each neighboring match, so leftmost non-overlapping
+    // merging matches BPE exactly); every CTE MATERIALIZED (each w_r
+    // is read by both p_{r+1} and w_{r+1})
+    "ta_bpe_train" -> {
+      val sb = new StringBuilder
+      sb.append(
+        s"""WITH wd AS MATERIALIZED (
+           |  SELECT word, count(*) AS cnt FROM (
+           |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+           |  WHERE regexp_matches(word, '^[a-z]+$$')
+           |  GROUP BY 1 HAVING count(*) >= 1),
+           |w0 AS MATERIALIZED (
+           |  SELECT cnt, ' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS w
+           |  FROM wd),
+           |""".stripMargin)
+      for (r <- 1 to 8) {
+        sb.append(
+          s"""p$r AS MATERIALIZED (
+             |  SELECT s1, ss[i + 1] AS s2, sum(cnt)::BIGINT AS c FROM (
+             |    SELECT cnt, ss, unnest(ss) AS s1, generate_subscripts(ss, 1) AS i
+             |    FROM (SELECT cnt, string_split(trim(w), '  ') AS ss FROM w${r - 1}))
+             |  WHERE i < len(ss)
+             |  GROUP BY 1, 2),
+             |b$r AS MATERIALIZED (
+             |  SELECT $r AS round, s1 AS p1, s2 AS p2, c AS cnt FROM p$r
+             |  ORDER BY c DESC, s1 ASC, s2 ASC LIMIT 1),
+             |w$r AS MATERIALIZED (
+             |  SELECT w${r - 1}.cnt, replace(w, ' ' || b.p1 || '  ' || b.p2 || ' ',
+             |                                   ' ' || b.p1 || b.p2 || ' ') AS w
+             |  FROM w${r - 1} CROSS JOIN b$r b),
+             |""".stripMargin)
+      }
+      sb.setLength(sb.length - 2)
+      sb.append("\n" + (1 to 8).map(r => s"SELECT round, p1, p2, cnt FROM b$r")
+        .mkString("\nUNION ALL "))
+      sb.toString
+    },
 
     // multi-script language ID: same snippet construction (chr() codes =
     // the Scala \u escapes via sqlText), same script-count spellings as

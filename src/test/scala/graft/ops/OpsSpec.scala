@@ -1076,6 +1076,38 @@ class OpsSpec extends AnyFunSuite {
     assert(Robots.patMatches("/*" + ("seg*" * 50) + "leaf*$", longPath))
   }
 
+  test("bpeTrain learns the textbook merge sequence with leftmost non-overlapping application") {
+    import graft.ops.TextAnalysis
+    // classic BPE example: low×5, lower×2, newest×6, widest×3 — with
+    // characters as the start symbols the first merges must be the
+    // highest-frequency adjacent pairs, ties (count, p1, p2)-ordered
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val out = TextAnalysis.bpeTrain(Seq(corpus).toDF("text"), "text", 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // pair counts round 1: (e,s)=9 (newest+widest), (s,t)=9, (e,w)=6,
+    // (n,e)=6, (w,e)=2+6=8... recompute: newest = n e w e s t (×6):
+    // ne 6, ew 6, we 6, es 6, st 6; widest = w i d e s t (×3): wi 3,
+    // id 3, de 3, es 3, st 3; low = l o w (×5): lo 5, ow 5; lower (×2):
+    // lo 2, ow 2, we 2, er 2. totals: es 9, st 9, lo 7, ow 7, ne 6,
+    // ew 6, we 8 — argmax 9 tie (e,s) < (s,t) → merge (e,s)
+    assert(out(0) == ((1, "e", "s", 9L)), out.mkString(", "))
+    // round 2: "es t" now pairs (es,t)=9 — the new symbol wins
+    assert(out(1) == ((2, "es", "t", 9L)), out.mkString(", "))
+    // round 3: we 8? "w est": newest n e w est → (e,w) 6, (w,est) 6;
+    // lower l o w e r → (w,e) 2; widest w i d est → (d,est) 3...
+    // (w,est)=6+0, (e,w)=6, lo=7, ow=7 → argmax 7 tie (l,o) < (o,w)
+    assert(out(2) == ((3, "l", "o", 7L)), out.mkString(", "))
+    assert(out(3) == ((4, "lo", "w", 7L)), out.mkString(", "))
+
+    // leftmost non-overlapping application: "aaaa" under (a,a) must
+    // become [aa][aa] (4 a-pairs counted per word: 3 interior)
+    val rep = TextAnalysis.bpeTrain(Seq("aaaa aaaa").toDF("text"), "text", 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rep(0) == ((1, "a", "a", 6L)), rep.mkString(", ")) // 3 pairs × 2 words
+    assert(rep(1) == ((2, "aa", "aa", 2L)), rep.mkString(", ")) // [aa][aa] once per word
+  }
+
   test("scheduleRounds caps urls per host per round, highest priority first") {
     val f = Seq(
       ("u1", "a.com", 90), ("u2", "a.com", 80), ("u3", "a.com", 70),
