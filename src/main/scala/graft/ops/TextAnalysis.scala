@@ -251,6 +251,30 @@ object TextAnalysis {
     merges.toSeq.toDF("round", "p1", "p2", "cnt")
   }
 
+  /** BPE ENCODE — apply a learned merge list ([[bpeTrain]]'s output, in
+    * round order) to tokenize the corpus: per word, characters → the
+    * same double-space encoding → a fold of literal replaces (one per
+    * merge, in training order — BPE's apply rule) → symbol count. The
+    * model is driver-side literals folded INTO the plan (the broadcast-
+    * the-tiny-model shape; a merge table is a few hundred rows even for
+    * production vocabs), so encoding is a pure narrow column program —
+    * codegen'd, zero shuffles before the final per-doc aggregation.
+    * Output: (id, n_words, n_tokens). */
+  def bpeEncode(df: DataFrame, id: String, text: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = df
+      .select(col(id), explode(split(lower(col(text)), " ")).as("word"))
+      .where(col("word").rlike("^[a-z]+$"))
+    val spaced = concat(lit(" "),
+      trim(regexp_replace(col("word"), "(.)", "$1  ")), lit(" "))
+    val encoded = merges.foldLeft(spaced) { case (c, (p1, p2)) =>
+      replace(c, lit(s" $p1  $p2 "), lit(s" $p1$p2 "))
+    }
+    words.select(col(id), size(split(trim(encoded), "  ")).as("n_sym"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_tokens"))
+  }
+
   /** Quality score: length term (saturating at 200 words), stopword-ratio
     * term, and mean-word-length sanity band. Output columns rounded for
     * engine-portable comparison. */

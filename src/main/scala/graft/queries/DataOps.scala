@@ -301,6 +301,47 @@ object DataOps {
     // no profile hit in any language → 'und'
     "und" -> "xyzzy qwerty asdf plugh")
 
+  /** Shared BPE merge-learning CTE chain (`TextAnalysis.bpeTrain`'s SQL
+    * twin): weighted word dict → double-space symbol encoding → per
+    * round, pair counts / (count DESC, p1, p2) argmax (`b<r>`) / literal
+    * replace applying the merge (`w<r>`). Ends at `w<nMerges>`, no
+    * trailing comma; every CTE MATERIALIZED (each w_r is read by both
+    * p_{r+1} and w_{r+1}). Used by the ta_bpe_train oracle (selects the
+    * b_r rows) and ta_bpe_encode (applies the b_r merges to every
+    * corpus word). */
+  private def bpeCtes(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH wd AS MATERIALIZED (
+         |  SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+         |  WHERE regexp_matches(word, '^[a-z]+$$')
+         |  GROUP BY 1 HAVING count(*) >= 1),
+         |w0 AS MATERIALIZED (
+         |  SELECT cnt, ' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS w
+         |  FROM wd),
+         |""".stripMargin)
+    for (r <- 1 to nMerges) {
+      sb.append(
+        s"""p$r AS MATERIALIZED (
+           |  SELECT s1, ss[i + 1] AS s2, sum(cnt)::BIGINT AS c FROM (
+           |    SELECT cnt, ss, unnest(ss) AS s1, generate_subscripts(ss, 1) AS i
+           |    FROM (SELECT cnt, string_split(trim(w), '  ') AS ss FROM w${r - 1}))
+           |  WHERE i < len(ss)
+           |  GROUP BY 1, 2),
+           |b$r AS MATERIALIZED (
+           |  SELECT $r AS round, s1 AS p1, s2 AS p2, c AS cnt FROM p$r
+           |  ORDER BY c DESC, s1 ASC, s2 ASC LIMIT 1),
+           |w$r AS MATERIALIZED (
+           |  SELECT w${r - 1}.cnt, replace(w, ' ' || b.p1 || '  ' || b.p2 || ' ',
+           |                                   ' ' || b.p1 || b.p2 || ' ') AS w
+           |  FROM w${r - 1} CROSS JOIN b$r b),
+           |""".stripMargin)
+    }
+    sb.setLength(sb.length - 2)
+    sb.toString
+  }
+
   /** DuckDB expression reproducing a Scala string without putting
     * non-ASCII bytes in the SQL text: ASCII runs stay quoted literals,
     * every other codepoint becomes chr(cp). */
@@ -940,6 +981,14 @@ object DataOps {
     // (pair-count argmax + literal replace) as CTEs
     "ta_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(docs(s, dir), "text", 8)),
+    // BPE encode: learn the 8 merges, then tokenize the corpus with
+    // them (driver-side model fold into a narrow column program)
+    "ta_bpe_encode" -> ((s, dir) => {
+      val merges = TextAnalysis.bpeTrain(docs(s, dir), "text", 8)
+        .orderBy(col("round"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs(s, dir), "doc_id", "text", merges)
+    }),
     // NFC normalization: even rows get a deterministic "dirty" tail
     // (combining acute/diaeresis to compose, a BEL control to strip, an
     // fi-ligature NFC must NOT fold); odd rows pass through unchanged so
@@ -1579,39 +1628,28 @@ object DataOps {
     // space to each neighboring match, so leftmost non-overlapping
     // merging matches BPE exactly); every CTE MATERIALIZED (each w_r
     // is read by both p_{r+1} and w_{r+1})
-    "ta_bpe_train" -> {
-      val sb = new StringBuilder
-      sb.append(
-        s"""WITH wd AS MATERIALIZED (
-           |  SELECT word, count(*) AS cnt FROM (
-           |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
-           |  WHERE regexp_matches(word, '^[a-z]+$$')
-           |  GROUP BY 1 HAVING count(*) >= 1),
-           |w0 AS MATERIALIZED (
-           |  SELECT cnt, ' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' ' AS w
-           |  FROM wd),
-           |""".stripMargin)
-      for (r <- 1 to 8) {
-        sb.append(
-          s"""p$r AS MATERIALIZED (
-             |  SELECT s1, ss[i + 1] AS s2, sum(cnt)::BIGINT AS c FROM (
-             |    SELECT cnt, ss, unnest(ss) AS s1, generate_subscripts(ss, 1) AS i
-             |    FROM (SELECT cnt, string_split(trim(w), '  ') AS ss FROM w${r - 1}))
-             |  WHERE i < len(ss)
-             |  GROUP BY 1, 2),
-             |b$r AS MATERIALIZED (
-             |  SELECT $r AS round, s1 AS p1, s2 AS p2, c AS cnt FROM p$r
-             |  ORDER BY c DESC, s1 ASC, s2 ASC LIMIT 1),
-             |w$r AS MATERIALIZED (
-             |  SELECT w${r - 1}.cnt, replace(w, ' ' || b.p1 || '  ' || b.p2 || ' ',
-             |                                   ' ' || b.p1 || b.p2 || ' ') AS w
-             |  FROM w${r - 1} CROSS JOIN b$r b),
-             |""".stripMargin)
+    "ta_bpe_train" ->
+      (bpeCtes(8) + "\n" + (1 to 8).map(r => s"SELECT round, p1, p2, cnt FROM b$r")
+        .mkString("\nUNION ALL ")),
+
+    // BPE encode: re-derive the same merge chain, then apply it to every
+    // corpus word as the identical nested literal-replace fold (b1..b8
+    // cross-joined in — one row each) and count symbols per doc
+    "ta_bpe_encode" -> {
+      val spaced = "' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' '"
+      val encoded = (1 to 8).foldLeft(spaced) { (c, r) =>
+        s"replace($c, ' ' || b$r.p1 || '  ' || b$r.p2 || ' ', ' ' || b$r.p1 || b$r.p2 || ' ')"
       }
-      sb.setLength(sb.length - 2)
-      sb.append("\n" + (1 to 8).map(r => s"SELECT round, p1, p2, cnt FROM b$r")
-        .mkString("\nUNION ALL "))
-      sb.toString
+      s"""${bpeCtes(8)},
+         |docw AS MATERIALIZED (
+         |  SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents)
+         |  WHERE regexp_matches(word, '^[a-z]+$$')),
+         |enc AS (
+         |  SELECT doc_id, len(string_split(trim($encoded), '  ')) AS n_sym
+         |  FROM docw ${(1 to 8).map(r => s"CROSS JOIN b$r").mkString(" ")})
+         |SELECT doc_id, count(*) AS n_words, sum(n_sym)::BIGINT AS n_tokens
+         |FROM enc GROUP BY 1""".stripMargin
     },
 
     // multi-script language ID: same snippet construction (chr() codes =

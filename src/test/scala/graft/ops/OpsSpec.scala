@@ -1106,6 +1106,16 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(rep(0) == ((1, "a", "a", 6L)), rep.mkString(", ")) // 3 pairs × 2 words
     assert(rep(1) == ((2, "aa", "aa", 2L)), rep.mkString(", ")) // [aa][aa] once per word
+
+    // encode with the learned merges, in training order: low → [low]
+    // (via lo then low), newest → [n, e, w, est] (es then est) = 5
+    // tokens over 2 words
+    val learned = out.map(m => (m._2, m._3)).toSeq
+    val enc = TextAnalysis.bpeEncode(
+      Seq((7L, "low newest")).toDF("doc_id", "text"), "doc_id", "text", learned)
+      .collect()
+    assert(enc.length == 1 &&
+      enc(0).getLong(1) == 2L && enc(0).getLong(2) == 5L, enc.mkString(", "))
   }
 
   test("scheduleRounds caps urls per host per round, highest priority first") {
