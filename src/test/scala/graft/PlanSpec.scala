@@ -455,4 +455,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"stats must broadcast:\n$p")
   }
+
+  test("BPE encode is a narrow column program: one shuffle (the per-doc agg), zero joins") {
+    val p = plan(graft.ops.TextAnalysis.bpeEncode(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      Seq("t" -> "h", "th" -> "e")))
+    // the learned merges are plan literals — no join against a model
+    // table, no shuffle before the final per-doc aggregation
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"model application must not join:\n$p")
+  }
 }
