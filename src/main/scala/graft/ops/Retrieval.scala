@@ -54,17 +54,25 @@ object Retrieval {
     * would need a materialized token table — see `buildIndex`).
     * Output: (id, score, rank), rank ≤ k. */
   def bm25TopK(docs: DataFrame, id: String, text: String, terms: Seq[String], k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col(id), tokens(text).as("term"))
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    topKRanked(bm25ScoresBy(docs, Seq(id), text, terms, k1, b), id, k)
+
+  /** The shared one-shot scoring core: (ids..., score) for every unit
+    * (doc or passage) matching ≥1 term — `bm25TopK` cuts it to top-k,
+    * `bm25MaxP` folds passage units back to their parent doc first. */
+  private def bm25ScoresBy(docs: DataFrame, ids: Seq[String], text: String,
+      terms: Seq[String], k1: Double, b: Double): DataFrame = {
+    val idCols = ids.map(col)
+    val toks = docs.select(idCols :+ tokens(text).as("term"): _*)
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$i")
     }
     val aggCols = count(lit(1)).as("dl") +: tfCols
-    val perdoc = toks.groupBy(col(id)).agg(aggCols.head, aggCols.tail: _*)
-    val unpiv = perdoc.select(col(id), col("dl"),
+    val perdoc = toks.groupBy(idCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    val unpiv = perdoc.select(idCols ++ Seq(col("dl"),
       explode(array(terms.indices.map(i =>
-        struct(lit(terms(i)).as("term"), col(s"tf_$i").as("tf"))): _*)).as("p"))
-      .select(col(id), col("dl"), col("p.term").as("term"), col("p.tf").as("tf"))
+        struct(lit(terms(i)).as("term"), col(s"tf_$i").as("tf"))): _*)).as("p")): _*)
+      .select(idCols ++ Seq(col("dl"), col("p.term").as("term"), col("p.tf").as("tf")): _*)
     // one row per (doc, term) with no filter, so per-term count/avg ARE
     // the corpus-global N and avgdl; n_docs/avgdl are integer-valued
     // double sums < 2^53 — order-exact, engine-portable
@@ -72,10 +80,9 @@ object Retrieval {
       count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"),
       sum(when(col("tf") > 0, 1L).otherwise(0L)).as("df"))
-    val scored = unpiv.where(col("tf") > 0).join(broadcast(meta), "term")
-      .select(col(id), bm25Term(k1, b).as("ts"))
-      .groupBy(col(id)).agg(round(sum(col("ts")), 4).as("score"))
-    topKRanked(scored, id, k)
+    unpiv.where(col("tf") > 0).join(broadcast(meta), "term")
+      .select(idCols :+ bm25Term(k1, b).as("ts"): _*)
+      .groupBy(idCols: _*).agg(round(sum(col("ts")), 4).as("score"))
   }
 
   /** Materialized inverted index: (term, id, tf) postings. Built once
@@ -221,5 +228,72 @@ object Retrieval {
     scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= topN)
       .select(col(id), col("term"), col("tf"), col("df"), col("tfidf"), col("rn"))
+  }
+
+  /** Fixed-size token-window PASSAGES with stride — the RAG chunking
+    * convention (overlapping windows so no answer span straddles a
+    * boundary un-retrieved; stride < size ⇒ overlap size − stride).
+    * One window starts at every multiple of `stride` below the token
+    * count; the final windows are the natural remainders (slice caps at
+    * the end). Narrow explode, zero shuffles, embarrassingly parallel —
+    * at 100 TB this is the map stage feeding the embedding/indexing
+    * fleet. Output: (id, passage_id, start_tok, n_tokens, passage). */
+  def passageWindows(docs: DataFrame, id: String, text: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1,
+      s"passageWindows: size/stride must be >= 1, got $size/$stride")
+    val toks = filter(split(col(text), " "), t => t =!= "")
+    docs.select(col(id), toks.as("toks"))
+      .where(org.apache.spark.sql.functions.size(col("toks")) > 0)
+      .select(col(id), col("toks"),
+        explode(sequence(lit(0),
+          org.apache.spark.sql.functions.size(col("toks")) - 1,
+          lit(stride))).as("start_tok"))
+      .select(col(id),
+        (col("start_tok") / stride).cast("long").as("passage_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        slice(col("toks"), col("start_tok") + 1, lit(size)).as("win"))
+      .select(col(id), col("passage_id"), col("start_tok"),
+        org.apache.spark.sql.functions.size(col("win")).cast("long").as("n_tokens"),
+        array_join(col("win"), " ").as("passage"))
+  }
+
+  /** Long-document retrieval via passage MaxP: chunk each doc into
+    * overlapping token windows ([[passageWindows]]), BM25-score every
+    * passage as its own unit (passage-local dl/avgdl — BM25's length
+    * normalization is the point of passaging: a long doc can no longer
+    * bury one relevant paragraph under its total length), then score a
+    * doc by its BEST passage (Dai & Callan's BERT-MaxP convention, which
+    * applies to any passage scorer). Same 2-scan shape as `bm25TopK`
+    * over the passage set plus one doc-keyed partial-agg max — passages
+    * of a doc are born co-partitioned, so the max folds map-side.
+    * Output: (id, score, rank), rank ≤ k. */
+  def bm25MaxP(docs: DataFrame, id: String, text: String, terms: Seq[String], k: Int,
+      size: Int, stride: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val pass = passageWindows(docs, id, text, size, stride)
+    val pscores = bm25ScoresBy(pass, Seq(id, "passage_id"), "passage", terms, k1, b)
+    val perDoc = pscores.groupBy(col(id)).agg(max(col("score")).as("score"))
+    topKRanked(perDoc, id, k)
+  }
+
+  /** Greedy CONTEXT PACKING — the serving-side step after retrieval:
+    * per query, admit candidates in (score DESC, id ASC) order while the
+    * running token total fits the budget, stopping at the first
+    * overflow (running sums are monotone, so `cum <= budget` IS the
+    * stop-at-first-overflow prefix — no sequential scan needed). One
+    * window over query-partitioned candidates: candidates are top-k
+    * lists, so partitions are k-sized regardless of corpus size.
+    * Output: (qid, did, score, n_tokens, cum_tokens, position). */
+  def contextPack(cands: DataFrame, qid: String, did: String,
+      score: String, nTokens: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"contextPack: budget must be >= 1, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qid)).orderBy(col(score).desc, col(did).asc)
+    cands
+      .withColumn("cum_tokens", sum(col(nTokens)).over(w))
+      .withColumn("position", row_number().over(w))
+      .where(col("cum_tokens") <= budget)
+      .select(col(qid), col(did), col(score), col(nTokens),
+        col("cum_tokens"), col("position"))
   }
 }

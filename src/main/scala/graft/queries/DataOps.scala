@@ -516,6 +516,13 @@ object DataOps {
       Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
         Seq("spark", "join", "hash", "window"), 20)),
 
+    // long-doc retrieval: BM25 over overlapping passages (same windows
+    // as ir_passage_windows), doc scored by its BEST passage (MaxP) —
+    // passage-local length normalization vs the whole-doc ir_bm25_topk
+    "ir_passage_maxp" -> ((s, dir) =>
+      Retrieval.bm25MaxP(docs(s, dir), "doc_id", "text",
+        Seq("spark", "join", "hash", "window"), 20, size = 40, stride = 25)),
+
     // materialized inverted index (build once, serve queries with zero
     // corpus scans; bm25FromIndex equality is OpsSpec-pinned)
     "ir_index_build" -> ((s, dir) =>
@@ -634,6 +641,24 @@ object DataOps {
     // per-doc TF-IDF term salience: top-5 terms by tf*ln(N/df) —
     // identical IEEE program on both engines (the BM25 oracle already
     // pins ln parity)
+    // RAG passage chunking: overlapping token windows (size 40, stride
+    // 25 → 15-token overlap), one window per stride multiple, remainder
+    // windows capped at the end
+    "ir_passage_windows" -> ((s, dir) =>
+      Retrieval.passageWindows(docs(s, dir), "doc_id", "text", 40, 25)),
+
+    // serving-side context packing: per query, admit top-scored
+    // candidates while the running token total fits the budget
+    // (stop-at-first-overflow prefix; deterministic synthetic scores)
+    "ir_context_pack" -> ((s, dir) => {
+      val cands = docs(s, dir).select(
+        (col("doc_id") % 10).as("query_id"),
+        col("doc_id"),
+        (col("doc_id") * 37 % 100).as("score"),
+        (lit(10) + col("doc_id") % 50).as("n_tokens"))
+      Retrieval.contextPack(cands, "query_id", "doc_id", "score", "n_tokens", 120L)
+    }),
+
     "ir_tfidf_terms" -> ((s, dir) =>
       Retrieval.tfIdfTerms(docs(s, dir), "doc_id", "text", 5)),
 
@@ -2506,6 +2531,74 @@ object DataOps {
         |           ORDER BY round(t.tf * ln(n.n_docs / d.df), 4) DESC, t.term ASC) AS rn
         |  FROM tf t JOIN dfq d USING (term), n)
         |WHERE rn <= 5""".stripMargin,
+
+    // same (size=40, stride=25) parameters as the Scala program; DuckDB
+    // list slice l[a:b] is 1-based inclusive and end-clamps exactly like
+    // Spark's slice(arr, start, length)
+    "ir_passage_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 25)) AS s
+        |  FROM toks WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |       (s // 25)::BIGINT AS passage_id,
+        |       s::BIGINT AS start_tok,
+        |       len(toks[s+1 : s+40])::BIGINT AS n_tokens,
+        |       array_to_string(toks[s+1 : s+40], ' ') AS passage
+        |FROM st""".stripMargin,
+
+    // the bm25TopkSql program re-based onto the ir_passage_windows
+    // passage construction (same size/stride), then max-per-doc (MaxP);
+    // per-passage scores round to 4 BEFORE the max, like the Spark side
+    "ir_passage_maxp" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |pass AS MATERIALIZED (
+        |  SELECT doc_id, (s // 25)::BIGINT AS passage_id,
+        |         array_to_string(tk[s+1 : s+40], ' ') AS passage
+        |  FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 25)) AS s
+        |        FROM toks0 WHERE len(tk) > 0)),
+        |toks AS MATERIALIZED (
+        |  SELECT doc_id, passage_id, unnest(regexp_extract_all(passage, '[a-z]+')) AS term
+        |  FROM pass),
+        |dl AS MATERIALIZED (
+        |  SELECT doc_id, passage_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1, 2),
+        |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS MATERIALIZED (
+        |  SELECT doc_id, passage_id, term, count(*)::BIGINT AS tf FROM toks
+        |  WHERE term IN ('spark', 'join', 'hash', 'window') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |pscored AS (
+        |  SELECT tf.doc_id, tf.passage_id,
+        |         round(sum(ln(1.0::DOUBLE + (s.n_docs - d.df + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) *
+        |                   tf.tf * 2.2::DOUBLE /
+        |                   (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl / s.avgdl))), 4) AS score
+        |  FROM tf JOIN dfreq d USING (term) JOIN dl USING (doc_id, passage_id) CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |perdoc AS (SELECT doc_id, max(score) AS score FROM pscored GROUP BY 1)
+        |SELECT doc_id, score, rank FROM (
+        |  SELECT doc_id, score,
+        |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM perdoc) WHERE rank <= 20""".stripMargin,
+
+    "ir_context_pack" ->
+      """WITH cands AS (
+        |  SELECT doc_id % 10 AS query_id, doc_id,
+        |         doc_id * 37 % 100 AS score,
+        |         10 + doc_id % 50 AS n_tokens
+        |  FROM documents),
+        |w AS (
+        |  SELECT query_id, doc_id, score, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY query_id
+        |             ORDER BY score DESC, doc_id ASC)::BIGINT AS cum_tokens,
+        |         row_number() OVER (PARTITION BY query_id
+        |             ORDER BY score DESC, doc_id ASC) AS "position"
+        |  FROM cands)
+        |SELECT query_id, doc_id, score, n_tokens, cum_tokens, "position"
+        |FROM w WHERE cum_tokens <= 120""".stripMargin,
 
     "ev_kmv_distinct" ->
       """WITH uq AS (SELECT DISTINCT event_type, event_id FROM events WHERE event_id IS NOT NULL),

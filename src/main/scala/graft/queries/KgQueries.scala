@@ -234,6 +234,27 @@ object KgQueries {
       s.read.parquet(kgRun(s, dir) + "/edges")
         .select(col("src_url"), col("pred"), col("dst_name"), col("weight"))),
 
+    // post-extraction curation: support-based confidence — keep only
+    // assertions corroborated by ≥2 distinct urls, with confidence in
+    // integer micro-units (kg.TripleScope.tripleSupport; one partial-agg
+    // shuffle, corpus url count rides a broadcast)
+    "kg_triple_support" -> ((s, dir) =>
+      graft.kg.TripleScope.tripleSupport(
+        s.read.parquet(kgRun(s, dir) + "/triples"), minSupport = 2)),
+
+    // temporal scoping: per-assertion validity intervals over crawl
+    // snapshots. The synthetic corpus has ONE fixed warc_ts, so the
+    // snapshot axis is derived deterministically from the url's doc id
+    // (5 simulated snapshots) identically on both engines; ISO date
+    // strings keep ordering and hashing engine-portable
+    "kg_edge_intervals" -> ((s, dir) => {
+      val d = regexp_extract(col("url"), "(\\d+)$", 1).cast("long")
+      val snap = date_format(
+        date_add(to_date(lit("2026-01-01")), (pmod(d, lit(5))).cast("int")), "yyyy-MM-dd")
+      graft.kg.TripleScope.edgeIntervals(
+        s.read.parquet(kgRun(s, dir) + "/triples"), snap)
+    }),
+
     // per-partition lineage rolled up to its engine-portable invariant:
     // the partition-row sum per stage must equal the independently
     // re-derived stage output count (the partition LAYOUT is engine-
@@ -711,6 +732,35 @@ object KgQueries {
     "kg_triples" -> kgTriplesSql,
     "kg_nodes" -> kgNodesSql,
     "kg_edges" -> kgEdgesSql,
+
+    // support confidence over the re-derived triples; `//` and Spark's
+    // floor(long*1e6/long) are the same exact integer program (operands
+    // < 2^53)
+    "kg_triple_support" ->
+      s"""WITH t AS MATERIALIZED ($kgTriplesSql),
+         |n AS (SELECT count(DISTINCT url) AS corpus_urls FROM t)
+         |SELECT pred, obj, kind,
+         |       count(DISTINCT url)::BIGINT AS n_urls,
+         |       sum(weight)::BIGINT AS total_weight,
+         |       (count(DISTINCT url) * 1000000 // (SELECT corpus_urls FROM n))::BIGINT AS conf_ppm
+         |FROM t GROUP BY 1, 2, 3
+         |HAVING count(DISTINCT url) >= 2""".stripMargin,
+
+    // same 5-snapshot derivation as the Spark side: snapshot date =
+    // 2026-01-01 + (doc_id % 5) days, doc_id recovered from the url tail
+    "kg_edge_intervals" ->
+      s"""WITH t AS MATERIALIZED ($kgTriplesSql),
+         |snap AS (
+         |  SELECT *, strftime(DATE '2026-01-01'
+         |      + (regexp_extract(url, '(\\d+)$$', 1)::BIGINT % 5)::INT, '%Y-%m-%d') AS snap_date
+         |  FROM t),
+         |latest AS (SELECT max(snap_date) AS corpus_latest FROM snap)
+         |SELECT pred, obj, kind,
+         |       min(snap_date) AS first_seen, max(snap_date) AS last_seen,
+         |       count(DISTINCT snap_date)::BIGINT AS n_snapshots,
+         |       count(DISTINCT url)::BIGINT AS n_urls,
+         |       (max(snap_date) = (SELECT corpus_latest FROM latest)) AS is_current
+         |FROM snap GROUP BY 1, 2, 3""".stripMargin,
     "kg_pagerank" -> pageRankSql(kgEdgesSql, 5, 1000000000L, 20),
 
     "kg_kcore" -> kCoreSql(2, 8),

@@ -449,6 +449,64 @@ class OpsSpec extends AnyFunSuite {
     assert(out((2L, 1))._1 == "alpha" && out((2L, 2))._1 == "common")
   }
 
+  test("passageWindows: stride overlap, remainder caps, empty docs dropped") {
+    import graft.ops.Retrieval
+    val docs = Seq((1L, "a b c d e f g"), (2L, "  "), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.passageWindows(docs, "doc_id", "text", size = 3, stride = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("passage_id")) ->
+        (r.getAs[Long]("start_tok"), r.getAs[Long]("n_tokens"), r.getAs[String]("passage")))
+      .toMap
+    // 7 tokens, stride 2 → starts 0,2,4,6; size-3 windows, end-clamped
+    assert(out((1L, 0L)) == ((0L, 3L, "a b c")))
+    assert(out((1L, 1L)) == ((2L, 3L, "c d e")), "stride < size overlaps")
+    assert(out((1L, 2L)) == ((4L, 3L, "e f g")))
+    assert(out((1L, 3L)) == ((6L, 1L, "g")), "remainder window caps at end")
+    // whitespace-only doc emits nothing; 1-token doc emits one window
+    assert(!out.keySet.exists(_._1 == 2L))
+    assert(out((3L, 0L)) == ((0L, 1L, "solo")))
+    assert(out.size == 5)
+  }
+
+  test("bm25MaxP: passage-local normalization removes length bias; single-passage ≡ bm25TopK") {
+    import graft.ops.Retrieval
+    // A: 40 tokens, one 'spark' inside the [30..39] window → that
+    // passage has the SAME (tf=1, dl=10) evidence as all of short doc B
+    val a = ((Seq.fill(35)("x") :+ "spark") ++ Seq.fill(4)("x")).mkString(" ")
+    val b = (Seq.fill(9)("x") :+ "spark").mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val maxp = Retrieval.bm25MaxP(docs, "doc_id", "text", Seq("spark"), 10, size = 10, stride = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(maxp(1L) == maxp(2L), s"equal best-passage evidence must tie under MaxP: $maxp")
+    val plain = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark"), 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(plain(1L) < plain(2L), s"whole-doc BM25 buries the long doc: $plain")
+    // size covers every doc → one passage per doc → MaxP degenerates to
+    // whole-doc BM25 exactly (scores, ranks, everything)
+    val wide = Retrieval.bm25MaxP(docs, "doc_id", "text", Seq("spark"), 10, size = 100, stride = 100)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"), r.getAs[Int]("rank"))).toSet
+    val whole = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark"), 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"), r.getAs[Int]("rank"))).toSet
+    assert(wide == whole, s"single-passage MaxP ≠ whole-doc BM25: $wide vs $whole")
+  }
+
+  test("contextPack: stop-at-first-overflow prefix, no later smaller item sneaks in") {
+    import graft.ops.Retrieval
+    val cands = Seq(
+      // qid, did, score, n_tokens — scores force order d1,d2,d3,d4
+      (1L, "d1", 9.0, 50L), (1L, "d2", 8.0, 40L),
+      (1L, "d3", 7.0, 30L), (1L, "d4", 6.0, 5L),
+      (2L, "a", 1.0, 200L)).toDF("qid", "did", "score", "n_tokens")
+    val out = Retrieval.contextPack(cands, "qid", "did", "score", "n_tokens", 100L)
+      .collect()
+      .map(r => r.getAs[String]("did") ->
+        (r.getAs[Long]("cum_tokens"), r.getAs[Int]("position"))).toMap
+    // d1 (50) + d2 (90) fit; d3 overflows (120) and STOPS the prefix, so
+    // d4 (5 tokens, would fit) is excluded — packing is order-greedy
+    assert(out == Map("d1" -> ((50L, 1)), "d2" -> ((90L, 2))), out.toString)
+  }
+
   test("kmvDistinct: exact below k, sane estimate above k, duplicate/partition invariant") {
     val rows = (0 until 10).map(i => ("a", s"va$i")) ++
       (0 until 5000).map(i => ("b", s"vb$i"))
