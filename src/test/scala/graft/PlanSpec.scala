@@ -456,6 +456,51 @@ class PlanSpec extends AnyFunSuite {
       s"stats must broadcast:\n$p")
   }
 
+  test("passage windows are a pure narrow explode: ZERO exchanges") {
+    val p = plan(graft.ops.Retrieval.passageWindows(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 40, 25))
+    assert(!p.contains("Exchange"),
+      s"the embedding-fleet map stage must not shuffle:\n$p")
+  }
+
+  test("context packing is ONE shuffle (the per-query window), no joins") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val cands = docs.select(($"doc_id" % 10).as("qid"), $"doc_id",
+      ($"doc_id" * 37 % 100).as("score"), (lit(10) + $"doc_id" % 50).as("n_tokens"))
+    val p = plan(graft.ops.Retrieval.contextPack(
+      cands, "qid", "doc_id", "score", "n_tokens", 120L))
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected 1 shuffle:\n$p")
+    assert(!p.contains("Join"), s"packing must not join:\n$p")
+  }
+
+  test("passage MaxP keeps the bm25 shape: broadcast stats, top-k never global-sorts") {
+    val p = plan(graft.ops.Retrieval.bm25MaxP(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      Seq("spark", "join"), 10, size = 40, stride = 25))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not globally sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"per-term stats must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no passage×stats cartesian:\n$p")
+  }
+
+  test("triple support/intervals: corpus scalar broadcasts, assertion agg never cartesians") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val triples = docs.select(concat(lit("u"), $"doc_id" % 50).as("url"),
+      lit("p").as("pred"), ($"doc_id" % 30).cast("string").as("obj"),
+      lit("k").as("kind"), lit(1).as("weight"))
+    for (df <- Seq(
+        graft.kg.TripleScope.tripleSupport(triples, 2),
+        graft.kg.TripleScope.edgeIntervals(triples,
+          date_format(to_date(lit("2026-01-01")), "yyyy-MM-dd")))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"scalar must broadcast, not cartesian:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"corpus scalar must ride a broadcast:\n$p")
+      // the data path: the (pred,obj,kind) distinct-agg's exchanges plus
+      // the single-row scalar agg — never a per-assertion second pass
+      assert("Exchange".r.findAllIn(p).size <= 5, s"too many shuffles:\n$p")
+    }
+  }
+
   test("BPE encode is a narrow column program: one shuffle (the per-doc agg), zero joins") {
     val p = plan(graft.ops.TextAnalysis.bpeEncode(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
