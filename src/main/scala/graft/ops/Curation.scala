@@ -53,6 +53,41 @@ object Curation {
       .select(col(id), col("stratum"), col("rn"))
   }
 
+  /** Temperature-scaled source mixing at T = 2 — the standard
+    * multilingual/source rebalancing step of a pretraining mix: each
+    * source's share of the `budget` is ∝ √count, so rare sources are
+    * upsampled relative to their raw share and megasources can't drown
+    * the mix. All arithmetic is engine-exact: weights are
+    * ⌊√(count·10⁶)⌋ (IEEE sqrt is correctly rounded in any conformant
+    * engine, and the floor collapses it to an integer), the allocation
+    * is integral `div` — no float normalization sum whose order could
+    * differ across engines. Selection within a source is the
+    * deterministic bottom-quota by md5(id) (quotaSample's rerun-proof
+    * property). Per-source work: one partial-agg count, a broadcast of
+    * the source-sized quota table back, and ONE window whose
+    * WindowGroupLimit is capped by the literal `budget` (the constant
+    * bound lets Spark push the group limit below the sort; the
+    * per-source quota then filters within it).
+    * Output: (id, src, rn, quota), rn ≤ quota. */
+  def temperatureMix(df: DataFrame, id: String, source: String, budget: Long): DataFrame = {
+    require(budget >= 1 && budget <= Int.MaxValue,
+      s"temperatureMix: budget must be in [1, 2^31), got $budget")
+    val counts = df.groupBy(col(source).as("src")).agg(count(lit(1)).as("cnt"))
+    val weights = counts.select(col("src"),
+      floor(sqrt(col("cnt").cast("double") * lit(1000000.0))).cast("long").as("w"))
+    val tot = weights.agg(sum(col("w")).as("tot_w"))
+    val quotas = weights.crossJoin(broadcast(tot))
+      .select(col("src"), expr(s"(w * ${budget}L) div tot_w").as("quota"))
+    val wdw = Window.partitionBy(col("src"))
+      .orderBy(col("__h").asc, col(id).asc)
+    df.select(col(id), col(source).as("src"))
+      .join(broadcast(quotas), "src")
+      .withColumn("__h", md5(col(id).cast("string")))
+      .withColumn("rn", row_number().over(wdw))
+      .where(col("rn") <= lit(budget.toInt) && col("rn") <= col("quota"))
+      .select(col(id), col("src"), col("rn"), col("quota"))
+  }
+
   /** Deterministic negative sampling for contrastive training pairs:
     * for each (query, positive) row, emit `k` pseudo-random negatives
     *   neg_j = h(query_id, j) mod corpusSize,   h = first-8-hex md5
@@ -198,6 +233,53 @@ object Curation {
     * per-row (narrow `array_distinct` inside `charShingles`, no global
     * distinct shuffle) — the per-pair count aggregation is the only
     * corpus-sized shuffle. Output: (id, bench_id, n_shared, containment). */
+  /** Fuzzy decontamination at CROSS-CORPUS scale: MinHash-LSH banding on
+    * BOTH sides instead of [[decontaminate]]'s broadcast shingle join —
+    * the shape for a "benchmark" side too big to broadcast (train/train
+    * overlap across sources, a leaked pretraining shard, another crawl).
+    * Candidates come from an equi-join on (band, bucket) — each side is
+    * shuffled once on its band keys, never replicated — and are verified
+    * from the SIGNATURES ALREADY IN HAND: the fraction of agreeing
+    * minhash positions is the standard unbiased Jaccard estimate, so no
+    * second pass over either corpus's shingles is needed (at 100 TB the
+    * re-shingling join IS the bill; `decontaminate` keeps the exact
+    * containment path for broadcastable eval sets). Bench-side mega
+    * buckets (boilerplate collapse) are capped + observed like
+    * `Dedup.candidatePairs`; a capped-bucket doc can still match through
+    * its other bands. Estimate in exact integer ppm.
+    * Output: (id, bench_id, n_agree, est_jaccard_ppm). */
+  def fuzzyDecontaminate(corpus: DataFrame, bench: DataFrame, id: String, text: String,
+      nHashes: Int = 8, shingleN: Int = 8, rowsPerBand: Int = 4,
+      minJaccardPpm: Long = 500000L, maxBucketSize: Long = 100000L,
+      metricName: String = "fuzzy_decon_buckets"): DataFrame = {
+    require(nHashes % rowsPerBand == 0,
+      s"fuzzyDecontaminate: nHashes ($nHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
+    val csig = Dedup.minhashShingles(corpus, id, text, nHashes, shingleN)
+    val bsig = Dedup.minhashShingles(bench, id, text, nHashes, shingleN)
+      .withColumnRenamed(id, "bench_id")
+    val cb = Dedup.minhashBands(csig, id, rowsPerBand)
+    val bbAll = Dedup.minhashBands(bsig, "bench_id", rowsPerBand)
+    val keptBuckets = bbAll
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .observe(metricName,
+        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("capped_buckets"),
+        max(col("bucket_n")).as("max_bucket"))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val bb = bbAll.join(keptBuckets, Seq("band", "bucket"))
+    val cands = cb.join(bb, Seq("band", "bucket"))
+      .select(col(id), col("bench_id")).distinct()
+    cands
+      .join(csig, Seq(id))
+      .join(bsig.withColumnRenamed("minhash", "bench_minhash"), Seq("bench_id", "seed"))
+      .groupBy(col(id), col("bench_id"))
+      .agg(sum(when(col("minhash") === col("bench_minhash"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col(id), col("bench_id"), col("n_agree"),
+        floor(col("n_agree") * lit(1000000L) / lit(nHashes.toLong)).cast("long").as("est_jaccard_ppm"))
+      .where(col("est_jaccard_ppm") >= minJaccardPpm)
+  }
+
   def decontaminate(corpus: DataFrame, bench: DataFrame, id: String, text: String,
       n: Int, minContainment: Double): DataFrame = {
     val cs = Dedup.charShingles(corpus, id, text, n)

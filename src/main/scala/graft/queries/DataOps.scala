@@ -548,6 +548,12 @@ object DataOps {
     "cu_quota_sample" -> ((s, dir) =>
       graft.ops.Curation.quotaSample(docs(s, dir), "doc_id", "lang", 25)),
 
+    // temperature-scaled (T=2) language mixing: each language's share of
+    // a 300-doc budget ∝ sqrt(count) — integer-exact allocation, then
+    // the deterministic bottom-quota per language
+    "cu_temperature_mix" -> ((s, dir) =>
+      graft.ops.Curation.temperatureMix(docs(s, dir), "doc_id", "lang", 300L)),
+
     // sparse TF-IDF cosine doc pairs (the lexical near-dup detector):
     // postings self-joined per term, stopword terms (df > 100) pruned
     // loudly, top 50 pairs by rounded cosine
@@ -578,6 +584,19 @@ object DataOps {
         concat(col("text"), lit(decontTail)).as("text"))
       val corpus = base.where(col("doc_id") % 97 =!= 0).union(contaminated)
       Curation.decontaminate(corpus, bench, "doc_id", "text", 8, 0.5)
+    }),
+
+    // fuzzy decontamination: MinHash-LSH banding on BOTH sides (the
+    // bench-too-big-to-broadcast shape), verified from the signatures'
+    // agreement fraction — same planted contamination as cu_decontaminate
+    "cu_fuzzy_decontam" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = base.where(col("doc_id") % 97 === 0)
+      val contaminated = bench.select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(col("text"), lit(decontTail)).as("text"))
+      val corpus = base.where(col("doc_id") % 97 =!= 0).union(contaminated)
+      Curation.fuzzyDecontaminate(corpus, bench, "doc_id", "text",
+        nHashes = 8, shingleN = 8, rowsPerBand = 4, minJaccardPpm = 500000L)
     }),
 
     // Bloom-filter decontamination PRE-filter: the membership sketch
@@ -2737,6 +2756,22 @@ object DataOps {
         |                            ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
         |  FROM documents) WHERE rn <= 25""".stripMargin,
 
+    // sqrt is IEEE-correctly-rounded in both engines and the floor
+    // collapses it to an integer, so the T=2 allocation is exact;
+    // same bottom-quota ordering as cu_quota_sample
+    "cu_temperature_mix" ->
+      """WITH counts AS (SELECT lang AS src, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+        |w AS (SELECT src, floor(sqrt(cnt * 1000000.0))::BIGINT AS w FROM counts),
+        |tot AS (SELECT sum(w)::BIGINT AS tot_w FROM w),
+        |q AS (SELECT src, (w * 300 // (SELECT tot_w FROM tot))::BIGINT AS quota FROM w),
+        |r AS (
+        |  SELECT doc_id, lang AS src,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.src, r.rn, q.quota
+        |FROM r JOIN q USING (src) WHERE r.rn <= q.quota""".stripMargin,
+
     // sparse TF-IDF cosine pairs: same postings self-join, same single
     // IEEE weight/normalization expression trees
     "ir_sparse_sim" ->
@@ -2861,6 +2896,53 @@ object DataOps {
          |  FROM corpus, generate_series(0, 2) AS t(seed))
          |SELECT p.doc_id, p.fp FROM probe p JOIN bits b USING (seed, bucket)
          |GROUP BY 1, 2 HAVING count(*) = 3""".stripMargin,
+
+    // same corpus/bench construction as cu_decontaminate; both sides get
+    // the shared universal-hash MinHash (minhashHashSql), 2 bands × 4
+    // rows, candidates from the band equi-join, estimate = agreeing
+    // positions / 8 in exact integer ppm
+    "cu_fuzzy_decontam" ->
+      s"""WITH bench0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id, text || '$decontTail' AS text FROM bench0),
+         |csh AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(generate_series(1, greatest(1, strlen(text) - 7)),
+         |                               i -> substr(text, i::int, 8))) AS shingle
+         |  FROM corpus),
+         |bsh AS (
+         |  SELECT DISTINCT doc_id AS bench_id,
+         |         unnest(list_transform(generate_series(1, greatest(1, strlen(text) - 7)),
+         |                               i -> substr(text, i::int, 8))) AS shingle
+         |  FROM bench0),
+         |csig AS MATERIALIZED (
+         |  SELECT doc_id, seed, min(${minhashHashSql("shingle")}) AS minhash
+         |  FROM csh, generate_series(0, 7) AS t(seed) GROUP BY 1, 2),
+         |bsig AS MATERIALIZED (
+         |  SELECT bench_id, seed, min(${minhashHashSql("shingle")}) AS minhash
+         |  FROM bsh, generate_series(0, 7) AS t(seed) GROUP BY 1, 2),
+         |cb AS (
+         |  SELECT doc_id, (seed // 4)::INT AS band,
+         |         md5(string_agg(minhash::VARCHAR, ':' ORDER BY seed)) AS bucket
+         |  FROM csig GROUP BY 1, 2),
+         |bb AS (
+         |  SELECT bench_id, (seed // 4)::INT AS band,
+         |         md5(string_agg(minhash::VARCHAR, ':' ORDER BY seed)) AS bucket
+         |  FROM bsig GROUP BY 1, 2),
+         |cands AS (SELECT DISTINCT c.doc_id, b.bench_id
+         |          FROM cb c JOIN bb b USING (band, bucket)),
+         |agree AS (
+         |  SELECT a.doc_id, a.bench_id,
+         |         sum(CASE WHEN cs.minhash = bs.minhash THEN 1 ELSE 0 END)::BIGINT AS n_agree
+         |  FROM cands a
+         |  JOIN csig cs ON cs.doc_id = a.doc_id
+         |  JOIN bsig bs ON bs.bench_id = a.bench_id AND bs.seed = cs.seed
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, bench_id, n_agree,
+         |       (n_agree * 1000000 // 8)::BIGINT AS est_jaccard_ppm
+         |FROM agree WHERE n_agree * 1000000 // 8 >= 500000""".stripMargin,
 
     "cu_decontaminate" ->
       s"""WITH bench0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),

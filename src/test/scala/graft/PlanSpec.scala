@@ -501,6 +501,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mix: literal budget pushes a WindowGroupLimit, quota table broadcasts") {
+    val p = plan(graft.ops.Curation.temperatureMix(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "lang", 300L))
+    assert(p.contains("WindowGroupLimit"),
+      s"the constant budget bound must push the group limit below the sort:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the source-sized quota table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("fuzzy decontamination joins bands on (band, bucket), never all-pairs") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select($"doc_id", $"text")
+    val bench = docs.where($"doc_id" % 97 === 0)
+    val p = plan(graft.ops.Curation.fuzzyDecontaminate(
+      docs, bench, "doc_id", "text", metricName = "fd_plan_gate"))
+    assert(!p.contains("CartesianProduct"),
+      s"corpus×bench must ride the band equi-join:\n$p")
+  }
+
   test("BPE encode is a narrow column program: one shuffle (the per-doc agg), zero joins") {
     val p = plan(graft.ops.TextAnalysis.bpeEncode(
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",

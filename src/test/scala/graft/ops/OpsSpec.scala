@@ -507,6 +507,45 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map("d1" -> ((50L, 1)), "d2" -> ((90L, 2))), out.toString)
   }
 
+  test("temperatureMix: sqrt allocation upsamples rare sources; selection is rerun-proof") {
+    import graft.ops.Curation
+    // raw shares of a 30-doc budget would be 24/6; sqrt weights
+    // (10000 vs 5000) allocate 20/10 — the rare source is upsampled
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 125).map(i => (i.toLong, "small"))).toDF("doc_id", "src0")
+    val out = Curation.temperatureMix(df, "doc_id", "src0", 30L).collect()
+    val bySrc = out.groupBy(_.getAs[String]("src")).view.mapValues(_.length).toMap
+    assert(bySrc == Map("big" -> 20, "small" -> 10), bySrc.toString)
+    assert(out.forall(r => r.getAs[Int]("rn") <= r.getAs[Long]("quota")))
+    // partitioning must not change the selected set (md5 bottom-k)
+    val picked = out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rn"))).toSet
+    val again = Curation.temperatureMix(df.repartition(7), "doc_id", "src0", 30L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rn"))).toSet
+    assert(again == picked, "selection depends on partition layout")
+  }
+
+  test("fuzzyDecontaminate: exact copy estimates 1.0, unrelated doc never a candidate") {
+    import graft.ops.Curation
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog repeatedly tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog repeatedly tonight"),
+      (2L, "completely different content about spark shuffles and joins here"))
+      .toDF("doc_id", "text")
+    val out = Curation.fuzzyDecontaminate(corpus, bench, "doc_id", "text",
+      nHashes = 8, shingleN = 8, rowsPerBand = 4, minJaccardPpm = 500000L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"),
+        r.getAs[Long]("n_agree"), r.getAs[Long]("est_jaccard_ppm"))).toSeq
+    // identical shingle sets → every minhash position agrees → ppm 10^6;
+    // the unrelated doc shares no band bucket so it is never verified
+    assert(out == Seq((1L, 100L, 8L, 1000000L)), out.toString)
+    intercept[IllegalArgumentException] {
+      Curation.fuzzyDecontaminate(corpus, bench, "doc_id", "text",
+        nHashes = 9, rowsPerBand = 4)
+    }
+  }
+
   test("kmvDistinct: exact below k, sane estimate above k, duplicate/partition invariant") {
     val rows = (0 until 10).map(i => ("a", s"va$i")) ++
       (0 until 5000).map(i => ("b", s"vb$i"))
