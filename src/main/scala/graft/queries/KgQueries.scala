@@ -255,6 +255,22 @@ object KgQueries {
         s.read.parquet(kgRun(s, dir) + "/triples"), snap)
     }),
 
+    // the north-rule acceptance metric AS a distributed op: triple
+    // precision/recall/F1 of the pipeline's triples vs a gold set big
+    // enough to need a join (here: a deliberately perturbed gold —
+    // one third of the urls' triples removed, planted facts the
+    // pipeline can't emit added — so neither ratio is trivially 1.0)
+    "kg_eval_pr" -> ((s, dir) => {
+      val t = s.read.parquet(kgRun(s, dir) + "/triples")
+      val d = regexp_extract(col("url"), "(\\d+)$", 1).cast("long")
+      val gold = t.where(pmod(d, lit(3)) =!= 0)
+        .select(col("url"), col("pred"), col("obj"))
+        .union(t.where(pmod(d, lit(7)) === 0)
+          .select(col("url"), lit("noisePred").as("pred"),
+            concat(lit("planted-missing-fact-"), d.cast("string")).as("obj")))
+      graft.kg.Eval.triplePR(t, gold)
+    }),
+
     // per-partition lineage rolled up to its engine-portable invariant:
     // the partition-row sum per stage must equal the independently
     // re-derived stage output count (the partition LAYOUT is engine-
@@ -745,6 +761,28 @@ object KgQueries {
          |       (count(DISTINCT url) * 1000000 // (SELECT corpus_urls FROM n))::BIGINT AS conf_ppm
          |FROM t GROUP BY 1, 2, 3
          |HAVING count(DISTINCT url) >= 2""".stripMargin,
+
+    // same perturbed gold; INTERSECT over the distinct key sets is the
+    // SQL form of the left-semi membership count
+    "kg_eval_pr" ->
+      s"""WITH t AS MATERIALIZED ($kgTriplesSql),
+         |got AS (SELECT DISTINCT url, pred, obj FROM t),
+         |gold AS (
+         |  SELECT DISTINCT url, pred, obj FROM t
+         |  WHERE regexp_extract(url, '(\\d+)$$', 1)::BIGINT % 3 <> 0
+         |  UNION
+         |  SELECT DISTINCT url, 'noisePred' AS pred,
+         |         'planted-missing-fact-' || (regexp_extract(url, '(\\d+)$$', 1)::BIGINT)::VARCHAR AS obj
+         |  FROM t WHERE regexp_extract(url, '(\\d+)$$', 1)::BIGINT % 7 = 0),
+         |m AS (SELECT count(*)::BIGINT AS n_match
+         |      FROM (SELECT * FROM got INTERSECT SELECT * FROM gold)),
+         |ng AS (SELECT count(*)::BIGINT AS n_got FROM got),
+         |nh AS (SELECT count(*)::BIGINT AS n_gold FROM gold)
+         |SELECT n_got, n_gold, n_match,
+         |       (n_match * 1000000 // n_got)::BIGINT AS precision_ppm,
+         |       (n_match * 1000000 // n_gold)::BIGINT AS recall_ppm,
+         |       (2 * n_match * 1000000 // (n_got + n_gold))::BIGINT AS f1_ppm
+         |FROM m, ng, nh""".stripMargin,
 
     // same 5-snapshot derivation as the Spark side: snapshot date =
     // 2026-01-01 + (doc_id % 5) days, doc_id recovered from the url tail

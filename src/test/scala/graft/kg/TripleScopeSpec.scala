@@ -32,6 +32,20 @@ class TripleScopeSpec extends AnyFunSuite {
     assert(out.size == 2)
   }
 
+  test("triplePR: exact set math in ppm; duplicate assertions never double-count") {
+    val got = Seq(("u1", "p", "a"), ("u1", "p", "b"), ("u2", "p", "c"),
+      ("u3", "p", "d"), ("u3", "p", "d")).toDF("url", "pred", "obj")
+    val gold = Seq(("u1", "p", "a"), ("u1", "p", "b"), ("u2", "p", "c"),
+      ("u9", "p", "z")).toDF("url", "pred", "obj")
+    val r = Eval.triplePR(got, gold).collect()(0)
+    assert(r.getAs[Long]("n_got") == 4L, "got dedups to 4")
+    assert(r.getAs[Long]("n_gold") == 4L)
+    assert(r.getAs[Long]("n_match") == 3L)
+    assert(r.getAs[Long]("precision_ppm") == 750000L)
+    assert(r.getAs[Long]("recall_ppm") == 750000L)
+    assert(r.getAs[Long]("f1_ppm") == 750000L)
+  }
+
   test("edgeIntervals: first/last seen, snapshot counts, is_current only for latest") {
     // u1→day0, u2→day1, u3→day2, u4→day0 (u4 shares u1's snapshot)
     val day = Map("u1" -> 0, "u2" -> 1, "u3" -> 2, "u4" -> 0)
