@@ -130,6 +130,52 @@ object Dedup {
       .distinct()
   }
 
+  /** Entity-resolution META-BLOCKING (SparkER's weighted-node-pruning
+    * family, Simonini et al., EDBT 2019): score every candidate pair by
+    * how many blocks it co-occurs in (w = shared (band, bucket) count —
+    * redundancy-positive blocking makes w a similarity signal that is
+    * FREE, already in the band table), then prune pairs whose weight is
+    * below the local mean of BOTH endpoints. The point at 100 TB: the
+    * expensive verifier (shingle Jaccard, context similarity, an LLM
+    * matcher) runs on the surviving fraction only, while each entity
+    * keeps its best edges — low-degree entities always retain their
+    * strongest pair, so recall degrades gracefully instead of by a
+    * global threshold.
+    *
+    * The mean test is exact integer arithmetic: keep iff
+    * w·deg(i) ≥ Σw(i) OR w·deg(j) ≥ Σw(j) — no float division, so the
+    * oracle compares bit-for-bit. Shape: the same capped+observed
+    * bucket self-join as [[candidatePairs]] plus ONE node-stats
+    * partial agg (two projections of the pair table union-folded) and a
+    * broadcast-friendly stats join back.
+    * Output: (id1, id2, w, kept). */
+  def metaBlocking(bands: DataFrame, id: String,
+      maxBucketSize: Long = 100000L,
+      metricName: String = "meta_blocking_buckets"): DataFrame = {
+    val keptBuckets = bands
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .observe(metricName,
+        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("capped_buckets"),
+        max(col("bucket_n")).as("max_bucket"))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val inBuckets = bands.join(keptBuckets, Seq("band", "bucket"))
+    val l = inBuckets.select(col("band"), col("bucket"), col(id).as("id1"))
+    val r = inBuckets.select(col("band"), col("bucket"), col(id).as("id2"))
+    val pr = l.join(r, Seq("band", "bucket"))
+      .where(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("w"))
+    val nodes = pr.select(col("id1").as("node"), col("w"))
+      .union(pr.select(col("id2").as("node"), col("w")))
+      .groupBy(col("node")).agg(sum(col("w")).as("sw"), count(lit(1)).as("dg"))
+    pr
+      .join(nodes.select(col("node").as("id1"), col("sw").as("sw1"), col("dg").as("dg1")), Seq("id1"))
+      .join(nodes.select(col("node").as("id2"), col("sw").as("sw2"), col("dg").as("dg2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("w"),
+        (col("w") * col("dg1") >= col("sw1") || col("w") * col("dg2") >= col("sw2")).as("kept"))
+  }
+
   /** DELTA candidate pairs: near-dup candidates of a newly ingested
     * batch against the full band index (corpus ∪ delta) WITHOUT
     * re-pairing the corpus — the continuous-ingestion shape of

@@ -240,14 +240,20 @@ object DataOps {
   /** MinHash-LSH candidate + shingle-intersection CTEs (sigs → bands →
     * cands → sizes/inter), shared by the dd_minhash_pairs and
     * dd_dedup_clusters oracles. */
-  private def minhashPairCtesWith(candsSql: String): String =
+  /** The sigs→bands CTE pair over `shingles`, shared by the pair oracles
+    * (rowsPerBand = 4) and the meta-blocking oracle (rowsPerBand = 1 —
+    * the dense redundancy-positive blocking meta-blocking exists for). */
+  private def sigBandCtes(rowsPerBand: Int): String =
     s"""sigs AS (
        |  SELECT doc_id, seed, min(${minhashHashSql("shingle")}) AS minhash
        |  FROM shingles, generate_series(0, 7) AS t(seed) GROUP BY 1, 2),
        |bands AS (
-       |  SELECT doc_id, (seed // 4)::INT AS band,
+       |  SELECT doc_id, (seed // $rowsPerBand)::INT AS band,
        |         md5(string_agg(minhash::VARCHAR, ':' ORDER BY seed)) AS bucket
-       |  FROM sigs GROUP BY 1, 2),
+       |  FROM sigs GROUP BY 1, 2)""".stripMargin
+
+  private def minhashPairCtesWith(candsSql: String): String =
+    s"""${sigBandCtes(4)},
        |cands AS (
        |$candsSql),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
@@ -375,6 +381,22 @@ object DataOps {
       val sh = Dedup.charShingles(input, "doc_id", "text", 8)
         .withColumnRenamed("shingle", "token")
       Dedup.jaccardVerify(pairs, sh, "doc_id").where(col("jaccard") >= 0.5)
+    }),
+
+    // ER meta-blocking (SparkER WNP): pairs scored by shared-block count
+    // over the SAME band table the LSH dedup uses, pruned by the exact
+    // integer local-mean test — the verifier-volume reducer
+    // rowsPerBand = 1 (each minhash its own block): the dense
+    // redundancy-positive blocking graph where pruning has teeth —
+    // WNP keeps ~18% of the candidates. Even-id half of dd_input
+    // (dd_ngram precedent: candidate count is quadratic in block
+    // density, so the DEMO is bounded; the planted dup groups survive
+    // intact because the synthetic id offsets are even)
+    "dd_meta_blocking" -> ((s, dir) => {
+      val half = ddInput(s, dir).where(col("doc_id") % 2 === 0)
+      val sigs = Dedup.minhashShingles(half, "doc_id", "text", 8, 8)
+      Dedup.metaBlocking(Dedup.minhashBands(sigs, "doc_id", 1), "doc_id",
+        metricName = "dd_meta_blocking_buckets")
     }),
 
     // DELTA dedup: the near-dup shard (ids ≥ 2000000) plays the newly
@@ -1545,6 +1567,29 @@ object DataOps {
          |SELECT id1, id2, round(i * 1.0 / (z1.sz + z2.sz - i), 4) AS jaccard
          |FROM inter JOIN sizes z1 ON z1.doc_id = id1 JOIN sizes z2 ON z2.doc_id = id2
          |WHERE round(i * 1.0 / (z1.sz + z2.sz - i), 4) >= 0.5""".stripMargin,
+
+    // meta-blocking: pair weight = shared (band, bucket) count; WNP keep
+    // test in exact integers (w·deg >= Σw for either endpoint)
+    "dd_meta_blocking" ->
+      s"""WITH $ddInputSql,
+         |dd_half AS (SELECT * FROM dd_input WHERE doc_id % 2 = 0),
+         |shingles AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(generate_series(1, greatest(1, strlen(text) - 7)),
+         |                               i -> substr(text, i::int, 8))) AS shingle
+         |  FROM dd_half),
+         |${sigBandCtes(1)},
+         |pr AS MATERIALIZED (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*)::BIGINT AS w
+         |  FROM bands a JOIN bands b USING (band, bucket)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |nodes AS MATERIALIZED (
+         |  SELECT node, sum(w)::BIGINT AS sw, count(*)::BIGINT AS dg
+         |  FROM (SELECT id1 AS node, w FROM pr UNION ALL SELECT id2 AS node, w FROM pr)
+         |  GROUP BY 1)
+         |SELECT id1, id2, w,
+         |       (w * n1.dg >= n1.sw OR w * n2.dg >= n2.sw) AS kept
+         |FROM pr JOIN nodes n1 ON n1.node = pr.id1 JOIN nodes n2 ON n2.node = pr.id2""".stripMargin,
 
     // delta-vs-index pairs: same scheme, candidates restricted to pairs
     // touching the incoming shard (a-side new) — verified the same way

@@ -507,6 +507,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map("d1" -> ((50L, 1)), "d2" -> ((90L, 2))), out.toString)
   }
 
+  test("metaBlocking: WNP prunes a weak edge only when BOTH endpoints have better") {
+    // ab share 3 blocks, bc share 3, ac share 1: a and c each have mean 2,
+    // so the ac edge fails the local-mean test on both sides and is pruned;
+    // ab and bc survive (3 >= mean everywhere they touch)
+    val bands = (
+      (0 to 2).flatMap(i => Seq(("a", i, s"x$i"), ("b", i, s"x$i"), ("c", i, s"y$i"))) ++
+      (3 to 5).flatMap(i => Seq(("b", i, s"z$i"), ("c", i, s"z$i"), ("a", i, s"p$i"))) ++
+      Seq(("a", 6, "w6"), ("c", 6, "w6"), ("b", 6, "q6"))
+    ).toDF("doc_id", "band", "bucket")
+    val out = Dedup.metaBlocking(bands, "doc_id")
+      .collect().map(r => (r.getAs[String]("id1"), r.getAs[String]("id2")) ->
+        (r.getAs[Long]("w"), r.getAs[Boolean]("kept"))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((3L, true)),
+      ("b", "c") -> ((3L, true)),
+      ("a", "c") -> ((1L, false))), out.toString)
+  }
+
   test("temperatureMix: sqrt allocation upsamples rare sources; selection is rerun-proof") {
     import graft.ops.Curation
     // raw shares of a 30-doc budget would be 24/6; sqrt weights
