@@ -224,15 +224,6 @@ object Curation {
       size(regexp_extract_all(col(text), lit(PhonePat), lit(0))).as("n_phones"))
   }
 
-  /** Benchmark decontamination: char-n-gram containment of each
-    * benchmark doc's shingle set inside corpus docs —
-    * |shingles(c) ∩ shingles(b)| / |shingles(b)| ≥ threshold flags doc c
-    * as contaminated by benchmark doc b. The benchmark side is broadcast
-    * (eval sets are tiny next to a 100-TB corpus), so the corpus is
-    * never shuffled for the join, and the shingle tables deduplicate
-    * per-row (narrow `array_distinct` inside `charShingles`, no global
-    * distinct shuffle) — the per-pair count aggregation is the only
-    * corpus-sized shuffle. Output: (id, bench_id, n_shared, containment). */
   /** Fuzzy decontamination at CROSS-CORPUS scale: MinHash-LSH banding on
     * BOTH sides instead of [[decontaminate]]'s broadcast shingle join —
     * the shape for a "benchmark" side too big to broadcast (train/train
@@ -243,7 +234,13 @@ object Curation {
     * minhash positions is the standard unbiased Jaccard estimate, so no
     * second pass over either corpus's shingles is needed (at 100 TB the
     * re-shingling join IS the bill; `decontaminate` keeps the exact
-    * containment path for broadcastable eval sets). Bench-side mega
+    * containment path for broadcastable eval sets). Both signature
+    * tables are PERSISTED (MEMORY_AND_DISK, LRU-evicted — the IVF
+    * precedent) because the banding path and the verify join both
+    * consume them and Catalyst would otherwise recompute the
+    * fingerprinting scan per consumer; a production deployment keeps
+    * them as on-disk index tables instead (the `ir_index_build` /
+    * `st_delta_pairs` pattern). Bench-side mega
     * buckets (boilerplate collapse) are capped + observed like
     * `Dedup.candidatePairs`; a capped-bucket doc can still match through
     * its other bands. Estimate in exact integer ppm.
@@ -255,19 +252,15 @@ object Curation {
     require(nHashes % rowsPerBand == 0,
       s"fuzzyDecontaminate: nHashes ($nHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
     val csig = Dedup.minhashShingles(corpus, id, text, nHashes, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bsig = Dedup.minhashShingles(bench, id, text, nHashes, shingleN)
       .withColumnRenamed(id, "bench_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cb = Dedup.minhashBands(csig, id, rowsPerBand)
     val bbAll = Dedup.minhashBands(bsig, "bench_id", rowsPerBand)
-    val keptBuckets = bbAll
-      .groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .observe(metricName,
-        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("capped_buckets"),
-        max(col("bucket_n")).as("max_bucket"))
-      .where(col("bucket_n") <= maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val bb = bbAll.join(keptBuckets, Seq("band", "bucket"))
+    val bb = bbAll.join(
+      Dedup.cappedBuckets(bbAll, Seq("band", "bucket"), maxBucketSize, metricName),
+      Seq("band", "bucket"))
     val cands = cb.join(bb, Seq("band", "bucket"))
       .select(col(id), col("bench_id")).distinct()
     cands
@@ -280,6 +273,15 @@ object Curation {
       .where(col("est_jaccard_ppm") >= minJaccardPpm)
   }
 
+  /** Benchmark decontamination: char-n-gram containment of each
+    * benchmark doc's shingle set inside corpus docs —
+    * |shingles(c) ∩ shingles(b)| / |shingles(b)| ≥ threshold flags doc c
+    * as contaminated by benchmark doc b. The benchmark side is broadcast
+    * (eval sets are tiny next to a 100-TB corpus), so the corpus is
+    * never shuffled for the join, and the shingle tables deduplicate
+    * per-row (narrow `array_distinct` inside `charShingles`, no global
+    * distinct shuffle) — the per-pair count aggregation is the only
+    * corpus-sized shuffle. Output: (id, bench_id, n_shared, containment). */
   def decontaminate(corpus: DataFrame, bench: DataFrame, id: String, text: String,
       n: Int, minContainment: Double): DataFrame = {
     val cs = Dedup.charShingles(corpus, id, text, n)

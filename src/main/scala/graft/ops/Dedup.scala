@@ -85,6 +85,31 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
           x => x.getField("minhash").cast("string")))).as("bucket"))
 
+  /** THE shared capped+observed bucket gate for every banded self/cross
+    * join (candidatePairs, deltaCandidatePairs, simhashPairs,
+    * metaBlocking, Curation.fuzzyDecontaminate — one definition so the
+    * cap/observe semantics can't drift): (key…) groups larger than
+    * `maxBucketSize` are dropped BEFORE any join; dropped-bucket count
+    * and the max observed size surface as the `metricName` observe
+    * metric so the cap is never silent. Sizes come from a
+    * partial-aggregated groupBy joined back — deliberately NOT a window
+    * count: a window over the keys must SORT each bucket in one
+    * un-splittable task, so the adversarial mega-bucket this cap exists
+    * for would become a straggler before the filter could drop it, and
+    * AQE cannot split a Window partition; the groupBy's map-side
+    * partials keep the mega-bucket's reducer input at one row per
+    * distinct key. Returns the surviving key tuples. */
+  private[ops] def cappedBuckets(bands: DataFrame, keys: Seq[String],
+      maxBucketSize: Long, metricName: String): DataFrame =
+    bands
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .observe(metricName,
+        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("capped_buckets"),
+        max(col("bucket_n")).as("max_bucket"))
+      .where(col("bucket_n") <= maxBucketSize)
+      .select(keys.map(col): _*)
+
   /** Candidate pairs: ids sharing any band bucket (id1 < id2).
     *
     * Scale guard: a (band, bucket) group larger than `maxBucketSize` is
@@ -97,31 +122,19 @@ object Dedup {
     * `Similarity.bandedCandidates`). Members of a capped bucket can
     * still pair through their other bands.
     *
-    * Shape: bucket sizes come from a partial-aggregated groupBy joined
-    * back — deliberately NOT a window count: a window over
-    * (band, bucket) must SORT each bucket in one un-splittable task, so
-    * the adversarial mega-bucket this cap exists for would become a
-    * straggler before the filter could drop it, and AQE cannot split a
-    * Window partition. The groupBy's map-side partials keep the
-    * mega-bucket's reducer input at one row per distinct key, and both
-    * self-join branches project the SAME `inBuckets` plan (identical
-    * subtrees — the exchange is reusable). `metricName` must be unique
-    * per query plan (Spark rejects same-name observed metrics over
-    * different subplans); callers composing several candidate passes
-    * pass distinct names, as `EntityLinking.nameSimilarityEdges`
-    * does. */
+    * Shape: the [[cappedBuckets]] gate (see its doc for why groupBy, not
+    * a window), then both self-join branches project the SAME
+    * `inBuckets` plan (identical subtrees — the exchange is reusable).
+    * `metricName` must be unique per query plan (Spark rejects same-name
+    * observed metrics over different subplans); callers composing
+    * several candidate passes pass distinct names, as
+    * `EntityLinking.nameSimilarityEdges` does. */
   def candidatePairs(bands: DataFrame, id: String,
       maxBucketSize: Long = 100000L,
       metricName: String = "minhash_buckets"): DataFrame = {
-    val keptBuckets = bands
-      .groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .observe(metricName,
-        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("capped_buckets"),
-        max(col("bucket_n")).as("max_bucket"))
-      .where(col("bucket_n") <= maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val inBuckets = bands.join(keptBuckets, Seq("band", "bucket"))
+    val inBuckets = bands.join(
+      cappedBuckets(bands, Seq("band", "bucket"), maxBucketSize, metricName),
+      Seq("band", "bucket"))
     val l = inBuckets.select(col("band"), col("bucket"), col(id).as("id1"))
     val r = inBuckets.select(col("band"), col("bucket"), col(id).as("id2"))
     l.join(r, Seq("band", "bucket"))
@@ -152,15 +165,9 @@ object Dedup {
   def metaBlocking(bands: DataFrame, id: String,
       maxBucketSize: Long = 100000L,
       metricName: String = "meta_blocking_buckets"): DataFrame = {
-    val keptBuckets = bands
-      .groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .observe(metricName,
-        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("capped_buckets"),
-        max(col("bucket_n")).as("max_bucket"))
-      .where(col("bucket_n") <= maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val inBuckets = bands.join(keptBuckets, Seq("band", "bucket"))
+    val inBuckets = bands.join(
+      cappedBuckets(bands, Seq("band", "bucket"), maxBucketSize, metricName),
+      Seq("band", "bucket"))
     val l = inBuckets.select(col("band"), col("bucket"), col(id).as("id1"))
     val r = inBuckets.select(col("band"), col("bucket"), col(id).as("id2"))
     val pr = l.join(r, Seq("band", "bucket"))
@@ -201,15 +208,9 @@ object Dedup {
   def deltaCandidatePairs(allBands: DataFrame, isNew: Column, id: String,
       maxBucketSize: Long = 100000L,
       metricName: String = "minhash_delta_buckets"): DataFrame = {
-    val keptBuckets = allBands
-      .groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .observe(metricName,
-        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("capped_buckets"),
-        max(col("bucket_n")).as("max_bucket"))
-      .where(col("bucket_n") <= maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val inBuckets = allBands.join(keptBuckets, Seq("band", "bucket"))
+    val inBuckets = allBands.join(
+      cappedBuckets(allBands, Seq("band", "bucket"), maxBucketSize, metricName),
+      Seq("band", "bucket"))
     val newBands = inBuckets.where(isNew)
     val touched = newBands.select(col("band"), col("bucket")).distinct()
     val l = newBands.select(col("band"), col("bucket"), col(id).as("id_new"))
@@ -408,15 +409,9 @@ object Dedup {
       explode(array((0 until 4).map(c => struct(lit(c).as("c"),
         substring(col("simhash"), c * 16 + 1, 16).as("chunk"))): _*)).as("x"))
       .select(col(id), col("simhash"), col("x.c").as("c"), col("x.chunk").as("chunk"))
-    val keptBuckets = chunks
-      .groupBy(col("c"), col("chunk"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .observe("simhash_buckets",
-        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("capped_buckets"),
-        max(col("bucket_n")).as("max_bucket"))
-      .where(col("bucket_n") <= maxBucketSize)
-      .select(col("c"), col("chunk"))
-    val inBuckets = chunks.join(keptBuckets, Seq("c", "chunk"))
+    val inBuckets = chunks.join(
+      cappedBuckets(chunks, Seq("c", "chunk"), maxBucketSize, "simhash_buckets"),
+      Seq("c", "chunk"))
     val l = inBuckets.select(col("c"), col("chunk"), col(id).as("id1"), col("simhash").as("s1"))
     val r = inBuckets.select(col("c"), col("chunk"), col(id).as("id2"), col("simhash").as("s2"))
     val pairs = l.join(r, Seq("c", "chunk"))

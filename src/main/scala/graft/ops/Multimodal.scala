@@ -84,37 +84,41 @@ object Multimodal {
     * production build swaps that for a vision model in the same slot. */
   def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
     val stub0 = stubDecode(id, bytes)
-    val stub = stub0.format match {
-      case "png" | "jpeg" | "gif" =>
-        imageEmbed(bytes) match {
+    stub0.format match {
+      case "png" | "jpeg" =>
+        // ONE ImageIO decode serves both dims and the embedding (pixel
+        // decode is the dominant cost here — never pay it twice)
+        readImage(bytes) match {
+          case Some(img) =>
+            val withEmb = imageEmbedOf(img) match {
+              case Some(e) => stub0.copy(embedding = e.toSeq)
+              case None => stub0
+            }
+            withEmb.copy(width = img.getWidth, height = img.getHeight, n_frames = 1)
+          case None => stub0 // corrupt/truncated raster: keep the fallback
+        }
+      case "gif" =>
+        // real block walk: dims AND frame count (animated GIFs);
+        // embedding off the ImageIO first-frame raster
+        val withEmb = imageEmbed(bytes) match {
           case Some(e) => stub0.copy(embedding = e.toSeq)
           case None => stub0
         }
-      case _ => stub0
-    }
-    stub.format match {
-      case "png" | "jpeg" =>
-        imageDims(bytes) match {
-          case Some((w, h)) => stub.copy(width = w, height = h, n_frames = 1)
-          case None => stub // corrupt/truncated raster: keep the fallback
-        }
-      case "gif" =>
-        // real block walk: dims AND frame count (animated GIFs)
         gifInfo(bytes) match {
-          case Some((w, h, f)) => stub.copy(width = w, height = h, n_frames = f)
-          case None => stub
+          case Some((w, h, f)) => withEmb.copy(width = w, height = h, n_frames = f)
+          case None => withEmb
         }
       case "avi" =>
         aviInfo(bytes) match {
-          case Some((w, h, f, _)) => stub.copy(width = w, height = h, n_frames = f)
-          case None => stub
+          case Some((w, h, f, _)) => stub0.copy(width = w, height = h, n_frames = f)
+          case None => stub0
         }
       case "webp" =>
         webpInfo(bytes) match {
-          case Some((w, h, _)) => stub.copy(width = w, height = h, n_frames = 1)
-          case None => stub
+          case Some((w, h, _)) => stub0.copy(width = w, height = h, n_frames = 1)
+          case None => stub0
         }
-      case _ => stub
+      case _ => stub0
     }
   }
 
@@ -145,14 +149,27 @@ object Multimodal {
     * holds the same pixel count, the sum vector equals the block-MEAN
     * vector times one global constant, so it is directly
     * cosine-compatible with the `Similarity` ops (cosine is
-    * scale-invariant). Values are integer-valued floats < 2^24, so
-    * DuckDB oracles can reproduce them with exact integer arithmetic. */
-  def imageEmbed(bytes: Array[Byte]): Option[Array[Float]] = {
+    * scale-invariant). The Float values are integer-EXACT by
+    * construction: cells ≥ 2^24 (images past ~1184×1184) return None
+    * instead of silently rounding (see [[imageEmbedOf]]), so DuckDB
+    * oracles can always reproduce them with exact integer arithmetic;
+    * [[aHash64]] works off the raw Long sums and has no size bound. */
+  def imageEmbed(bytes: Array[Byte]): Option[Array[Float]] =
+    readImage(bytes).flatMap(imageEmbedOf)
+
+  /** One guarded ImageIO decode (None on unreadable/corrupt bytes). */
+  def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     if (bytes == null || bytes.length == 0) return None
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case scala.util.control.NonFatal(_) => null }
-    if (img == null) return None
+    Option(img)
+  }
+
+  /** Exact Long cell sums for [[imageEmbed]]/[[aHash64]] — kept in
+    * integer space so the average-hash compare never sees a rounded
+    * value, whatever the image size. */
+  private def blockLuminanceSums(img: java.awt.image.BufferedImage): Option[Array[Long]] = {
     val w = img.getWidth; val h = img.getHeight
     if (w % 8 != 0 || h % 8 != 0) return None
     val bw = w / 8; val bh = h / 8
@@ -168,8 +185,18 @@ object Multimodal {
       }
       y += 1
     }
-    Some(sums.map(_.toFloat))
+    Some(sums)
   }
+
+  /** Float form of the cell sums, only when every cell is exactly
+    * representable (< 2^24, i.e. blocks up to ~148×148 px — images to
+    * ~1184×1184). Larger rasters return None rather than silently
+    * rounding: the documented contract is that the embedding values are
+    * integer-exact for the DuckDB oracles, and per-row isolation (not a
+    * lossy value) is this module's failure policy. At deployment size a
+    * vision model replaces this feature anyway. */
+  def imageEmbedOf(img: java.awt.image.BufferedImage): Option[Array[Float]] =
+    blockLuminanceSums(img).filter(_.forall(_ < (1L << 24))).map(_.map(_.toFloat))
 
   /** 64-bit average-hash fingerprint off the same 8×8 luminance grid:
     * bit c is set iff cell c is brighter than the image mean
@@ -178,12 +205,14 @@ object Multimodal {
     * long is only ever XOR'd/popcounted, never order-compared, so the
     * sign bit (cell 63) is harmless. */
   def aHash64(bytes: Array[Byte]): Option[Long] =
-    imageEmbed(bytes).map { emb =>
-      val total = emb.foldLeft(0L)((a, f) => a + f.toLong)
+    readImage(bytes).flatMap(blockLuminanceSums).map { sums =>
+      // pure Long arithmetic off the raw cell sums — exact for ANY
+      // image size, including rasters too large for the Float embedding
+      val total = sums.sum
       var acc = 0L
       var i = 0
       while (i < 64) {
-        if (64L * emb(i).toLong > total) acc |= (1L << i)
+        if (64L * sums(i) > total) acc |= (1L << i)
         i += 1
       }
       acc

@@ -339,9 +339,11 @@ object DataOps {
            |  SELECT $r AS round, s1 AS p1, s2 AS p2, c AS cnt FROM p$r
            |  ORDER BY c DESC, s1 ASC, s2 ASC LIMIT 1),
            |w$r AS MATERIALIZED (
-           |  SELECT w${r - 1}.cnt, replace(w, ' ' || b.p1 || '  ' || b.p2 || ' ',
-           |                                   ' ' || b.p1 || b.p2 || ' ') AS w
-           |  FROM w${r - 1} CROSS JOIN b$r b),
+           |  SELECT w${r - 1}.cnt,
+           |         CASE WHEN b.p1 IS NULL THEN w
+           |              ELSE replace(w, ' ' || b.p1 || '  ' || b.p2 || ' ',
+           |                              ' ' || b.p1 || b.p2 || ' ') END AS w
+           |  FROM w${r - 1} LEFT JOIN b$r b ON TRUE),
            |""".stripMargin)
     }
     sb.setLength(sb.length - 2)
@@ -1726,8 +1728,12 @@ object DataOps {
     // cross-joined in — one row each) and count symbols per doc
     "ta_bpe_encode" -> {
       val spaced = "' ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || ' '"
+      // each step null-safe and each model row LEFT-joined: a round that
+      // learned no merge (b_r empty — degenerate corpus) is a no-op on
+      // both engines instead of emptying the oracle's row set
       val encoded = (1 to 8).foldLeft(spaced) { (c, r) =>
-        s"replace($c, ' ' || b$r.p1 || '  ' || b$r.p2 || ' ', ' ' || b$r.p1 || b$r.p2 || ' ')"
+        s"CASE WHEN b$r.p1 IS NULL THEN $c ELSE " +
+          s"replace($c, ' ' || b$r.p1 || '  ' || b$r.p2 || ' ', ' ' || b$r.p1 || b$r.p2 || ' ') END"
       }
       s"""${bpeCtes(8)},
          |docw AS MATERIALIZED (
@@ -1736,7 +1742,7 @@ object DataOps {
          |  WHERE regexp_matches(word, '^[a-z]+$$')),
          |enc AS (
          |  SELECT doc_id, len(string_split(trim($encoded), '  ')) AS n_sym
-         |  FROM docw ${(1 to 8).map(r => s"CROSS JOIN b$r").mkString(" ")})
+         |  FROM docw ${(1 to 8).map(r => s"LEFT JOIN b$r ON TRUE").mkString(" ")})
          |SELECT doc_id, count(*) AS n_words, sum(n_sym)::BIGINT AS n_tokens
          |FROM enc GROUP BY 1""".stripMargin
     },
