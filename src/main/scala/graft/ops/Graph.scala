@@ -60,8 +60,31 @@ object Graph {
   def pageRank(edges: DataFrame, src: String, dst: String, weight: String,
       iters: Int = 5, scale: Long = 1000000000L,
       ledgerDir: Option[String] = None): DataFrame =
-    prCore(edges, src, dst, weight, None, iters, scale, ledgerDir, "pageRank")
+    prCore(edges, src, dst, weight, None, None, iters, scale, ledgerDir, "pageRank")
       .withColumnRenamed("rank", "pr")
+
+  /** WARM-START PageRank — incremental maintenance under crawl refresh:
+    * resume the Jacobi sweeps from a prior run's ranks (`priorRanks`:
+    * first column = vertex, second = rank — e.g. the `ranks_k` parquet a
+    * `ledgerDir` run left behind) instead of the uniform init. The
+    * recurrence is MEMORYLESS, so on an unchanged graph j warm sweeps
+    * from the k-sweep state are BIT-IDENTICAL to k+j cold sweeps (the
+    * kg_pagerank_warm oracle is literally the cold (k+j)-sweep program —
+    * the equality is under the hash gate, not a unit-test approximation);
+    * after an edge delta the warm state is a near-fixed-point, so
+    * re-convergence takes a fraction of the cold sweep count — the
+    * incremental-CC pattern applied to ranking. Vertices absent from
+    * `priorRanks` (new pages in the refreshed crawl) start at 0 and pick
+    * up teleport + contribution mass from sweep 1. */
+  def pageRankWarmStart(edges: DataFrame, src: String, dst: String, weight: String,
+      priorRanks: DataFrame, iters: Int, scale: Long = 1000000000L,
+      ledgerDir: Option[String] = None): DataFrame = {
+    val init = priorRanks.select(
+      col(priorRanks.columns(0)).as("v"),
+      col(priorRanks.columns(1)).cast("long").as("r0"))
+    prCore(edges, src, dst, weight, None, Some(init), iters, scale, ledgerDir,
+      "pageRankWarmStart").withColumnRenamed("rank", "pr")
+  }
 
   /** Personalized PageRank — [[pageRank]]'s integer-exact recurrence
     * with the restart mass concentrated on `seeds` instead of uniform:
@@ -89,7 +112,7 @@ object Graph {
       ledgerDir: Option[String] = None): DataFrame = {
     val sd = seeds.select(col(seeds.columns.head).as("v")).distinct()
     require(!sd.isEmpty, "personalizedPageRank: empty seed set")
-    prCore(edges, src, dst, weight, Some(sd), iters, scale, ledgerDir,
+    prCore(edges, src, dst, weight, Some(sd), None, iters, scale, ledgerDir,
       "personalizedPageRank").withColumnRenamed("rank", "ppr")
   }
 
@@ -101,7 +124,8 @@ object Graph {
     * when every vertex carries s = 1. `n` = seed count (vertex count in
     * the uniform case). */
   private def prCore(edges: DataFrame, src: String, dst: String,
-      weight: String, seeds: Option[DataFrame], iters: Int, scale: Long,
+      weight: String, seeds: Option[DataFrame], init: Option[DataFrame],
+      iters: Int, scale: Long,
       ledgerDir: Option[String], opName: String): DataFrame = {
     val wType = edges.schema(weight).dataType
     require(Seq("byte", "short", "integer", "long").contains(wType.typeName),
@@ -145,9 +169,16 @@ object Graph {
           lit(s"$opName: no seed vertex is present in the edge set")))
           .otherwise(col("n0")).as("n"))
     }
-    var ranks = checkpoint(verts.crossJoin(broadcast(nn))
-      .select(col("v"), col("s"),
-        expr(s"CASE WHEN s = 1 THEN ${scale}L div n ELSE 0L END").as("r")), "ranks_0")
+    var ranks = checkpoint(init match {
+      // warm start: prior ranks replace the uniform init (vertices the
+      // prior run never saw start at 0 and fill from sweep 1)
+      case Some(ir) => verts
+        .join(ir, Seq("v"), "left")
+        .select(col("v"), col("s"), coalesce(col("r0"), lit(0L)).as("r"))
+      case None => verts.crossJoin(broadcast(nn))
+        .select(col("v"), col("s"),
+          expr(s"CASE WHEN s = 1 THEN ${scale}L div n ELSE 0L END").as("r"))
+    }, "ranks_0")
     for (k <- 1 to iters) {
       val contrib = edeg.join(ranks.select(col("v").as("src"), col("r")), "src")
         .select(col("dst").as("v"), expr("(r * w) div wdeg").as("c"))

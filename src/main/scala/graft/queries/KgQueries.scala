@@ -320,6 +320,17 @@ object KgQueries {
           "src_url", "dst_name", "weight", 5)
         .orderBy(col("pr").desc, col("vertex").asc).limit(20)),
 
+    // incremental rank maintenance: 2 WARM sweeps resumed from a 3-sweep
+    // prior run ≡ 5 cold sweeps BIT-FOR-BIT (the memoryless recurrence),
+    // proven under the hash gate — the oracle is literally kg_pagerank's
+    // 5-sweep program
+    "kg_pagerank_warm" -> ((s, dir) => {
+      val edges = s.read.parquet(kgRun(s, dir) + "/edges")
+      val prior = graft.ops.Graph.pageRank(edges, "src_url", "dst_name", "weight", 3)
+      graft.ops.Graph.pageRankWarmStart(edges, "src_url", "dst_name", "weight", prior, 2)
+        .orderBy(col("pr").desc, col("vertex").asc).limit(20)
+    }),
+
     // personalized PageRank seeded on the 5 lexicographically-first
     // urls: proximity to the seed set (the related-entity serving
     // query); same integer recurrence, seed-concentrated teleport
@@ -800,6 +811,10 @@ object KgQueries {
          |       (max(snap_date) = (SELECT corpus_latest FROM latest)) AS is_current
          |FROM snap GROUP BY 1, 2, 3""".stripMargin,
     "kg_pagerank" -> pageRankSql(kgEdgesSql, 5, 1000000000L, 20),
+
+    // the warm-start equality IS the oracle: 3 cold + 2 warm sweeps must
+    // hash-equal the cold 5-sweep program
+    "kg_pagerank_warm" -> pageRankSql(kgEdgesSql, 5, 1000000000L, 20),
 
     "kg_kcore" -> kCoreSql(2, 8),
 

@@ -507,6 +507,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map("d1" -> ((50L, 1)), "d2" -> ((90L, 2))), out.toString)
   }
 
+  test("pageRankWarmStart: j warm sweeps from a k-sweep prior ≡ k+j cold sweeps exactly") {
+    import graft.ops.Graph
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (1L, 3L, 1L), (3L, 4L, 2L),
+      (4L, 1L, 1L)).toDF("s", "d", "w")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("pr")).toMap
+    val cold5 = m(Graph.pageRank(edges, "s", "d", "w", 5))
+    val warm = m(Graph.pageRankWarmStart(edges, "s", "d", "w",
+      Graph.pageRank(edges, "s", "d", "w", 3), 2))
+    assert(warm == cold5, s"memoryless recurrence must make warm ≡ cold: $warm vs $cold5")
+    // a vertex missing from the prior (new page in the refreshed crawl)
+    // starts at 0 and is filled by sweep 1 — still converges, never nulls
+    val partial = Graph.pageRank(edges, "s", "d", "w", 3).where(col("vertex") =!= 4L)
+    val warm2 = m(Graph.pageRankWarmStart(edges, "s", "d", "w", partial, 2))
+    assert(warm2.keySet == cold5.keySet && warm2.values.forall(_ >= 0L))
+  }
+
   test("metaBlocking: WNP prunes a weak edge only when BOTH endpoints have better") {
     // ab share 3 blocks, bc share 3, ac share 1: a and c each have mean 2,
     // so the ac edge fails the local-mean test on both sides and is pruned;
