@@ -226,7 +226,17 @@ object Pipeline {
     // previous run's CC labels enter as star edges, so the loop pays
     // for the new edges' structure, not for merges already resolved
     // (ConnectedComponents.incremental)
+    //
+    // PERSISTED: the CC entry runs 2 actions on this plan (count +
+    // collect/loop-seed; the incremental path a 3rd via its
+    // touched-component probe), and the plan embeds the full
+    // MinHash-LSH name-blocking pipeline (~10 shuffle stages) — without
+    // the persist every action replays it end to end (measured 5.6 s
+    // per replay at sf0.1, the dominant cost of a streaming
+    // re-canonicalization fold). The edge table itself is
+    // vocabulary-sized, so the cache never grows with the corpus.
     val graph = ccEdges(linked.toDF(), aliases)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ccLabels = seedLabels match {
       case Some(prev) => ConnectedComponents.incremental(
         spark, prev, graph,
@@ -236,6 +246,9 @@ object Pipeline {
         // fast-path budget from the driver's real heap, not a constant
         driverSolveThreshold = ConnectedComponents.driverEdgeBudget())
     }
+    // CC has fully materialized its labels (driver collect, or the
+    // loop's eager localCheckpoints) — the graph cache is done
+    graph.unpersist(false)
 
     // entity_key -> component (keys not in any alias edge are their own
     // component). Persisted: nodes AND edges both derive from it, and the

@@ -439,8 +439,14 @@ object Graph {
           "(non-positive corrupts the mutual recursion; larger overflows score*w): "),
         col(weight).cast("string"))))
       .otherwise(col(weight).cast("long"))
+    // each iteration references the PREVIOUS scores twice (the max-agg
+    // subquery inside normalized() and the main contribution branch), so
+    // an un-materialized loop doubles the plan per reference — ~4^iters
+    // nodes (measured: 9,000-operator plan, 69 s at 3 iters on a 23-host
+    // graph, dominated by Catalyst). Materialize per iteration like
+    // kCore/LPA/BFS do; integer arithmetic keeps results bit-identical.
     def checkpoint(df: DataFrame, name: String): DataFrame =
-      ledgered(ledgerDir, df, name)(identity)
+      ledgered(ledgerDir, df, name)(_.localCheckpoint())
     val ed = checkpoint(
       edges.select(col(src).as("src"), col(dst).as("dst"), wGuarded.as("w")), "edges")
     val verts = checkpoint(

@@ -30,6 +30,14 @@ object StreamingQueries {
     val name = s"graft_st_sink_${sinkSeq.incrementAndGet()}"
     val q = df.writeStream
       .format("memory").queryName(name)
+      // explicit tmpfs-backed checkpoint: without one Spark puts the
+      // offset/commit logs AND every state-store delta/snapshot file
+      // under java.io.tmpdir — this sandbox's single contended virtual
+      // disk, whose fsync-heavy many-small-file pattern is a box
+      // artifact, not the plan's (a cluster checkpoints to its DFS).
+      // FRESH per run: a cached dir would resume the previous stream and
+      // skip the batches (TmpDirs.fresh doc).
+      .option("checkpointLocation", TmpDirs.fresh("st_ckpt"))
       .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -210,6 +218,9 @@ object StreamingQueries {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .writeStream
+        // tmpfs checkpoint (see runToSink) — separate from `work`, which
+        // is read back whole as parquet
+        .option("checkpointLocation", TmpDirs.fresh("st_upd_ckpt"))
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           batch.withColumn("batch", lit(batchId))
@@ -266,6 +277,7 @@ object StreamingQueries {
           folded.write.mode("overwrite").parquet(s"$work/summary_v$batchId")
           ()
         }
+        .option("checkpointLocation", s"$work/ckpt") // tmpfs (see runToSink)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -339,6 +351,7 @@ object StreamingQueries {
             .write.mode("overwrite").parquet(s"$work/pairs_v$batchId")
           ()
         }
+        .option("checkpointLocation", s"$work/ckpt") // tmpfs (see runToSink)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
