@@ -232,8 +232,11 @@ object StreamingPipeline {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$workDir/cc_labels/v$next/_covered_rows.txt"),
       s"$nCovered $mode".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    canonical.nodes.write.mode(SaveMode.Overwrite).parquet(s"$workDir/nodes_stream")
-    canonical.edges.write.mode(SaveMode.Overwrite).parquet(s"$workDir/edges_stream")
+    // both outputs read the same persisted label table — overlap the two
+    // writes as concurrent jobs exactly like the batch pipeline does
+    Pipeline.inParallel(Seq(
+      () => canonical.nodes.write.mode(SaveMode.Overwrite).parquet(s"$workDir/nodes_stream"),
+      () => canonical.edges.write.mode(SaveMode.Overwrite).parquet(s"$workDir/edges_stream")))
     canonical.unpersistCached()
     linkedP.unpersist(false)
     aliasP.unpersist(false)

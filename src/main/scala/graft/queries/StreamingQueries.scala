@@ -21,6 +21,42 @@ object StreamingQueries {
 
   private val sinkSeq = new AtomicInteger(0)
 
+  /** Scale-adaptive partition count for STATEFUL streams, derived from
+    * the stream's source size (never from the local core count): one
+    * state/shuffle partition per `SPARK_GRAFT_ST_PART_BYTES` of source
+    * parquet (default 32 MB ≈ ~100 MB in-memory rows), floored at 4 for
+    * a parallelism minimum and CAPPED by the session's
+    * spark.sql.shuffle.partitions — so a cluster-sized session setting
+    * is respected and only over-partitioning is trimmed. Stateful
+    * shuffle partitioning is frozen into a stream's checkpoint, so
+    * production streaming jobs size it to expected state volume
+    * explicitly rather than inheriting a batch default; AQE cannot
+    * coalesce streaming exchanges (it is disabled for streams), which
+    * is why this is derived manually. Measured motivation: 32 state
+    * partitions over a 2 MB bounded replay spent ~50 s of summed
+    * state-store commit wall vs 2.5 s at 8 — pure per-store overhead,
+    * no data. */
+  private def statePartitions(s: SparkSession, dir: String, name: String): Int = {
+    val f = new java.io.File(s"$dir/$name.parquet")
+    val bytes =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.filter(_.isFile).map(_.length()).sum).getOrElse(0L)
+    val perPart = sys.env.getOrElse("SPARK_GRAFT_ST_PART_BYTES", (32L << 20).toString).toLong
+    val derived = math.max(4L, (bytes + perPart - 1) / perPart)
+    math.min(s.sessionState.conf.numShufflePartitions.toLong, derived).toInt
+  }
+
+  /** Run `f` (which must START and DRAIN the stream inside it) with the
+    * session shuffle-partition setting temporarily pinned to `n` — the
+    * value a streaming query captures at start — restoring the session
+    * default after, so co-resident batch queries are untouched. */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   /** Drain a bounded stream into a memory sink; return the sink table.
     * The memory sink materializes on the driver — right for the
     * driver-contract compare at test scale; a production stream lands
@@ -194,11 +230,13 @@ object StreamingQueries {
     // to a file sink), plus a watermark on ts when arrival order allows
     // eviction
     "st_events_hourly" -> ((s, dir) =>
-      runToSink(s,
-        streamTbl(s, dir, "events")
-          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")),
-        "complete")),
+      withShufflePartitions(s, statePartitions(s, dir, "events")) {
+        runToSink(s,
+          streamTbl(s, dir, "events")
+            .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")),
+          "complete")
+      }),
 
     // the PRODUCTION shape of the same rollup: update mode to a FILE
     // sink via foreachBatch — each micro-batch appends only the keys it
@@ -214,6 +252,7 @@ object StreamingQueries {
     // last-writer-wins absorbs — the sink is idempotent at the reader.
     "st_events_hourly_update" -> ((s, dir) => {
       val work = TmpDirs.fresh("st_upd")
+      withShufflePartitions(s, statePartitions(s, dir, "events")) {
       val q = streamTbl(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -230,6 +269,7 @@ object StreamingQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("hour"), col("event_type")).orderBy(col("batch").desc)
       s.read.parquet(work)
@@ -296,11 +336,13 @@ object StreamingQueries {
     // because testdata duplicates carry no bounded-lateness guarantee.
     // null text fingerprints as "" (the Dedup kernel convention).
     "st_exact_dedup" -> ((s, dir) =>
-      runToSink(s,
-        streamTbl(s, dir, "documents")
-          .select(md5(coalesce(col("text"), lit(""))).as("text_md5"))
-          .dropDuplicates("text_md5"),
-        "append")),
+      withShufflePartitions(s, statePartitions(s, dir, "documents")) {
+        runToSink(s,
+          streamTbl(s, dir, "documents")
+            .select(md5(coalesce(col("text"), lit(""))).as("text_md5"))
+            .dropDuplicates("text_md5"),
+          "append")
+      }),
 
     // streaming NEAR-DUP DEDUP — MinHash-LSH under continuous ingestion,
     // the shape Dedup.deltaCandidatePairs was built for: each
@@ -401,7 +443,9 @@ object StreamingQueries {
         .select(col("e.event_id").as("error_id"), col("c.event_id").as("click_id"),
           col("e.user_id").as("user_id"), col("e.ts").as("error_ts"),
           col("c.ts").as("click_ts"))
-      runToSink(s, joined, "append")
+      withShufflePartitions(s, statePartitions(s, dir, "events")) {
+        runToSink(s, joined, "append")
+      }
     }),
 
     // streaming SESSION WINDOWS — the state-merging aggregation (session
@@ -414,6 +458,7 @@ object StreamingQueries {
     // exactly-30-min gap does NOT merge) — the oracle mirrors that exact
     // boundary at µs precision, NOT q10's floor-seconds `> 1800` rule.
     "st_sessionize" -> ((s, dir) =>
+      withShufflePartitions(s, statePartitions(s, dir, "events")) {
       runToSink(s,
         eventsByTsStream(s, dir)
           // event-time ops require TIMESTAMP (the table is NTZ; the
@@ -432,7 +477,8 @@ object StreamingQueries {
           .where(col("__u") >= 0)
           .select(col("user_id"), col("sw.start").as("t_start"),
             col("sw.end").as("t_end"), col("n_events")),
-        "append")),
+        "append")
+      }),
 
     // INGEST under streaming: `.warc.gz` segment blobs arrive as a
     // stream (one micro-batch per file, like a crawler landing
