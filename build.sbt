@@ -29,4 +29,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local-mode Spark = driver-only: the heap IS the cluster memory.
   // 32 executor threads of regex/string work are GC-bound on small heaps.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // shuffle/broadcast/blockmgr scratch on tmpfs when the box has it:
+  // this sandbox has ONE contended virtual disk (the same box-artifact
+  // rationale as the /dev/shm work dirs in Bench.kgBuild/TmpDirs); a
+  // real deployment points spark.local.dir at fast node-local disks.
+  // Env-overridable like everything scale-dependent here.
+  s"-Dspark.local.dir=${sys.env.getOrElse("SPARK_LOCAL_DIRS",
+    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-local" else "/tmp")}",
 )

@@ -331,7 +331,7 @@ object Pipeline {
   /** Run independent stage writes as concurrent Spark jobs (one thread
     * each): overlaps the serial tails (last straggler task, parquet
     * commit, driver bookkeeping) that otherwise stack up per stage. */
-  private[kg] def inParallel(jobs: Seq[() => Unit]): Unit =
+  private[graft] def inParallel(jobs: Seq[() => Unit]): Unit =
     if (jobs.size <= 1) jobs.foreach(_.apply())
     else {
       import scala.concurrent.{Await, Future, ExecutionContext}

@@ -139,9 +139,13 @@ object Graph {
         col(weight).cast("string"))))
       .otherwise(col(weight).cast("long"))
     // with a ledger, each iteration's ranks land in parquet and the next
-    // reads them back — lineage never grows past one join+agg
+    // reads them back — lineage never grows past one join+agg; without
+    // one, materialize per sweep (localCheckpoint, the kCore/LPA/BFS
+    // pattern) — the unrolled multi-sweep plan is correct but its
+    // planning cost grows with iters (measured ~100 KB explain at 5
+    // sweeps) while each sweep's tables are vertex-sized
     def checkpoint(df: DataFrame, name: String): DataFrame =
-      ledgered(ledgerDir, df, name)(identity)
+      ledgered(ledgerDir, df, name)(_.localCheckpoint())
     val ed = edges.select(col(src).as("src"), col(dst).as("dst"), wGuarded.as("w"))
       .unionAll(edges.select(col(dst).as("src"), col(src).as("dst"), wGuarded.as("w")))
     val deg = ed.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))

@@ -312,7 +312,17 @@ object Similarity {
             s => s.getField("sx")).as("cv")),
         s"centroids_$step")
     }
-    val aFinal = checkpoint(assignClusters(q, cents, 1), "assignments")
+    // the assignment table is referenced several times downstream
+    // (semanticNearDups joins it three ways; ivfTopK probes it) and its
+    // plan embeds the whole seed+Lloyd chain of crossJoin+window steps —
+    // without a ledger, materialize it once (localCheckpoint) instead of
+    // letting every downstream reference replay the chain. Corpus-row
+    // sized (one (vid, cid) pair per vector), the same footprint the
+    // parquet ledger would hold.
+    val aFinal = ledgerDir match {
+      case Some(_) => checkpoint(assignClusters(q, cents, 1), "assignments")
+      case None => assignClusters(q, cents, 1).localCheckpoint()
+    }
     if (ledgerDir.isDefined) q.unpersist(false)
     (cents, aFinal)
   }

@@ -190,7 +190,13 @@ object StreamingQueries {
     // Pipeline.triplesForDoc)
     "st_kg_triples" -> ((s, dir) => {
       import s.implicits._
+      // a micro-batch is ONE small file = one scan split, so the
+      // regex-heavy extraction would run single-core per batch;
+      // repartition the slim projected pages across the session
+      // parallelism first (the same spread runIncremental applies via
+      // extractParallelism)
       val pages = graft.queries.KgQueries.pageProjection(streamTbl(s, dir, "documents"))
+        .repartition(s.sparkContext.defaultParallelism)
         .as[graft.kg.Schema.Page]
       runToSink(s,
         graft.kg.StreamingPipeline.streamTriples(s, pages).toDF()
@@ -373,15 +379,24 @@ object StreamingQueries {
         .writeStream
         .outputMode("append")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val shard = DataOps.ddExpand(batch)
-          graft.ops.Dedup.minhashBands(
-              graft.ops.Dedup.minhashShingles(shard, "doc_id", "text", 8, 8),
-              "doc_id", 4)
-            .withColumn("ver", lit(batchId))
-            .write.mode("overwrite").parquet(s"$work/bands_v$batchId")
-          graft.ops.Dedup.charShingles(shard, "doc_id", "text", 8)
-            .withColumnRenamed("shingle", "token")
-            .write.mode("overwrite").parquet(s"$work/sh_v$batchId")
+          // one micro-batch = one scan split: spread the slim
+          // (doc_id, text) shard across the session parallelism before
+          // the CPU-fat fingerprint kernels, and overlap the two
+          // independent index writes as concurrent jobs (they share the
+          // persisted shard; block-level dedup scans it once)
+          val shard = DataOps.ddExpand(
+              batch.repartition(s.sparkContext.defaultParallelism))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          graft.kg.Pipeline.inParallel(Seq(
+            () => graft.ops.Dedup.minhashBands(
+                graft.ops.Dedup.minhashShingles(shard, "doc_id", "text", 8, 8),
+                "doc_id", 4)
+              .withColumn("ver", lit(batchId))
+              .write.mode("overwrite").parquet(s"$work/bands_v$batchId"),
+            () => graft.ops.Dedup.charShingles(shard, "doc_id", "text", 8)
+              .withColumnRenamed("shingle", "token")
+              .write.mode("overwrite").parquet(s"$work/sh_v$batchId")))
+          shard.unpersist(false)
           val allBands = s.read.parquet(
             versions("bands").filter(_ <= batchId).map(v => s"$work/bands_v$v"): _*)
           val allSh = s.read.parquet(
