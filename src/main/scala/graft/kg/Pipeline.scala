@@ -219,7 +219,8 @@ object Pipeline {
       spark: SparkSession,
       linked: Dataset[LinkedMention],
       aliases: DataFrame,
-      seedLabels: Option[DataFrame] = None): Canonical = {
+      seedLabels: Option[DataFrame] = None,
+      preGraph: Option[DataFrame] = None): Canonical = {
     import spark.implicits._
 
     // seedLabels (incremental re-canonicalization over a stream): the
@@ -235,8 +236,13 @@ object Pipeline {
     // per replay at sf0.1, the dominant cost of a streaming
     // re-canonicalization fold). The edge table itself is
     // vocabulary-sized, so the cache never grows with the corpus.
-    val graph = ccEdges(linked.toDF(), aliases)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // preGraph: a caller-materialized CC edge table (e.g. the streaming
+    // fold's coverage-keyed parquet checkpoint) — already durable, so no
+    // persist needed; the actions replay a tiny parquet read, not the
+    // name-blocking pipeline
+    val graph = preGraph.getOrElse(
+      ccEdges(linked.toDF(), aliases)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ccLabels = seedLabels match {
       case Some(prev) => ConnectedComponents.incremental(
         spark, prev, graph,
@@ -248,7 +254,7 @@ object Pipeline {
     }
     // CC has fully materialized its labels (driver collect, or the
     // loop's eager localCheckpoints) — the graph cache is done
-    graph.unpersist(false)
+    if (preGraph.isEmpty) graph.unpersist(false)
 
     // entity_key -> component (keys not in any alias edge are their own
     // component). Persisted: nodes AND edges both derive from it, and the

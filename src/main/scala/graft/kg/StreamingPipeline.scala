@@ -194,27 +194,55 @@ object StreamingPipeline {
       seeded: Boolean = true): Unit = {
     import spark.implicits._
     val raw = spark.read.parquet(s"$workDir/triples_stream")
-    // project away the discovered batch partition column; count the
-    // covered rows for the on-disk staleness ledger
-    val triples = raw.drop("batch").as[Triple]
+    // count the covered rows for the on-disk staleness ledger — and as
+    // the linking-stage checkpoint key below
     val nCovered = raw.count()
+
+    // ---- linking stage, CHECKPOINTED per coverage (the batch
+    // pipeline's parquet-stage idiom applied to the fold): linking and
+    // the CC edge graph are pure functions of the accumulated triples
+    // multiset, and within a run the landed set only grows — so the
+    // covered row count identifies it exactly. The payoff is the
+    // drain-time EXACT fold: it re-canonicalizes the SAME coverage the
+    // last cadence fold just linked, and reads these tables back
+    // instead of re-running alias discovery + ambiguity resolution +
+    // MinHash name-blocking end to end (the dominant fold cost). Also
+    // the crash-restart story: a fold interrupted after this stage
+    // resumes from parquet.
+    val linkedPath = s"$workDir/link_stage/linked_$nCovered"
+    val aliasPath = s"$workDir/link_stage/alias_$nCovered"
+    val graphPath = s"$workDir/link_stage/graph_$nCovered"
+    def stDone(p: String) = new java.io.File(p, "_SUCCESS").isFile
+    if (!(stDone(linkedPath) && stDone(aliasPath) && stDone(graphPath))) {
+      val triples = raw.drop("batch").as[Triple]
+      val resolved = EntityLinking.resolve(spark, triples)
+      // materialize linking ONCE for the three stage writes (the two
+      // below run as concurrent jobs; block-level cache dedup scans the
+      // linking DAG once)
+      val linkedP = resolved.linked.toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val aliasP = resolved.aliasEdges
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Pipeline.inParallel(Seq(
+        () => linkedP.write.mode(SaveMode.Overwrite).parquet(linkedPath),
+        () => aliasP.write.mode(SaveMode.Overwrite).parquet(aliasPath)))
+      // the CC input graph (alias ∪ name-similarity edges) is
+      // vocabulary-sized; checkpointing it means no CC action ever
+      // replays the name-blocking pipeline
+      Pipeline.ccEdges(linkedP, aliasP)
+        .write.mode(SaveMode.Overwrite).parquet(graphPath)
+      linkedP.unpersist(false)
+      aliasP.unpersist(false)
+      resolved.unpersistCached()
+    }
+    val linkedCk = spark.read.parquet(linkedPath)
     val prev =
       if (!seeded) None
       else latestVersion(workDir).map(v => spark.read.parquet(s"$workDir/cc_labels/v$v"))
-
-    val resolved = EntityLinking.resolve(spark, triples)
-    // materialize linking ONCE: canonicalize drives ~5 actions (CC count
-    // + solve, labels/nodes/edges writes) and without this each one
-    // would re-execute the whole linking DAG — the batch path gets the
-    // same discipline from its parquet stage checkpoints (the durable
-    // choice at 100 TB; here the triples table is already durable, so a
-    // crashed pass just reruns from it)
-    val linkedP = resolved.linked.toDF()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val aliasP = resolved.aliasEdges
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canonical = Pipeline.canonicalize(
-      spark, linkedP.as[Schema.LinkedMention], aliasP, prev)
+      spark, linkedCk.as[Schema.LinkedMention],
+      spark.read.parquet(aliasPath), prev,
+      preGraph = Some(spark.read.parquet(graphPath)))
     val next = latestVersion(workDir).getOrElse(0) + 1
     // labels first (nodes/edges derive from the same plan; any failure
     // here leaves the previous version live), then the two outputs
@@ -238,9 +266,6 @@ object StreamingPipeline {
       () => canonical.nodes.write.mode(SaveMode.Overwrite).parquet(s"$workDir/nodes_stream"),
       () => canonical.edges.write.mode(SaveMode.Overwrite).parquet(s"$workDir/edges_stream")))
     canonical.unpersistCached()
-    linkedP.unpersist(false)
-    aliasP.unpersist(false)
-    resolved.unpersistCached()
   }
 
   /** Per-entity running state over the stream. */
