@@ -29,7 +29,17 @@ object Eval {
     val nGot = g.agg(count(lit(1)).as("n_got"))
     val nGold = h.agg(count(lit(1)).as("n_gold"))
     val nMatch = g.join(h, key, "left_semi").agg(count(lit(1)).as("n_match"))
+    // loud zero guard (r5 ADVICE): Spark's integral div-by-zero yields
+    // NULL where the DuckDB oracle's // raises, so a degenerate (empty)
+    // extraction or gold set would diverge SILENTLY — fail in-plan
+    // instead, the repo's loud-failure convention
+    def nz(c: String): org.apache.spark.sql.Column =
+      when(col(c) === 0L, raise_error(lit(
+        s"triplePR: $c is 0 — empty extraction/gold set has no defined P/R")))
+        .otherwise(col(c))
     nMatch.crossJoin(broadcast(nGot)).crossJoin(broadcast(nGold))
+      .withColumn("n_got", nz("n_got"))
+      .withColumn("n_gold", nz("n_gold"))
       .select(col("n_got"), col("n_gold"), col("n_match"),
         expr("n_match * 1000000 div n_got").as("precision_ppm"),
         expr("n_match * 1000000 div n_gold").as("recall_ppm"),

@@ -49,6 +49,14 @@ object Crawl {
   def scheduleRounds(frontier: DataFrame, url: String, host: String,
       priority: String, perHostPerRound: Int): DataFrame = {
     require(perHostPerRound > 0, s"perHostPerRound must be positive: $perHostPerRound")
+    // `round` and the internal skew-count column are WRITTEN onto the
+    // pass-through frontier row — a caller column of the same name
+    // would be silently overwritten (r5 ADVICE): reserve them loudly
+    require(!frontier.columns.contains("round"),
+      "scheduleRounds: the frontier must not already carry a 'round' column " +
+        "(reserved for the schedule output); rename it upstream")
+    require(!frontier.columns.contains("__sched_host_n"),
+      "scheduleRounds: '__sched_host_n' is a reserved internal column name")
     val w = Window.partitionBy(col(host))
       .orderBy(col(priority).desc, col(url).asc)
     frontier
@@ -56,8 +64,8 @@ object Crawl {
         ((row_number().over(w) - 1) / perHostPerRound).cast("long"))
       // rides the same host partitioning; observe takes aggregates only,
       // so the per-host count lands in a column first
-      .withColumn("__hostN", count(lit(1)).over(Window.partitionBy(col(host))))
-      .observe("frontier_skew", max(col("__hostN")).as("max_host_frontier"))
-      .drop("__hostN")
+      .withColumn("__sched_host_n", count(lit(1)).over(Window.partitionBy(col(host))))
+      .observe("frontier_skew", max(col("__sched_host_n")).as("max_host_frontier"))
+      .drop("__sched_host_n")
   }
 }

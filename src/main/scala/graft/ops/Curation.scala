@@ -256,7 +256,16 @@ object Curation {
     val bsig = Dedup.minhashShingles(bench, id, text, nHashes, shingleN)
       .withColumnRenamed(id, "bench_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = Dedup.minhashBands(csig, id, rowsPerBand)
+    // BOTH sides are capped + observed: a boilerplate-collapsed mega
+    // bucket on the corpus side would otherwise fan out
+    // corpus_bucket × bench_bucket candidate rows unboundedly (r5
+    // ADVICE) — the 100-TB cross-corpus framing needs the quadratic
+    // guard on each side, each under its own metric name
+    val cbAll = Dedup.minhashBands(csig, id, rowsPerBand)
+    val cb = cbAll.join(
+      Dedup.cappedBuckets(cbAll, Seq("band", "bucket"), maxBucketSize,
+        metricName + "_corpus"),
+      Seq("band", "bucket"))
     val bbAll = Dedup.minhashBands(bsig, "bench_id", rowsPerBand)
     val bb = bbAll.join(
       Dedup.cappedBuckets(bbAll, Seq("band", "bucket"), maxBucketSize, metricName),
@@ -284,8 +293,14 @@ object Curation {
     * corpus-sized shuffle. Output: (id, bench_id, n_shared, containment). */
   def decontaminate(corpus: DataFrame, bench: DataFrame, id: String, text: String,
       n: Int, minContainment: Double): DataFrame = {
+    // the containment join carries a 64-bit hash of the shingle, not its
+    // text — the join only decides identity, and the broadcast side
+    // shrinks with it (guide §2.3; same proxy-key rationale as
+    // Dedup.containmentFromUnits; charShingles never emits nulls)
     val cs = Dedup.charShingles(corpus, id, text, n)
-    val bs = Dedup.charShingles(bench, id, text, n).withColumnRenamed(id, "bench_id")
+      .select(col(id), xxhash64(col("shingle")).as("shingle"))
+    val bs = Dedup.charShingles(bench, id, text, n)
+      .select(col(id).as("bench_id"), xxhash64(col("shingle")).as("shingle"))
     val bsz = bs.groupBy(col("bench_id")).agg(count(lit(1)).as("bn"))
     cs.join(broadcast(bs), Seq("shingle"))
       .groupBy(col(id), col("bench_id")).agg(count(lit(1)).as("n_shared"))

@@ -364,6 +364,14 @@ object StreamingQueries {
     // membership is arrival-order-free), hence the union of per-batch
     // verified pairs ≡ the one-shot batch rebuild — the oracle is
     // literally dd_minhash_pairs' SQL.
+    // PREFIX-CAP CAVEAT (r5 ADVICE): that equivalence holds only while
+    // no (band, bucket) group crosses maxBucketSize mid-stream —
+    // per-batch caps are evaluated over the ACCUMULATED PREFIX, so a
+    // bucket under the cap early but over it in the final corpus would
+    // emit pairs the one-shot rebuild drops. The default cap (100k)
+    // never binds here (max bucket ≈ planted dup-group size ≪ 100k); a
+    // deployment expecting binding caps must either re-evaluate caps
+    // over the final index or accept prefix-cap semantics.
     "st_delta_pairs" -> ((s, dir) => {
       val work = TmpDirs.fresh("st_dd")
       def versions(prefix: String): Seq[Long] = {
