@@ -186,7 +186,16 @@ object KgQueries {
       // run would leak a full pipeline output into RAM-backed /dev/shm
       sys.addShutdownHook(
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work)))
-      Pipeline.run(s, kgPages(s, dir), Pipeline.Config(work, nPartitions = 16))
+      // the documents table is ONE small parquet file = one scan split,
+      // so the regex-heavy extraction stage would run single-core
+      // (measured ~10 s of a ~13 s build). Pipeline.run itself stays
+      // narrow by design (shuffling an html-fat source is the 100-TB
+      // bill); THIS projection is slim (html is null), so the spread
+      // belongs at the call site — same rationale as the streaming
+      // lane's extractParallelism.
+      Pipeline.run(s,
+        kgPages(s, dir).repartition(s.sparkContext.defaultParallelism),
+        Pipeline.Config(work, nPartitions = 16))
       work
     })
 
