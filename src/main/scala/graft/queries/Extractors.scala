@@ -69,6 +69,18 @@ object Extractors {
   private def enrDf(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), enriched.as("t"))
 
+  /** The documents table is ONE small parquet file = one scan split, so
+    * a regex-UDF extractor over it runs single-core; the UDF-heavy
+    * queries spread the slim (doc_id, text) rows across the session
+    * parallelism first (same rationale as the media/streaming lanes —
+    * measured: en_equations 2.0 s single-task at sf0.1). Trivial column
+    * queries keep the narrow single-split scan. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
+  private def enrDfSpread(s: SparkSession, dir: String): DataFrame =
+    spread(s, docs(s, dir)).select(col("doc_id"), enriched.as("t"))
+
   private val stopwordList: String =
     RefAnalyzers.Stopwords.toSeq.sorted.map(w => s"'$w'").mkString(",")
 
@@ -183,27 +195,27 @@ object Extractors {
 
     // E5 section structure (names; previews/pages are golden-tested)
     "en_sections" -> ((s, dir) =>
-      enrDf(s, dir)
+      enrDfSpread(s, dir)
         .select(col("doc_id"), explode(Udfs.sections(col("t"))).as("s"))
         .select(col("doc_id"), col("s.name").as("name"))),
 
     // E6 figure/table references
     "en_figures" -> ((s, dir) =>
-      enrDf(s, dir)
+      enrDfSpread(s, dir)
         .select(col("doc_id"), explode(Udfs.figureRefs(col("t"))).as("f"))
         .select(col("doc_id"), col("f.kind").as("kind"),
           col("f.title").as("title"), col("f.caption").as("caption"))),
 
     // E7-E9/A5 technical terms (term + frequency; context golden-tested)
     "en_terms" -> ((s, dir) =>
-      enrDf(s, dir)
+      enrDfSpread(s, dir)
         .select(col("doc_id"), explode(Udfs.technicalTerms(col("t"))).as("x"))
         .select(col("doc_id"), col("x.term").as("term"),
           col("x.frequency").as("frequency"))),
 
     // E10 equations (content; ids/pages golden-tested)
     "en_equations" -> ((s, dir) =>
-      enrDf(s, dir)
+      enrDfSpread(s, dir)
         .select(col("doc_id"), explode(Udfs.equations(col("t"))).as("e"))
         .select(col("doc_id"), col("e.content").as("content"))),
 
@@ -216,14 +228,14 @@ object Extractors {
 
     // A2 unigram term frequency (shared tokenizer, stopword-filtered)
     "a2_unigram_tf" -> ((s, dir) =>
-      docs(s, dir)
+      spread(s, docs(s, dir))
         .select(col("doc_id"), explode(Udfs.keywordTokens(col("text"))).as("token"))
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("cnt"))),
 
     // A3 bigram term frequency over adjacent filtered tokens
     "a3_bigram_tf" -> ((s, dir) => {
-      val toks = docs(s, dir)
+      val toks = spread(s, docs(s, dir))
         .select(col("doc_id"), posexplode(Udfs.keywordTokens(col("text"))).as(Seq("i", "token")))
       val next = toks.select(col("doc_id"), (col("i") - 1).as("i"), col("token").as("token2"))
       toks.join(next, Seq("doc_id", "i"))
@@ -235,7 +247,7 @@ object Extractors {
 
     // A4 full keyword merge (ordered output through the real extractor)
     "a4_keywords" -> ((s, dir) =>
-      docs(s, dir)
+      spread(s, docs(s, dir))
         .select(col("doc_id"), posexplode(Udfs.keywords(col("text"))).as(Seq("pos", "keyword")))
         .select(col("doc_id"), (col("pos") + 1).as("position"), col("keyword"))),
 
@@ -246,7 +258,7 @@ object Extractors {
 
     // E12 suggested questions
     "en_questions" -> ((s, dir) =>
-      enrDf(s, dir)
+      enrDfSpread(s, dir)
         .select(col("doc_id"),
           posexplode(Udfs.suggestedQuestions(col("t"))).as(Seq("pos", "question")))
         .select(col("doc_id"), (col("pos") + 1).as("position"), col("question"))),
@@ -255,7 +267,7 @@ object Extractors {
     // config.py:25): a generated answer/summary shorter than
     // MIN_ANSWER_LENGTH=30 is discarded as irrelevant
     "en_relevance_gate" -> ((s, dir) =>
-      enrDf(s, dir)
+      enrDfSpread(s, dir)
         .select(col("doc_id"), Udfs.summary(col("t")).as("summary"))
         .where(length(col("summary")) >= 30)),
 

@@ -315,6 +315,9 @@ object KgQueries {
     "kg_chunks" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .where(col("doc_id") % 2 === 0)
+        // single-file scan = one split; spread before the chunker UDF
+        // (same rationale as the extractor/media lanes)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), posexplode(graft.kg.Udfs.chunkText(
           graft.kg.Udfs.cleanText(repeat(concat(col("text"), lit(" ")), 3)))).as(Seq("chunk_id", "c")))
         .select(col("doc_id"), col("chunk_id"), col("c.content").as("content"),
